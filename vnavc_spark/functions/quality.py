@@ -1,0 +1,134 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All native Catalyst expressions (no UDFs) so they run
+inside whole-stage codegen over 100 TB document scans.
+
+Extension surface beyond the reference (BASELINE.json north star);
+closest reference analogue is the per-book text metrics at
+``pre_processing/process_all.py:358-363``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / counting
+# ---------------------------------------------------------------------------
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of whitespace tokens; 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token estimate: counts word pieces + digits +
+    punctuation runs with a BPE-flavored regex. Cheap proxy for LLM
+    token budgeting at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    # split CamelCase, then count \w{1,6} pieces and non-space symbols
+    decamel = F.regexp_replace(c, r"([a-z])([A-Z])", r"$1 $2")
+    pieces = F.regexp_extract_all(decamel, F.lit(r"(\w{1,6}|[^\w\s])"), 1)
+    return F.size(pieces)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+#: Tiny multilingual stopword list — heuristic signal only.
+STOPWORDS = (
+    "the a an and or of to in is are was were for on with as at by it "
+    "this that"
+).split()
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def mean_token_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + token shape +
+    punctuation sanity. Deterministic and codegen'd; meant for
+    corpus-scale filtering, not absolute judgment."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / 20.0, F.lit(1.0))  # saturates at 20 tokens
+    tok_len = mean_token_len(c)
+    shape_score = F.when((tok_len >= 2.5) & (tok_len <= 12.0), 1.0).otherwise(0.5)
+    punct_score = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.3)
+    return (len_score * 0.5 + shape_score * 0.3 + punct_score * 0.2)
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+#: Marker words per language — the classic cheap lang-ID heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "vi": ["của", "và", "là", "không", "người"],
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Best-guess language from marker-word hit counts; 'und' when no
+    marker matches. Pure expression: one pass over the token array per
+    language, no UDF."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(markers))).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, markers in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*scores)  # struct compare: hits first, then code
+    return F.when(best.getField("hits") > 0, best.getField("code")).otherwise(
+        F.lit("und")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for dedup: lower, strip punctuation, collapse
+    whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint = md5 of the normalized text (exact-dup
+    key; md5 chosen because the DuckDB oracle computes the identical
+    digest)."""
+    return F.md5(normalized_text(col))

@@ -1,0 +1,114 @@
+"""Filter/predicate operators (SURVEY.md §2.2, F1-F12).
+
+All are plain Catalyst predicates — they push down into the parquet
+scan (verify with ``df.explain``: they appear under PushedFilters /
+as early Filter nodes), which is the whole game at 100 TB: rows die
+at the scan, not after a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_contains(df: DataFrame, col: str, needle: str) -> DataFrame:
+    """F1: drop rows whose ``col`` contains ``needle`` (reference:
+    tvshow filter, ``crawler/metadata.py:228-229``). Null-safe: null
+    values are kept, matching pandas ``str.contains(na=False)`` under
+    ``~``."""
+    c = F.col(col)
+    return df.filter(c.isNull() | ~c.contains(needle))
+
+
+def drop_null(df: DataFrame, *cols: str) -> DataFrame:
+    """F2: project + drop nulls (``crawler/metadata.py:344-347``)."""
+    return df.select(*cols).na.drop()
+
+
+def substring_query(
+    df: DataFrame,
+    **needles: str | None,
+) -> DataFrame:
+    """F3: conjunctive case-insensitive substring query over named
+    columns — the reference's only ad-hoc query operator
+    (``crawler/utils.py:43-82``). ``None``/``"all"`` bypasses a
+    column, like the reference's ``query == "all"``."""
+    pred: Column = F.lit(True)
+    for col, needle in needles.items():
+        if needle is None or needle == "all":
+            continue
+        pred = pred & F.lower(F.col(col)).contains(needle.lower())
+    return df.filter(pred)
+
+
+def invalid_source_gate(df: DataFrame, source_col: str = "source") -> DataFrame:
+    """F5: drop rows tagged ``source == 'invalid'``
+    (``crawler/metadata.py:143-153``)."""
+    return df.filter(F.col(source_col) != "invalid")
+
+
+def min_words(df: DataFrame, col: str, n: int = 3) -> DataFrame:
+    """F6: keep sentences with ≥ n whitespace words
+    (``process_all.py:299``)."""
+    return df.filter(F.size(F.split(F.trim(F.col(col)), r"\s+")) >= n)
+
+
+def flag_duration_outliers(
+    df: DataFrame,
+    duration_col: str = "duration",
+    lo: float = 3.0,
+    hi: float = 12.0,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """F7: segment outlier predicate as a *column*, not a side file
+    (reference writes outlier.txt, ``aeneas_batch_align.py:227-242``;
+    bounds 3-12 default / 3-20 shipped config)."""
+    return df.withColumn(flag_col, ~F.col(duration_col).between(lo, hi))
+
+
+def sample_rate_gate(
+    df: DataFrame,
+    sr_col: str = "sample_rate",
+    min_sr: int = 16000,
+    flag_col: str = "qualified",
+) -> DataFrame:
+    """F8: book qualification flag (min part sample rate ≥ 16 kHz,
+    ``process_all.py:461-510``); downstream writes partition by this
+    flag so QC reads prune."""
+    return df.withColumn(flag_col, F.col(sr_col) >= min_sr)
+
+
+def wer_gate(
+    book_wer: DataFrame,
+    books: DataFrame,
+    on: str = "book_id",
+    wer_col: str = "wer_pct",
+    threshold: float = 50.0,
+) -> DataFrame:
+    """F9: drop whole books whose mean WER ≥ threshold — an anti-join
+    against the failing set (``whisper_qc.py:324-341``)."""
+    bad = book_wer.filter(F.col(wer_col) >= threshold).select(on)
+    return books.join(bad, on=on, how="left_anti")
+
+
+def suffix_gate(df: DataFrame, col: str, suffix: str) -> DataFrame:
+    """F10/F11: extension gates (``crawler/utils.py:105-111``,
+    ``aeneas_batch_align.py:166-185``)."""
+    return df.filter(F.col(col).endswith(suffix))
+
+
+def orphan_cleanup(
+    left: DataFrame, right: DataFrame, on: list[str] | str
+) -> DataFrame:
+    """F12: keep left rows with a partner in right (wav↔txt pairing,
+    ``whisper_qc.py:71-75``) — a left-semi join."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def valid_url_filter(
+    df: DataFrame, status_col: str = "status_code"
+) -> DataFrame:
+    """S5 semantics: HTTP status < 400 ⇒ valid
+    (``crawler/utils.py:245-272``)."""
+    return df.filter(F.col(status_col) < 400)

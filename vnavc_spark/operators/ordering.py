@@ -1,0 +1,73 @@
+"""Ordering / id-assignment / chunking operators (SURVEY.md §2.5,
+O1-O5). Row order is never implicit: every sequencing the reference
+gets from sorted directory listings or enumerate() becomes an
+explicit key column, so plans stay shuffle-minimal and deterministic
+under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vnavc_spark.functions.text import trailing_int
+
+
+def with_natural_part_order(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """O1: natural-order sort key from the trailing integer in the
+    filename (reference regex sort, ``process_all.py:566-617``)."""
+    return df.withColumn("part_idx", trailing_int(path_col))
+
+
+def explode_parts(
+    df: DataFrame, array_col: str = "audio_download_url", out_col: str = "part_url"
+) -> DataFrame:
+    """O3: part index assignment — ``enumerate(urls, start=1)`` in the
+    reference (``crawler/download.py:141-145``) is ``posexplode``;
+    1-based to keep reference file naming ``{book}_{idx}.mp3``."""
+    return df.select(
+        *[c for c in df.columns if c != array_col],
+        F.posexplode(array_col).alias("pos0", out_col),
+    ).withColumn("part_idx", F.col("pos0") + 1).drop("pos0")
+
+
+def assign_seg_ids(
+    df: DataFrame,
+    book_col: str = "book_id",
+    order_col: str = "start",
+    out_col: str = "seg_id",
+) -> DataFrame:
+    """O4: consistent 0-based per-book segment ids ordered by segment
+    start time — replaces the reference's three inconsistent id
+    spaces (1-based text line, raw DataFrame index, filename id;
+    SURVEY §2.11). Window shuffle keys on book, the same partitioning
+    the aligner already produced."""
+    w = Window.partitionBy(book_col).orderBy(order_col)
+    return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("int"))
+
+
+def chunk_ids(
+    df: DataFrame,
+    order_key: str | list[str],
+    chunk_size: int = 500,
+    out_col: str = "chunk_id",
+) -> DataFrame:
+    """O5: fixed-size batch ids (reference 500-sample GPU subsets,
+    ``prepare_prompt_for_vnavc.py:296-333``). On Spark natural
+    partitioning usually replaces this; kept for exports that need
+    stable chunk numbering."""
+    keys = [order_key] if isinstance(order_key, str) else list(order_key)
+    w = Window.orderBy(*keys)
+    # explicit floor: portable (DuckDB casts double→int by *rounding*,
+    # Spark truncates — floor agrees everywhere for non-negatives)
+    return df.withColumn(
+        out_col, F.floor((F.row_number().over(w) - 1) / float(chunk_size))
+    )
+
+
+def top_k(
+    df: DataFrame, order_cols: list, k: int
+) -> DataFrame:
+    """orderBy+limit — physical plan is TakeOrderedAndProject (per-
+    partition heap + single merge, no global sort)."""
+    return df.orderBy(*order_cols).limit(k)

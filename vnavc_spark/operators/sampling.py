@@ -1,0 +1,70 @@
+"""Deterministic sampling operators (SURVEY.md G11 / F4).
+
+The reference samples with ``random.sample`` (``whisper_qc.py:230-242``,
+``crawler/utils.py:61-65``) — irreproducible across runs. We replace
+randomness with a cryptographic-hash order: rank rows per group by
+``md5(salt || key)`` and keep the first k. Deterministic, seedable
+via the salt, engine-portable (the DuckDB oracle computes the same
+digests), and — unlike ``DataFrame.sampleBy`` — gives *exact* k per
+group in one window pass, no collect.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_order(key_cols: list[str], salt: str):
+    concat = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return F.md5(F.concat(F.lit(salt), concat))
+
+
+def exact_k_per_group(
+    df: DataFrame,
+    group: str | list[str],
+    key: str | list[str],
+    pct: float = 0.05,
+    min_k: int = 1,
+    salt: str = "vnavc",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """G11: per-group exact-k sample, k = max(min_k, ceil(pct·n)) —
+    the reference's per-book 5% WER sample (floor 1). One window over
+    the group partition; at scale this is a single shuffle on the
+    group key (usually already the partition key upstream)."""
+    groups = [group] if isinstance(group, str) else list(group)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*groups).orderBy(_hash_order(keys, salt), *keys)
+    k = F.greatest(
+        F.lit(min_k).cast("long"),
+        F.ceil(F.count("*").over(Window.partitionBy(*groups)) * F.lit(pct)),
+    )
+    out = df.withColumn("_rn", F.row_number().over(w)).withColumn("_k", k)
+    out = out.filter(F.col("_rn") <= F.col("_k"))
+    return out if keep_rank else out.drop("_rn", "_k")
+
+
+def exact_k_global(
+    df: DataFrame,
+    key: str | list[str],
+    k: int,
+    salt: str = "vnavc",
+) -> DataFrame:
+    """F4: exact-k global sample (reference ``random.sample(urls, k)``).
+    Hash-order + limit: a TakeOrderedAndProject, no full sort
+    materialization."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return (
+        df.withColumn("_h", _hash_order(keys, salt))
+        .orderBy("_h", *keys)
+        .limit(k)
+        .drop("_h")
+    )
+
+
+def ceil_pct(n: int, pct: float, min_k: int = 1) -> int:
+    """Driver-side helper mirroring the sample-size rule."""
+    return max(min_k, math.ceil(n * pct))

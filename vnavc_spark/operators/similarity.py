@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (BASELINE.json); no reference analogue. Two
+paths:
+
+- ``cosine_topk``: exact brute-force top-k — the baseline. Query set
+  is broadcast (it is small by construction); the corpus scan is
+  embarrassingly parallel; per-partition top-k via window rank. At
+  100 TB this is one full scan per query batch — correct but linear.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path.
+  Sign-bit sketches are pure projections; candidates share a bucket,
+  so the scan is replaced by a bucket equi-join. Recall < 1 by
+  construction; multi-table OR-amplification raises it.
+
+All vector math is Catalyst higher-order functions (functions/
+vector.py) — JVM-side, no UDF, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vnavc_spark.functions.portable import exact_sum
+from vnavc_spark.functions.portable import stable_round as _stable_round
+from vnavc_spark.functions.vector import cosine, dot, norm
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan shape: broadcast(queries) × corpus → score → window rank per
+    query. The window partitions by query id, so the only shuffle
+    carries (query_id, neighbor_id, score) — never the vectors.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            _stable_round(cosine("q_vec", "c_vec"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "score", "rank")
+    )
+
+
+def hyperplane_sketch(
+    vec_col, dim: int, bits: int = 8, seed: int = 42
+):
+    """Random-hyperplane sign sketch as an int bucket id. Plane
+    components derive from xxhash64(seed, bit, i) — deterministic
+    across runs, cluster-safe (no RNG state)."""
+    out = F.lit(0)
+    for b in range(bits):
+        idx = F.sequence(F.lit(0), F.lit(dim - 1))
+        plane = F.transform(
+            idx,
+            lambda i: (
+                F.xxhash64(F.lit(seed), F.lit(b), i) % 1000003
+            ).cast("double")
+            / 1000003.0
+            - 0.5,
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj >= 0, F.lit(2**b)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing any of
+    ``tables`` hyperplane buckets with the query, then exact rerank.
+
+    Scale shape: bucket ids are projections; the candidate join is an
+    equi-join on (table, bucket) — shuffle carries bucket ids + row
+    ids. Exact scoring runs only on candidates.
+    """
+    def with_buckets(df: DataFrame, name: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_sketch(F.col(vec_col), dim, bits, seed=42 + t).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(name), F.col(vec_col).alias(f"{name}_vec"),
+            F.explode(buckets).alias("tb"),
+        ).select(name, f"{name}_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    qb = with_buckets(queries, "qid")
+    cb = with_buckets(corpus, "cid")
+    cands = (
+        qb.join(cb, on=["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("cid").alias("neighbor_id"),
+            F.col("qid_vec").alias("q_vec"),
+            F.col("cid_vec").alias("c_vec"),
+        )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = cands.select(
+        query_id_col,
+        "neighbor_id",
+        _stable_round(cosine("q_vec", "c_vec"), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "score", "rank")
+    )
+
+
+def embedding_norm_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding diagnostics (mean L2 norm, mean self-dot):
+    the sanity scan every embedding pipeline runs before indexing."""
+    return (
+        df.select(
+            F.col(label_col),
+            norm(vec_col).alias("l2"),
+            dot(vec_col, vec_col).alias("self_dot"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.count("*").alias("n_vecs"),
+            # order-independent mean: integer-scaled sum / count
+            (exact_sum(F.col("l2"), 6) / F.count("*")).alias("avg_l2"),
+            (exact_sum(F.col("self_dot"), 6) / F.count("*")).alias("avg_self_dot"),
+        )
+    )

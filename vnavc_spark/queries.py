@@ -1,0 +1,1032 @@
+"""Query registry: every implemented SURVEY.md §2 operator exposed as
+a (Spark callable, DuckDB oracle SQL) pair over the driver testdata.
+
+Each Spark query is built from the operator library
+(``vnavc_spark.operators`` / ``.functions``) — the registry is the
+correctness surface the driver hashes against DuckDB.
+
+Hash-stability rules (see ``functions/portable.py``): double
+aggregations use scaled-integer sums; per-row float expressions use
+the *same expression tree* in Spark and SQL (IEEE determinism);
+ints are BIGINT on both sides; timestamps are formatted to strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vnavc_spark.functions import quality as Q
+from vnavc_spark.functions import text as TX
+from vnavc_spark.functions.portable import exact_sum, stable_round
+from vnavc_spark.io import table
+from vnavc_spark.operators import (
+    aggregates,
+    dedup,
+    filters,
+    joins,
+    ordering,
+    restructure,
+    sampling,
+    similarity,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (mirror the Spark expression trees exactly)
+# ---------------------------------------------------------------------------
+
+# quality.normalized_text: lower → non-alnum→space → collapse ws → trim
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+# quality.tokens over normalized text
+TOKS_SQL = "regexp_split_to_array(" + NORM_SQL + ", '\\s+')"
+# dedup.word_shingles (n=3, distinct)
+SHINGLES_SQL = (
+    "list_distinct([x[i] || ' ' || x[i+1] || ' ' || x[i+2] "
+    "for i in range(1, len(x) - 1)])"
+)
+
+
+def _shingle_cte(src: str = "documents", text_col: str = "text") -> str:
+    toks = TOKS_SQL.format(c=text_col)
+    return (
+        f"toks AS (SELECT doc_id, {toks} AS x FROM {src}),\n"
+        f"sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM toks)"
+    )
+
+
+# ===========================================================================
+# Flagship + core relational (SURVEY §2.2-§2.5)
+# ===========================================================================
+
+@query(
+    "q01_region_revenue",
+    oracle="""
+SELECT r_name,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)) / 100.0 AS revenue,
+       count(*) AS n_items,
+       sum(floor(l_quantity * 100.0 + 0.5)) / 100.0 AS sum_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def q01_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 5-table star join → revenue per region. Broadcast
+    tiny dims (nation, region) — zero shuffle for the dim joins; the
+    fact-fact join shuffles on orderkey; aggregation is map-side
+    partial. AQE re-plans the customer join to broadcast at runtime."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    )
+    qty_cents = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            (F.sum(rev_cents) / 100.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+            (F.sum(qty_cents) / 100.0).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q02_substring_query",
+    oracle="""
+SELECT p_partkey, p_name, p_type, p_retailprice
+FROM part
+WHERE position('red' IN lower(p_name)) > 0
+  AND position('o' IN lower(p_type)) > 0
+""",
+)
+def q02_substring_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: the reference's only ad-hoc query operator — conjunctive
+    case-insensitive substring match (``crawler/utils.py:43-82``).
+    Predicates push into the parquet scan."""
+    p = table(spark, sf_dir, "part")
+    return filters.substring_query(p, p_name="red", p_type="o").select(
+        "p_partkey", "p_name", "p_type", "p_retailprice"
+    )
+
+
+@query(
+    "q03_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(floor(l_quantity * 100.0 + 0.5)) / 100.0 AS sum_qty,
+       sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 AS sum_base_price,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)) / 100.0 AS sum_disc_price,
+       sum(floor(l_quantity * 100.0 + 0.5)) / 100.0 / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q03_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary (G9/G10 multi-metric group
+    aggregation). One scan, map-side partials, no joins; the shipdate
+    predicate pushes into the parquet scan."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    qty_c = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
+    base_c = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+    disc_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    )
+    return aggregates.per_group_metrics(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.sum(qty_c) / 100.0,
+            "sum_base_price": F.sum(base_c) / 100.0,
+            "sum_disc_price": F.sum(disc_c) / 100.0,
+            "avg_qty": F.sum(qty_c) / 100.0 / F.count("*"),
+            "count_order": F.count("*"),
+        },
+    )
+
+
+@query(
+    "q04_anti_join",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+)
+def q04_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9-shaped anti-join: customers with no urgent orders (the WER
+    gate drops books exactly like this — anti-join against the
+    failing set)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(urgent, on="c_custkey", how="left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q05_semi_join",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+""",
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12-shaped semi-join (orphan-pair keep side: rows with a
+    partner)."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return filters.orphan_cleanup(
+        s, li.select(F.col("l_suppkey").alias("s_suppkey")), on="s_suppkey"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q06_merge_upsert",
+    oracle="""
+WITH upd AS (
+    SELECT o_custkey AS c_custkey,
+           sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS c_acctbal
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    UNION ALL
+    SELECT c_custkey + 100000, 0.0 FROM customer WHERE c_custkey < 5
+)
+SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+       b.c_name AS c_name,
+       b.c_nationkey AS c_nationkey,
+       COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+       b.c_mktsegment AS c_mktsegment
+FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+""",
+)
+def q06_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: metadata merge-upsert as one full-outer join + coalesce
+    (replaces the reference's O(n) per-row CSV loop,
+    ``process_all.py:797-839``). Update rows overwrite matching keys;
+    unmatched update keys append."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    upd = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            (exact_sum(F.col("o_totalprice"), 2)).alias("c_acctbal"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") >= 12)
+        .drop("_n")
+    )
+    appended = c.filter(F.col("c_custkey") < 5).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return joins.merge_upsert(c, upd.unionByName(appended), key="c_custkey")
+
+
+@query(
+    "q07_group_collect",
+    oracle="""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+FROM orders GROUP BY o_custkey
+""",
+)
+def q07_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: grouped, deterministically-ordered collection (the
+    reference's defaultdict part grouping). sort_array avoids any
+    dependence on shuffle arrival order."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
+    )
+
+
+@query(
+    "q08_weighted_ratio",
+    oracle="""
+SELECT l_returnflag,
+       sum(floor(l_extendedprice * l_discount * 10000.0 + 0.5))
+         / sum(floor(l_extendedprice * 10000.0 + 0.5)) AS disc_ratio,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q08_weighted_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: weighted ratio aggregation — the corpus-WER formulation
+    (sum of numerators over sum of denominators, NOT mean-of-means;
+    ``whisper_qc.py:322-329``)."""
+    li = table(spark, sf_dir, "lineitem")
+    num = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 10000.0 + F.lit(0.5))
+    den = F.floor(F.col("l_extendedprice") * 10000.0 + F.lit(0.5))
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(num) / F.sum(den)).alias("disc_ratio"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q09_flag_ratio",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS error_ratio,
+       count(*) AS n_events
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+""",
+)
+def q09_flag_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: fraction-matching-predicate per day (invalid-URL pct
+    analog). avg over exact {0,1} doubles is order-independent."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.avg(
+            F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)
+        ).alias("error_ratio"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q10_rollup",
+    oracle="""
+SELECT c_mktsegment, o_orderpriority,
+       CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+""",
+)
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup subtotals (SURVEY §2.4: free Spark capability the
+    reference lacks). gid disambiguates subtotal rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.rollup("c_mktsegment", "o_orderpriority").agg(
+        (F.grouping("c_mktsegment") * 2 + F.grouping("o_orderpriority"))
+        .cast("long")
+        .alias("gid"),
+        F.count("*").alias("n_orders"),
+        (exact_sum(F.col("o_totalprice"), 2)).alias("total_price"),
+    )
+
+
+@query(
+    "q11_window_first",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders)
+SELECT o_custkey, o_orderkey AS first_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS first_date
+FROM ranked WHERE rn = 1
+""",
+)
+def q11_window_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4-shaped window sequencing: deterministic first-per-group via
+    row_number with a total order (date, key)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_date"),
+        )
+    )
+
+
+@query(
+    "q12_exact_k_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         row_number() OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY md5('vnavc' || CAST(c_custkey AS VARCHAR)), c_custkey) AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer)
+SELECT c_custkey, c_name, c_mktsegment
+FROM ranked WHERE rn <= greatest(1, CAST(ceil(n * 0.05) AS BIGINT))
+""",
+)
+def q12_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11/F4: seeded exact-k-per-group sampling via md5 hash order —
+    replaces the reference's irreproducible random.sample (5% per
+    book, floor 1). Portable: the oracle computes identical digests."""
+    c = table(spark, sf_dir, "customer")
+    return sampling.exact_k_per_group(
+        c, group="c_mktsegment", key="c_custkey", pct=0.05, min_k=1, salt="vnavc"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q13_posexplode",
+    oracle="""
+SELECT doc_id,
+       unnest(generate_series(0, len(arr) - 1)) AS pos,
+       unnest(arr) AS token
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents WHERE doc_id < 20)
+""",
+)
+def q13_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/T4-shaped positional explode (part-index assignment /
+    sentence explode)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(Q.tokens("text")).alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@query(
+    "q14_natural_sort",
+    oracle="""
+WITH files AS (
+  SELECT o_custkey,
+         'book' || CAST(o_custkey AS VARCHAR) || '_part_'
+            || CAST(o_orderkey % 1000 AS VARCHAR) || '.mp3' AS fname,
+         CAST(regexp_extract('book' || CAST(o_custkey AS VARCHAR) || '_part_'
+            || CAST(o_orderkey % 1000 AS VARCHAR) || '.mp3',
+            '(\\d+)\\.\\w+$', 1) AS BIGINT) AS part_idx
+  FROM orders)
+SELECT o_custkey,
+       count(*) AS n_parts,
+       string_agg(fname, ',' ORDER BY part_idx, fname) AS parts_sorted
+FROM files GROUP BY o_custkey
+""",
+)
+def q14_natural_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/T10/G1: natural-order part sorting — trailing-integer sort
+    key extracted from filenames, grouped per book with deterministic
+    order (reference ``process_all.py:566-617``)."""
+    o = table(spark, sf_dir, "orders")
+    fname = F.concat(
+        F.lit("book"),
+        F.col("o_custkey").cast("string"),
+        F.lit("_part_"),
+        (F.col("o_orderkey") % 1000).cast("string"),
+        F.lit(".mp3"),
+    )
+    d = o.select(
+        "o_custkey",
+        fname.alias("fname"),
+        TX.trailing_int(fname).cast("long").alias("part_idx"),
+    )
+    return d.groupBy("o_custkey").agg(
+        F.count("*").alias("n_parts"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("part_idx", "fname"))),
+                lambda s: s.getField("fname"),
+            ),
+            ",",
+        ).alias("parts_sorted"),
+    )
+
+
+@query(
+    "q15_null_drop",
+    oracle="""
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE nullif(o_orderstatus, 'O') IS NOT NULL
+""",
+)
+def q15_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: projection + null drop (``crawler/metadata.py:344-347``) —
+    nulls synthesized via nullif since testdata has none."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("o_orderstatus"),
+    )
+    return o.na.drop()
+
+
+@query(
+    "q16_between_outliers",
+    oracle="""
+SELECT NOT (l_quantity BETWEEN 3 AND 12) AS is_outlier,
+       count(*) AS n,
+       sum(floor(l_quantity * 100.0 + 0.5)) / 100.0 AS sum_qty
+FROM lineitem GROUP BY NOT (l_quantity BETWEEN 3 AND 12)
+""",
+)
+def q16_between_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: duration-range outlier predicate as a column (segment
+    bounds 3-12 s), aggregated per flag."""
+    li = table(spark, sf_dir, "lineitem")
+    flagged = filters.flag_duration_outliers(li, "l_quantity", 3.0, 12.0)
+    return flagged.groupBy("is_outlier").agg(
+        F.count("*").alias("n"),
+        (exact_sum(F.col("l_quantity"), 2)).alias("sum_qty"),
+    )
+
+
+@query(
+    "q17_chunk_ids",
+    oracle="""
+WITH numbered AS (
+  SELECT o_orderkey,
+         CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 500.0) AS BIGINT)
+            AS chunk_id
+  FROM orders)
+SELECT chunk_id, count(*) AS n,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM numbered GROUP BY chunk_id
+""",
+)
+def q17_chunk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: fixed-size chunk ids (reference 500-sample GPU subsets).
+    Global window — documented as export-only; natural partitioning
+    replaces it at scale."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    chunked = ordering.chunk_ids(o, "o_orderkey", 500)
+    return chunked.groupBy("chunk_id").agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "q18_top_k",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+""",
+)
+def q18_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with total order (ties broken by key) — physical plan is
+    TakeOrderedAndProject: per-partition heaps, single merge, no full
+    sort."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return ordering.top_k(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 15)
+
+
+@query(
+    "q19_pivot",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+""",
+)
+def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-shaped pivot: wide per-key counts with a *static* value
+    list (no extra pass to discover values, no pivot shuffle
+    surprise — same stance as the narrator pivot export view)."""
+    e = table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+        .select("user_id", *[F.col(k).cast("long").alias(f"n_{k}") for k in kinds])
+    )
+
+
+@query(
+    "q20_union_dedup",
+    oracle="""
+SELECT c_custkey AS custkey, count(*) AS n
+FROM (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+) GROUP BY c_custkey
+""",
+)
+def q20_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3+R5: union append + exact dedup per branch (dropDuplicates
+    is a map-side-combinable aggregate, not a sort)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    a = restructure.dedup_exact(
+        c.filter(F.col("c_mktsegment") == "BUILDING").select(
+            F.col("c_custkey").alias("custkey")
+        ),
+        ["custkey"],
+    )
+    b = restructure.dedup_exact(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("custkey")
+        ),
+        ["custkey"],
+    )
+    return restructure.union_append(a, b).groupBy("custkey").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ===========================================================================
+# Scalar functions (SURVEY §2.7)
+# ===========================================================================
+
+@query(
+    "q21_duration_parse",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(split_part(strftime(ts, '%H:%M:%S'), ':', 1) AS DOUBLE) * 3600
+         + CAST(split_part(strftime(ts, '%H:%M:%S'), ':', 2) AS DOUBLE) * 60
+         + CAST(split_part(strftime(ts, '%H:%M:%S'), ':', 3) AS DOUBLE) AS secs
+  FROM events)
+SELECT event_type, count(*) AS n,
+       sum(secs) AS total_secs,
+       min(secs) AS min_secs, max(secs) AS max_secs
+FROM d GROUP BY event_type
+""",
+)
+def q21_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: tolerant HH:MM:SS parsing as a base-60 fold
+    (``__init__.py:32-73``). Inputs derived from event timestamps;
+    values are integral doubles so sums are exact in any order."""
+    e = table(spark, sf_dir, "events")
+    secs = TX.convert_duration(F.date_format("ts", "HH:mm:ss"), unit="seconds")
+    return (
+        e.select("event_type", secs.alias("secs"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("secs").alias("total_secs"),
+            F.min("secs").alias("min_secs"),
+            F.max("secs").alias("max_secs"),
+        )
+    )
+
+
+@query(
+    "q22_slug_ids",
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(trim(regexp_replace(lower(p_name), '[^a-z0-9_đ\\s-]', '', 'g')),
+                      '\\s+', '-', 'g') AS slug,
+       substr(sha256(regexp_replace(trim(regexp_replace(lower(p_name),
+                      '[^a-z0-9_đ\\s-]', '', 'g')), '\\s+', '-', 'g')
+              || CAST(p_partkey AS VARCHAR)), 1, 8) AS id8
+FROM part
+""",
+)
+def q22_slug_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T9: normalize_name slugs (native translate/regex chain —
+    Vietnamese de-accent is a codegen'd translate, not a UDF) and
+    deterministic sha2 ids replacing secrets.token_hex."""
+    p = table(spark, sf_dir, "part")
+    slug = TX.normalize_name("p_name")
+    return p.select(
+        "p_partkey",
+        slug.alias("slug"),
+        TX.deterministic_id(slug, F.col("p_partkey")).alias("id8"),
+    )
+
+
+@query(
+    "q23_token_stats",
+    oracle="""
+WITH t AS (
+  SELECT lang, n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) / count(*) AS avg_tokens,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM t GROUP BY lang
+""",
+)
+def q23_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace token counting per language —
+    native split/size, no UDF (token budgeting for LLM pipelines)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("lang", "n_chars", Q.token_count("text").alias("n_tokens"))
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("n_tokens").cast("long") / F.count("*")).alias("avg_tokens"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# ===========================================================================
+# Dedup suite (north-star; SURVEY §2.6 R5)
+# ===========================================================================
+
+@query(
+    "q24_jaccard_pairs",
+    oracle=f"""
+WITH {_shingle_cte("(SELECT * FROM documents WHERE doc_id < 300)")},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_inter,
+       n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+""",
+)
+def q24_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-gram shingle Jaccard ≥ 0.8 — the VERIFY
+    stage of near-dedup. Deliberately bounded to a doc subset: the
+    shingle self-join is quadratic in bucket size, so corpus-wide it
+    is wrong-by-design; the scale path is q33 (LSH candidates →
+    verify on candidates only)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = dedup.jaccard_pairs(d, threshold=0.8)
+    return out.select(
+        "doc_a", "doc_b", "n_inter", F.col("jaccard").cast("double").alias("jaccard")
+    )
+
+
+def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(shingles, x -> md5('{s}|' || x)), 'min')"
+        for s in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def _minhash_bands_sql(num_hashes: int = 16, band_size: int = 4) -> str:
+    nbands = num_hashes // band_size
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, CAST({b} AS BIGINT) AS band_idx, "
+        "md5({concat}) AS band_key FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"s[{b * band_size + j + 1}]" for j in range(band_size)
+            ),
+        )
+        for b in range(nbands)
+    )
+    return (
+        f"sig AS (SELECT doc_id, {_minhash_sig_sql(num_hashes)} AS s FROM sh "
+        f"WHERE len(shingles) > 0),\nbands AS ({band_rows})"
+    )
+
+
+@query(
+    "q25_minhash_bands",
+    oracle=f"""
+WITH {_shingle_cte()},
+{_minhash_bands_sql()}
+SELECT doc_id, band_idx, band_key FROM bands
+""",
+)
+def q25_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH banding as pure projections (md5
+    min-hash over shingles; no shuffle until the bucket join). The
+    oracle computes byte-identical signatures."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.minhash_bands(d).withColumn(
+        "band_idx", F.col("band_idx").cast("long")
+    )
+
+
+@query(
+    "q26_minhash_candidates",
+    oracle=f"""
+WITH {_shingle_cte()},
+{_minhash_bands_sql()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band_idx, band_key)
+WHERE a.doc_id < b.doc_id
+""",
+)
+def q26_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket. The join
+    carries only (band_key, doc_id) — text never shuffles."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.minhash_candidates(d)
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"CAST(sum((ascii(substr(md5(t), {i + 1}, 1)) % 2) * 2 - 1) AS BIGINT)"
+        f" AS v{i}"
+        for i in range(32)
+    )
+    bits = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(32))
+    toks = TOKS_SQL.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS t FROM documents),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS sh FROM votes
+"""
+
+
+@query("q27_simhash", oracle=_simhash_sql())
+def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit, md5-hex-parity derivation — portable to the
+    SQL oracle): pure per-row expression, zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash32("text").alias("sh"))
+
+
+@query(
+    "q33_minhash_dedup",
+    oracle=f"""
+WITH {_shingle_cte()},
+{_minhash_bands_sql()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id),
+cdocs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM cands
+    UNION ALL SELECT doc_b AS doc_id FROM cands)),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+       WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh
+          WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_inter,
+       n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+  AND EXISTS (SELECT 1 FROM cands c
+              WHERE c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b)
+""",
+)
+def q33_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup pipeline — the 100 TB scale path: MinHash-LSH
+    candidate generation (projection + tiny bucket join) followed by
+    exact Jaccard verification restricted to candidate docs. Linear
+    in corpus size; the quadratic verify touches only candidates."""
+    d = table(spark, sf_dir, "documents")
+    out = dedup.minhash_dedup_pairs(d, threshold=0.8)
+    return out.select(
+        "doc_a", "doc_b", "n_inter", F.col("jaccard").cast("double").alias("jaccard")
+    )
+
+
+# ===========================================================================
+# Similarity search (north-star)
+# ===========================================================================
+
+_COSINE_SQL = (
+    "list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+@query(
+    "q28_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         floor(({_COSINE_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+""",
+)
+def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (ANN baseline): broadcast
+    queries × corpus scan, JVM-side higher-order-function math, per-
+    query window rank."""
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "q29_embedding_stats",
+    oracle="""
+WITH v AS (
+  SELECT label,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS l2,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS self_dot
+  FROM embeddings)
+SELECT label, count(*) AS n_vecs,
+       sum(floor(l2 * 1000000.0 + 0.5)) / 1000000.0 / count(*) AS avg_l2,
+       sum(floor(self_dot * 1000000.0 + 0.5)) / 1000000.0 / count(*) AS avg_self_dot
+FROM v GROUP BY label
+""",
+)
+def q29_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity scan: per-label mean L2 norm / self-dot."""
+    return similarity.embedding_norm_stats(table(spark, sf_dir, "embeddings"))
+
+
+@query("q30_lsh_ann")  # approximate — rows-only check (no SQL oracle)
+def q30_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH buckets + exact
+    rerank — the 100 TB scale path (bucket equi-join replaces the
+    full scan). Approximate by construction → no SQL oracle; recall
+    vs q28 is asserted in tests/test_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ===========================================================================
+# Events: sessionization + time windows (streaming-adjacent batch)
+# ===========================================================================
+
+@query(
+    "q31_sessionize",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events),
+s AS (
+  SELECT user_id, event_id,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM t),
+sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s)
+SELECT user_id,
+       CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sess GROUP BY user_id
+""",
+)
+def q31_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + running sum of
+    boundaries — the batch analog of the streaming session window.
+    Single shuffle on user_id shared by both windows."""
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select("user_id", "event_id", "ts", sec.alias("sec")).withColumn(
+        "prev_sec", F.lag("sec").over(w)
+    )
+    s = t.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 1800), 1
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = s.withColumn("session_id", F.sum("is_new").over(w2))
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q32_hourly_stats",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events,
+       sum(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
+FROM events GROUP BY date_trunc('hour', ts)
+""",
+)
+def q32_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window throughput stats (batch analog of the
+    Structured Streaming windowed agg, SURVEY §2.9)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (exact_sum(F.col("value"), 2)).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry accessors
+# ---------------------------------------------------------------------------
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLE)
