@@ -1,0 +1,89 @@
+"""Structured Streaming ingest tests (SURVEY §2.9 extension):
+file-source stream → watermarked dedup → parquet append; windowed
+counts."""
+
+from __future__ import annotations
+
+import json
+
+from vnavc_spark.streaming import ingest
+
+
+def _write_batch(d, name, rows):
+    p = d / name
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+class TestStreamingIngest:
+    def test_dedup_stream_to_parquet(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        _write_batch(
+            src,
+            "b1.json",
+            [
+                {"audio_url": "a1", "text_url": "t1", "source": "s", "ts": "2024-01-01T00:00:00"},
+                {"audio_url": "a1", "text_url": "t1", "source": "s", "ts": "2024-01-01T00:00:01"},
+                {"audio_url": "a2", "text_url": "t2", "source": "s", "ts": "2024-01-01T00:01:00"},
+            ],
+        )
+        stream = ingest.read_json_stream(spark, str(src))
+        assert stream.isStreaming
+        deduped = ingest.dedup_stream(stream)
+        q = ingest.start_parquet_append(
+            deduped,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(60)
+        out = spark.read.parquet(str(tmp_path / "out"))
+        urls = sorted(r.audio_url for r in out.collect())
+        assert urls == ["a1", "a2"]  # in-batch duplicate dropped
+
+        # incremental: a new file with one dup + one new key
+        _write_batch(
+            src,
+            "b2.json",
+            [
+                {"audio_url": "a2", "text_url": "t2", "source": "s", "ts": "2024-01-01T00:02:00"},
+                {"audio_url": "a3", "text_url": "t3", "source": "s", "ts": "2024-01-01T00:03:00"},
+            ],
+        )
+        q2 = ingest.start_parquet_append(
+            ingest.dedup_stream(ingest.read_json_stream(spark, str(src))),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q2.awaitTermination(60)
+        out2 = spark.read.parquet(str(tmp_path / "out"))
+        urls2 = sorted(r.audio_url for r in out2.collect())
+        # checkpoint state carries across restarts: a2 not re-appended
+        assert urls2 == ["a1", "a2", "a3"]
+
+    def test_windowed_counts(self, spark, tmp_path):
+        src = tmp_path / "ev"
+        src.mkdir()
+        _write_batch(
+            src,
+            "e.json",
+            [
+                {"audio_url": f"u{i}", "text_url": "t", "source": "s",
+                 "ts": f"2024-01-01T0{h}:{m:02d}:00"}
+                for i, (h, m) in enumerate([(0, 5), (0, 55), (1, 5), (1, 6)])
+            ],
+        )
+        stream = ingest.read_json_stream(spark, str(src))
+        counts = ingest.windowed_counts(stream, window="1 hour")
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = {
+            r.window_start.hour: r.n_events
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        assert rows == {0: 2, 1: 2}

@@ -21,6 +21,7 @@ Scale shape:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,14 +63,49 @@ def drop_exact_dups(
 
 def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text, as an
-    array<string>. Pure expression (transform over token positions)."""
+    array<string>.
+
+    Built by zip_with-composing the token array with shifted slices
+    of itself — each lambda touches its ELEMENT arguments only.
+    (A transform over positions with ``element_at(toks, i+j)`` would
+    re-evaluate the whole tokenization per element: Spark evaluates
+    higher-order-function lambdas interpreted, and captured outer
+    expressions are recomputed at every reference — measured as a
+    multiplicative blowup at sf0.1.)"""
     toks = tokens(normalized_text(text_col))
+    sh: Column = toks
+    for j in range(1, n):
+        shifted = F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))
+        )
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # zip_with null-pads the shorter side → tail entries are null;
+    # keep only the size-n+1 real shingles
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), k - 1)
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    sh = F.when(k > 0, F.slice(sh, 1, k)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.array_distinct(F.when(k > 0, sh).otherwise(F.array()))
+    return F.array_distinct(sh)
+
+
+# Python mirror of the shingle pipeline (used by the Arrow-batched
+# signature pass below — must stay semantically identical to
+# normalized_text → tokens → n-grams → distinct).
+_NON_ALNUM = __import__("re").compile(r"[^a-z0-9\s]")
+_WS = __import__("re").compile(r"\s+")
+
+
+def _py_shingles(text: str | None, n: int = 3) -> list[str]:
+    if not text:
+        return []
+    norm = _WS.sub(" ", _NON_ALNUM.sub(" ", text.lower())).strip()
+    toks = norm.split(" ") if norm else []
+    if len(toks) < n:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - n + 1):
+        seen.setdefault(" ".join(toks[i : i + n]), None)
+    return list(seen)
 
 
 def explode_shingles(
@@ -149,10 +185,52 @@ def minhash_signature(
     )
 
 
-def _min_hash(shingle_col: Column, seed: int) -> Column:
-    """min over shingles of md5(seed|shingle) — one signature slot."""
-    return F.array_min(
-        F.transform(shingle_col, lambda x: F.md5(F.concat(F.lit(f"{seed}|"), x)))
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<string>) — signatures computed in ONE
+    Arrow-batched pass (``mapInPandas``).
+
+    Why Python here and not Catalyst expressions: higher-order-
+    function lambdas are evaluated interpreted and re-evaluate
+    captured outer expressions per element, so a pure-expression
+    16-hash signature recomputes the shingle pipeline ~16× per row
+    (and projection collapse inlines it further downstream) —
+    measured 175 s at sf0.1 vs seconds for this single pass. The
+    mapInPandas node is also a hard optimizer barrier: downstream
+    getItems reference materialized attributes, never the expression
+    tree. md5 digests are identical to SQL ``md5()`` so the DuckDB
+    oracle still matches byte-for-byte.
+
+    Scale: output rows are ~num_hashes×32 bytes — the natural
+    Parquet staging table for incremental dedup."""
+    import hashlib
+
+    from collections.abc import Iterator as _It
+
+    def _sig(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        prefixes = [f"{s}|".encode() for s in range(num_hashes)]
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                sh = [s.encode() for s in _py_shingles(t, n)]
+                if not sh:
+                    continue
+                ids.append(i)
+                sigs.append(
+                    [
+                        min(hashlib.md5(p + s).hexdigest() for s in sh)
+                        for p in prefixes
+                    ]
+                )
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"), "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _sig, schema=f"{id_col} long, sig array<string>"
     )
 
 
@@ -166,21 +244,10 @@ def minhash_bands(
 ) -> DataFrame:
     """(doc_id, band_idx, band_key) rows: band_key = md5 of the
     concatenated signature slice. Docs sharing any band_key are
-    near-dup candidates.
-
-    Each band key is built directly from its own ``band_size`` seed
-    min-hashes rather than via an intermediate signature array —
-    Catalyst's projection collapse would otherwise inline the FULL
-    array expression into every getItem, recomputing all
-    ``num_hashes`` min-hashes per extracted element (measured 20×
-    slowdown at sf0.01)."""
+    near-dup candidates. Built on the materialized signature table —
+    band extraction is plain column ops over it."""
     nbands = num_hashes // band_size
-    # materialize shingles once per row via a lateral-style projection;
-    # band expressions below reference the shingle column, not the
-    # shingling expression tree
-    shingled = df.select(
-        F.col(id_col), word_shingles(text_col, n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, n)
     bands = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -188,7 +255,7 @@ def minhash_bands(
                 F.concat_ws(
                     "|",
                     *[
-                        _min_hash(F.col("_sh"), b * band_size + j)
+                        F.col("sig").getItem(b * band_size + j)
                         for j in range(band_size)
                     ],
                 )
@@ -196,7 +263,7 @@ def minhash_bands(
         )
         for b in range(nbands)
     ]
-    return shingled.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(
         id_col,

@@ -1,0 +1,205 @@
+"""Text pre-processing stage (SURVEY.md §3.2 text phase): raw book
+text → normalized sentence table → grouped utterance-ready text +
+per-book metrics.
+
+Spark shape: one lazy DAG per stage —
+
+    books(raw_text) → sentence explode (T4, UDTF-style posexplode)
+      → semiotic normalize (T3 pandas-UDF island)
+      → punctuation strip (T5, native translate)
+      → min-words filter (F6, native)
+      → order-preserving grouping (T6, applyInPandas per book)
+      → per-book metrics (G10, one groupBy)
+
+The reference runs this as an asyncio loop over PDFs with per-book
+Python lists (``process_all.py:285-335,665-703``); here each book is
+a group key and ordering is explicit via ``line_no`` — deterministic
+under any partitioning, skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from vnavc_spark.functions.text import strip_punctuation
+from vnavc_spark.pipeline.vietnamese import normalize_vi
+
+try:  # optional Vietnamese NLP lib — fallback below mirrors its contract
+    import underthesea  # type: ignore
+
+    _HAS_UNDERTHESEA = True
+except Exception:  # pragma: no cover
+    underthesea = None
+    _HAS_UNDERTHESEA = False
+
+#: sentence-boundary fallback when underthesea is unavailable:
+#: split on terminal punctuation runs followed by whitespace.
+_RE_SENT_SPLIT = re.compile(r"(?<=[.!?…])\s+")
+
+
+def tokenize_sentences(text: str | None) -> list[str]:
+    """T4: sentence tokenization (``underthesea.sent_tokenize`` when
+    available — reference ``process_all.py:285-291`` — else a
+    punctuation-boundary fallback with the same list-of-sentences
+    contract)."""
+    if not text:
+        return []
+    if _HAS_UNDERTHESEA:
+        try:
+            return list(underthesea.sent_tokenize(text))
+        except Exception:
+            pass
+    return [s for s in _RE_SENT_SPLIT.split(text.strip()) if s]
+
+
+def sent_tokenize_udf():
+    """Built lazily — pandas UDF type parsing needs an active session."""
+
+    @pandas_udf("array<string>")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(tokenize_sentences)
+
+    return _udf
+
+
+def explode_sentences(
+    df: DataFrame, book_col: str = "book_id", text_col: str = "raw_text"
+) -> DataFrame:
+    """books → (book_id, line_no, raw) sentence rows. ``posexplode``
+    gives the 0-based line number — the single consistent ordering
+    key downstream (fixes the reference's three id spaces,
+    SURVEY §2.11)."""
+    return df.select(
+        F.col(book_col),
+        F.posexplode(sent_tokenize_udf()(F.col(text_col))).alias("line_no", "raw"),
+    )
+
+
+def normalize_sentences(
+    df: DataFrame,
+    raw_col: str = "raw",
+    out_col: str = "norm",
+    remove_punctuation: bool = True,
+    min_words: int = 3,
+) -> DataFrame:
+    """T3 + T5 + F6 over sentence rows: semiotic normalize (pandas
+    UDF), strip punctuation (native translate), drop sentences with
+    fewer than ``min_words`` whitespace words
+    (reference ``process_all.py:293-303``)."""
+
+    @pandas_udf("string")
+    def _norm(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(normalize_vi)
+
+    out = df.withColumn(out_col, _norm(F.col(raw_col)))
+    if remove_punctuation:
+        out = out.withColumn(out_col, strip_punctuation(F.col(out_col)))
+    out = out.withColumn(
+        "n_words",
+        F.when(F.trim(out_col) == "", 0).otherwise(
+            F.size(F.split(F.trim(F.col(out_col)), r"\s+"))
+        ),
+    )
+    return out.filter(F.col("n_words") >= min_words)
+
+
+def group_sentences(sentences: list[str], threshold: int = 20) -> list[str]:
+    """T6 core: order-dependent fold — accumulate consecutive
+    sentences until the running word count would reach ``threshold``,
+    then flush; trailing group kept iff ≥ threshold//2 words
+    (reference ``process_all.py:305-335``)."""
+    grouped: list[str] = []
+    acc: list[str] = []
+    acc_words = 0
+    for s in sentences:
+        wc = len(s.split())
+        if acc_words + wc >= threshold:
+            if acc:
+                acc.append(s)
+                grouped.append(" ".join(acc))
+                acc, acc_words = [], 0
+            else:
+                grouped.append(s)
+        else:
+            acc.append(s)
+            acc_words += wc
+    if acc and acc_words >= threshold // 2:
+        grouped.append(" ".join(acc))
+    return grouped
+
+
+def group_sentences_df(
+    df: DataFrame,
+    book_col: str = "book_id",
+    line_col: str = "line_no",
+    text_col: str = "norm",
+    threshold: int = 20,
+) -> DataFrame:
+    """T6 on Spark: the fold is inherently sequential *within a book*
+    but embarrassingly parallel *across books* → ``applyInPandas``
+    over groupBy(book). Rows are sorted by ``line_no`` inside the UDF
+    so the result is deterministic under any shuffle arrival order.
+
+    Scale: state per group is one book's sentence list (≤ a few MB of
+    text) — far below executor memory; the one shuffle is the groupBy
+    on book_id, skew-split by AQE for outlier 20-hour books."""
+
+    def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(line_col)
+        book = pdf[book_col].iloc[0]
+        groups = group_sentences(list(pdf[text_col]), threshold)
+        return pd.DataFrame(
+            {
+                book_col: book,
+                "group_id": range(len(groups)),
+                "text": groups,
+                "n_words": [len(g.split()) for g in groups],
+            }
+        )
+
+    schema = f"{book_col} string, group_id int, text string, n_words int"
+    return df.groupBy(book_col).applyInPandas(_grp, schema=schema)
+
+
+def text_metrics(
+    sentences: DataFrame,
+    groups: DataFrame,
+    book_col: str = "book_id",
+) -> DataFrame:
+    """G10: per-book text metrics (word_count over kept sentences,
+    sentence/group counts, text_size in bytes of grouped output) —
+    the reference computes these per PDF at ``process_all.py:358-363``."""
+    s = sentences.groupBy(book_col).agg(
+        F.sum("n_words").cast("long").alias("word_count"),
+        F.count("*").alias("num_sentences"),
+    )
+    g = groups.groupBy(book_col).agg(
+        F.count("*").alias("num_groups"),
+        # +1 per group: the reference writes one newline per line (K3)
+        F.sum(F.length("text") + F.lit(1)).cast("long").alias("text_size"),
+    )
+    return s.join(g, on=book_col, how="full_outer")
+
+
+def process_text_stage(
+    books: DataFrame,
+    book_col: str = "book_id",
+    text_col: str = "raw_text",
+    threshold: int = 20,
+    min_words: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full text phase: returns (sentences, groups, metrics)."""
+    sents = normalize_sentences(
+        explode_sentences(books, book_col, text_col), min_words=min_words
+    )
+    groups = group_sentences_df(sents, book_col, threshold=threshold)
+    metrics = text_metrics(sents, groups, book_col)
+    return sents, groups, metrics

@@ -1,0 +1,3 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — extension: the
+reference is batch-only; incremental re-crawls rewrite files
+wholesale)."""

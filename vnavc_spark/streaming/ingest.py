@@ -1,0 +1,119 @@
+"""Incremental ingest via Structured Streaming (SURVEY.md §2.9).
+
+The reference re-crawls by rewriting ``valid_book_urls.txt``
+wholesale (``crawler/metadata.py:393-407``). The idiomatic Spark
+path: new url/event records land as files (or a message bus) →
+``readStream`` → watermarked dedup on the business key → append to
+staging Parquet; plus tumbling-window throughput stats (the batch
+analog is queries.q32).
+
+State posture at scale: ``dropDuplicates`` keeps one state row per
+key within the watermark horizon — the horizon bounds state size;
+checkpointing makes ingest exactly-once into the Parquet sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: incoming event-record schema (file stream needs it declared)
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+URL_STREAM_SCHEMA = StructType(
+    [
+        StructField("audio_url", StringType()),
+        StructField("text_url", StringType()),
+        StructField("source", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def read_json_stream(
+    spark: SparkSession, path: str, schema: StructType = URL_STREAM_SCHEMA
+) -> DataFrame:
+    """File-source stream: each new JSON file in ``path`` is a
+    micro-batch (S-ingest seam; swap for Kafka in production —
+    same downstream plan)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(path)
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key: str = "audio_url",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked streaming dedup (R5 online): keeps the first
+    arrival per key within the watermark horizon; state is bounded by
+    the horizon."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([key])
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Tumbling-window throughput stats with late-data tolerance —
+    the streaming analog of queries.q32_hourly_stats."""
+    keys = [F.window(F.col(ts_col), window).alias("win")]
+    if group_col:
+        keys.append(F.col(group_col))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *([F.col(group_col)] if group_col else []),
+            "n_events",
+        )
+    )
+
+
+def start_parquet_append(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    mode: str = "append",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Append the (deduped) stream to staging Parquet with
+    checkpointed exactly-once semantics. ``trigger_once`` processes
+    the backlog and stops — the batch-incremental pattern the
+    reference approximates with full rewrites."""
+    w = (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
