@@ -1020,6 +1020,281 @@ def q32_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Coverage batch 2: F1/F4/J1/S7-JSON + text-analysis extensions
+# ===========================================================================
+
+@query(
+    "q34_not_contains",
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_type IS NULL OR position('ROMO' IN p_type) = 0
+""",
+)
+def q34_not_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: negative substring filter (the tvshows drop,
+    ``crawler/metadata.py:228-229``); null-safe — nulls kept, matching
+    pandas ``str.contains(na=False)`` under negation."""
+    p = table(spark, sf_dir, "part")
+    return filters.not_contains(p, "p_type", "ROMO").select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+@query(
+    "q35_json_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def q35_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7-shaped semi-structured extraction: JSON payload column →
+    typed values, aggregated. ``get_json_object`` is a native
+    Catalyst expression — no UDF for JSON at scale."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+_PAIR_COSINE_SQL = (
+    "list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+@query(
+    "q36_embedding_neardup",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         floor(({_PAIR_COSINE_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, score FROM p WHERE score >= 0.45
+""",
+)
+def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45 — calibrated
+    to the synthetic corpus where max pairwise cosine ≈ 0.51).
+    Brute-force all-pairs is the CORRECTNESS surface; at 100 TB the
+    same threshold filter runs over q30's LSH candidate pairs
+    instead of the full cross join."""
+    from vnavc_spark.functions.vector import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            stable_round(cosine("ea", "eb"), 6).alias("score"),
+        )
+        .filter(F.col("score") >= 0.45)
+    )
+
+
+@query(
+    "q37_bpe_tokens",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         len(regexp_extract_all(regexp_replace(text, '([a-z])([A-Z])',
+             '\\1 \\2', 'g'), '(\\w{1,6}|[^\\w\\s])', 1)) AS n_bpe,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+       CAST(sum(n_ws) AS BIGINT) AS total_ws,
+       CAST(sum(n_bpe) AS BIGINT) / CAST(sum(n_ws) AS BIGINT) AS bpe_per_word
+FROM t GROUP BY lang
+""",
+)
+def q37_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token estimate vs whitespace tokens per
+    language (LLM token budgeting; native regexp_extract_all)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        Q.bpe_ish_token_count("text").alias("n_bpe"),
+        Q.token_count("text").alias("n_ws"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("total_bpe"),
+        F.sum("n_ws").cast("long").alias("total_ws"),
+        (F.sum("n_bpe").cast("long") / F.sum("n_ws").cast("long")).alias(
+            "bpe_per_word"
+        ),
+    )
+
+
+@query(
+    "q38_stem_pairing",
+    oracle="""
+WITH audio AS (
+  SELECT 'audio/p' || CAST(p_partkey AS VARCHAR) || '.wav' AS audio_path,
+         p_size
+  FROM part WHERE p_size >= 25),
+text_files AS (
+  SELECT 'text/p' || CAST(p_partkey AS VARCHAR) || '.txt' AS text_path,
+         p_retailprice
+  FROM part WHERE p_retailprice < 1500),
+a AS (SELECT audio_path, p_size,
+             regexp_extract(audio_path, '([^/]+?)(\\.\\w+)?$', 1) AS stem
+      FROM audio),
+t AS (SELECT text_path, p_retailprice,
+             regexp_extract(text_path, '([^/]+?)(\\.\\w+)?$', 1) AS stem
+      FROM text_files)
+SELECT stem, audio_path, text_path, p_size, p_retailprice
+FROM a JOIN t USING (stem)
+""",
+)
+def q38_stem_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: audio↔text pairing on filename stem — the reference's
+    sorted two-pointer merge (``aeneas_batch_align.py:652-671``) as a
+    plain inner equi-join; Spark picks sort-merge vs broadcast.
+    Derived file paths exercise the stem extraction (T10)."""
+    p = table(spark, sf_dir, "part")
+    audio = p.filter(F.col("p_size") >= 25).select(
+        F.concat(
+            F.lit("audio/p"), F.col("p_partkey").cast("string"), F.lit(".wav")
+        ).alias("audio_path"),
+        "p_size",
+    )
+    text = p.filter(F.col("p_retailprice") < 1500).select(
+        F.concat(
+            F.lit("text/p"), F.col("p_partkey").cast("string"), F.lit(".txt")
+        ).alias("text_path"),
+        "p_retailprice",
+    )
+    return joins.stem_pairing(audio, text).select(
+        "stem", "audio_path", "text_path", "p_size", "p_retailprice"
+    )
+
+
+@query(
+    "q39_global_sample",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY md5('vnavc' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+LIMIT 20
+""",
+)
+def q39_global_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: exact-k global sample via deterministic hash order
+    (replaces ``random.sample(urls, k)``, ``crawler/utils.py:61-65``);
+    physical plan is TakeOrderedAndProject — no full sort."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return sampling.exact_k_global(o, key="o_orderkey", k=20, salt="vnavc")
+
+
+_QUALITY_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_STOPWORD_LIST = ", ".join(f"'{w}'" for w in Q.STOPWORDS)
+
+
+@query(
+    "q40_quality_scores",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+         len(list_filter({_QUALITY_TOKS}, t -> t IN ({_STOPWORD_LIST})))
+            / CAST(greatest(len({_QUALITY_TOKS}), 1) AS DOUBLE) AS stop_ratio,
+         list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                       x -> length(x)), 'sum')
+            / CAST(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                   AS DOUBLE) AS tok_len
+  FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT doc_id, lang, n_tok, punct_ratio, stop_ratio,
+         (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.5
+          + (CASE WHEN tok_len >= 2.5 AND tok_len <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+          + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2) AS quality
+  FROM t)
+SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+       floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+       floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+       floor(quality * 1000000.0 + 0.5) / 1000000.0 AS quality
+FROM s
+""",
+)
+def q40_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality scoring (length band + token shape + punctuation
+    sanity) and stopword ratio — corpus-filter heuristics, all
+    codegen'd expressions."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        "lang",
+        Q.token_count("text").cast("long").alias("n_tok"),
+        stable_round(Q.punct_ratio("text"), 6).alias("punct_ratio"),
+        stable_round(Q.stopword_ratio("text"), 6).alias("stop_ratio"),
+        stable_round(Q.quality_score("text"), 6).alias("quality"),
+    )
+
+
+@query(
+    "q41_lang_id",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, t -> t IN ('the','and','of','is','to'))) AS s_en,
+         len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS s_es,
+         len(list_filter(toks, t -> t IN ('der','die','und','das','nicht'))) AS s_de,
+         len(list_filter(toks, t -> t IN ('le','la','les','des','est'))) AS s_fr,
+         len(list_filter(toks, t -> t IN ('của','và','là','không','người'))) AS s_vi
+  FROM t),
+g AS (
+  SELECT doc_id, lang,
+         greatest(s_en, s_es, s_de, s_fr, s_vi) AS mx,
+         CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_vi) = 0 THEN 'und'
+              WHEN s_vi = greatest(s_en, s_es, s_de, s_fr, s_vi) THEN 'vi'
+              WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_vi) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_vi) THEN 'es'
+              WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_vi) THEN 'en'
+              ELSE 'de' END AS guess
+  FROM s)
+SELECT guess, count(*) AS n_docs,
+       avg(CASE WHEN guess = lang THEN 1.0 ELSE 0.0 END) AS hit_rate
+FROM g GROUP BY guess
+""",
+)
+def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word hits, ties broken toward
+    the lexicographically larger code — the struct-max semantics of
+    the Spark expression) + accuracy vs the labeled lang column."""
+    d = table(spark, sf_dir, "documents")
+    g = d.select(
+        "lang", Q.lang_id("text").alias("guess")
+    )
+    return g.groupBy("guess").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(
+            F.when(F.col("guess") == F.col("lang"), 1.0).otherwise(0.0)
+        ).alias("hit_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
