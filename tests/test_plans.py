@@ -1,0 +1,95 @@
+"""Plan-shape regression tests: the physical-plan properties that
+matter at 100 TB must survive refactors (SURVEY §4 / task scale
+rules)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vnavc_spark.io import table
+from vnavc_spark.plans.audit import plan_facts
+from vnavc_spark.queries import all_queries
+
+QS = all_queries()
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    def get(name):
+        return plan_facts(QS[name](spark, SF_SMALL))
+
+    return get
+
+
+class TestScanHygiene:
+    def test_flagship_prunes_and_broadcasts(self, facts):
+        f = facts("q01_region_revenue")
+        # column pruning: lineitem scan reads only the 4 needed cols
+        li = [s for s in f.read_schemas if "l_orderkey" in s][0]
+        assert "l_shipdate" not in li and "l_tax" not in li
+        # dims broadcast, no cartesian
+        assert f.broadcast_joins >= 2 and f.nested_loop_joins == 0
+        # shuffles: only the aggregation exchange(s), not per-join
+        assert f.exchanges <= 2
+
+    def test_predicate_pushdown_reaches_scan(self, facts):
+        f = facts("q03_pricing_summary")
+        assert any("LessThanOrEqual(l_shipdate" in p for p in f.pushed_filters)
+        f2 = facts("q02_substring_query")
+        assert any("IsNotNull(p_name)" in p for p in f2.pushed_filters)
+        # projection pruning on a 6-col table → 4-col read
+        assert "p_size" not in f2.read_schemas[0]
+
+    def test_semi_anti_join_broadcast(self, facts):
+        assert facts("q04_anti_join").broadcast_joins >= 1
+        assert facts("q05_semi_join").broadcast_joins >= 1
+
+    def test_full_outer_merge_is_sortmerge(self, facts):
+        # full-outer can't broadcast; SMJ is the correct physical pick
+        f = facts("q06_merge_upsert")
+        assert f.sortmerge_joins >= 1 and f.nested_loop_joins == 0
+
+    def test_topk_is_take_ordered(self, facts):
+        assert facts("q18_top_k").take_ordered
+
+    def test_whole_stage_codegen_present(self, spark):
+        # hot relational paths must be codegen'd — visible only in the
+        # final adaptive plan, so execute first
+        for name in ("q01_region_revenue", "q03_pricing_summary", "q08_weighted_ratio"):
+            f = plan_facts(QS[name](spark, SF_SMALL), executed=True)
+            assert f.codegen_stages >= 1, name
+
+    def test_minhash_is_single_python_pass(self, facts):
+        # the signature pass is exactly one Arrow island; everything
+        # after is JVM-side
+        f = facts("q25_minhash_bands")
+        assert f.python_nodes == 1
+
+    def test_no_python_in_relational_queries(self, facts):
+        for name in (
+            "q01_region_revenue",
+            "q07_group_collect",
+            "q12_exact_k_sample",
+            "q27_simhash",
+            "q28_cosine_topk",
+        ):
+            assert facts(name).python_nodes == 0, name
+
+
+class TestEventsTimestampCaveat:
+    def test_events_ts_is_projected_not_scanned(self, spark):
+        # events.parquet carries nanos; ts becomes a projection, so
+        # time predicates CANNOT push to the scan — documented caveat
+        e = table(spark, SF_SMALL, "events").filter(
+            F.col("ts") > F.lit("2024-01-15").cast("timestamp")
+        )
+        f = plan_facts(e)
+        # IsNotNull pushes through the projection, the range predicate
+        # cannot (parquet column is int64 nanos behind a transform)
+        assert not any("GreaterThan(ts" in p for p in f.pushed_filters)
+        # but event_id/user_id predicates still push
+        e2 = table(spark, SF_SMALL, "events").filter(F.col("event_id") < 100)
+        f2 = plan_facts(e2)
+        assert any("event_id" in p for p in f2.pushed_filters)

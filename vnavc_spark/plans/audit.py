@@ -1,0 +1,104 @@
+"""Physical-plan audit: assert the plan properties that matter at
+100 TB — filters pushed to the parquet scan, columns pruned, small
+dims broadcast, whole-stage codegen present, no cartesian products
+where an equi-join was intended.
+
+Used by tests/test_plans.py to keep every headline query's plan
+honest as the code evolves; ``audit_report`` is also a debugging aid
+(`python -m vnavc_spark.plans.audit` prints the audit for all bench
+queries).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def explain_string(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+@dataclass
+class PlanFacts:
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    broadcast_joins: int = 0
+    sortmerge_joins: int = 0
+    shuffled_hash_joins: int = 0
+    nested_loop_joins: int = 0
+    exchanges: int = 0
+    codegen_stages: int = 0
+    take_ordered: bool = False
+    python_nodes: int = 0
+
+
+def plan_facts(df: DataFrame, executed: bool = False) -> PlanFacts:
+    # formatted mode for scan details; simple mode for node counts
+    # (formatted lists every node twice — tree + details section) and
+    # for codegen stage ids, which appear as `*(n)` markers there.
+    # With AQE on, codegen staging only exists in the FINAL adaptive
+    # plan — pass executed=True to run THIS dataset's QueryExecution
+    # (collect; a write would build a fresh one) and audit what
+    # actually executed. Use on small inputs only.
+    if executed:
+        df.collect()
+    fmt = explain_string(df, "formatted")
+    simple = explain_string(df, "simple")
+    f = PlanFacts()
+    f.pushed_filters = [
+        m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", fmt) if m.strip()
+    ]
+    f.read_schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", fmt)
+    f.broadcast_joins = len(re.findall(r"BroadcastHashJoin", simple))
+    f.sortmerge_joins = len(re.findall(r"SortMergeJoin", simple))
+    f.shuffled_hash_joins = len(re.findall(r"ShuffledHashJoin", simple))
+    f.nested_loop_joins = len(
+        re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", simple)
+    )
+    f.exchanges = len(re.findall(r"Exchange (?:hash|range|Single|rebalance)", simple))
+    f.codegen_stages = len(set(re.findall(r"\*\((\d+)\)", simple)))
+    # with AQE on, pre-execution simple plans carry no `*(n)` markers;
+    # "codegen" mode compiles and reports subtree count directly
+    if f.codegen_stages == 0:
+        m = re.search(
+            r"Found (\d+) WholeStageCodegen subtrees",
+            explain_string(df, "codegen"),
+        )
+        if m:
+            f.codegen_stages = int(m.group(1))
+    f.take_ordered = "TakeOrderedAndProject" in simple
+    f.python_nodes = len(
+        re.findall(
+            r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|BatchEvalPython",
+            simple,
+        )
+    )
+    return f
+
+
+def audit_report(spark, sf_dir: str, names: list[str] | None = None) -> dict:
+    from vnavc_spark.queries import all_queries
+
+    qs = all_queries()
+    names = names or sorted(qs)
+    out = {}
+    for name in names:
+        try:
+            out[name] = plan_facts(qs[name](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            out[name] = f"ERROR: {e}"
+    return out
+
+
+if __name__ == "__main__":
+    from vnavc_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, facts in audit_report(spark, "/root/testdata/sf0.001").items():
+        print(f"== {name}\n   {facts}")
