@@ -1,0 +1,122 @@
+"""Direct unit tests for operator-library builders not (or only
+indirectly) covered by the oracle registry: narrator pivot (R1),
+book↔narrator join (J5), part grouping (G1), part explode (O3),
+seg-id assignment (O4), natural part order (O1), merge upsert column
+semantics (J3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vnavc_spark.operators import aggregates, joins, ordering, restructure
+
+
+@pytest.fixture(scope="module")
+def books(spark):
+    rows = [
+        ("b1", [("n1", "Lan", "http://n/1"), ("n2", "Hà", None)]),
+        ("b2", [("n3", "Mai", "http://n/3")]),
+        ("b3", None),
+    ]
+    return spark.createDataFrame(
+        rows, "id string, narrator array<struct<id:string,name:string,url:string>>"
+    )
+
+
+class TestNarratorPivot:
+    def test_wide_columns(self, books):
+        out = restructure.narrator_pivot(books, array_col="narrator")
+        cols = out.columns
+        assert "narrator_1_name" in cols and "narrator_2_url" in cols
+        r = {x.id: x for x in out.collect()}
+        assert r["b1"].narrator_1_name == "Lan"
+        assert r["b1"].narrator_2_name == "Hà"
+        assert r["b2"].narrator_2_name is None
+        assert r["b3"].narrator_1_name is None
+
+    def test_explicit_arity_skips_discovery_agg(self, books):
+        out = restructure.narrator_pivot(books, array_col="narrator", max_arity=3)
+        assert "narrator_3_name" in out.columns
+
+
+class TestJoins:
+    def test_books_with_narrator_first_id(self, spark, books):
+        roster = spark.createDataFrame(
+            [("n1", "bắc"), ("n3", "nam"), ("n9", "trung")],
+            ["narrator_id", "dialect"],
+        )
+        out = joins.books_with_narrator(books, roster)
+        r = {x.id: x for x in out.collect()}
+        # J5: joins on FIRST narrator id, keeps full array
+        assert r["b1"].dialect == "bắc" and len(r["b1"].narrator) == 2
+        assert r["b2"].dialect == "nam"
+        assert r["b3"].dialect is None
+
+    def test_merge_upsert_adds_new_columns(self, spark):
+        base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        upd = spark.createDataFrame([(2, "B", 9.0), (3, "C", 7.0)], ["k", "v", "extra"])
+        out = joins.merge_upsert(base, upd, key="k")
+        r = {x.k: x for x in out.collect()}
+        assert r[1].v == "a" and r[1].extra is None
+        assert r[2].v == "B" and r[2].extra == 9.0  # overwritten
+        assert r[3].v == "C"  # appended
+        assert out.columns == ["k", "v", "extra"]
+
+    def test_merge_upsert_null_update_keeps_base(self, spark):
+        base = spark.createDataFrame([(1, "keep")], ["k", "v"])
+        upd = spark.createDataFrame([(1, None)], "k int, v string")
+        out = joins.merge_upsert(base, upd, key="k")
+        assert out.first().v == "keep"  # coalesce(new, old)
+
+
+class TestOrderingAndGrouping:
+    def test_explode_parts_one_based(self, spark):
+        df = spark.createDataFrame(
+            [("b1", ["u1", "u2", "u3"])], ["book_id", "audio_download_url"]
+        )
+        out = ordering.explode_parts(df).orderBy("part_idx").collect()
+        # O3: reference names parts {book}_{idx}.mp3 with idx from 1
+        assert [(r.part_idx, r.part_url) for r in out] == [
+            (1, "u1"), (2, "u2"), (3, "u3"),
+        ]
+
+    def test_natural_part_order_and_grouping(self, spark):
+        paths = [
+            ("x/book_10.mp3",), ("x/book_2.mp3",), ("x/book_1.mp3",),
+            ("x/single.mp3",),
+        ]
+        df = ordering.with_natural_part_order(
+            spark.createDataFrame(paths, ["path"])
+        ).withColumn("book_id", F.lit("b"))
+        grouped = aggregates.parts_by_book(df).first()
+        # O1: numeric order (1,2,10), not lexicographic; -1 singles first
+        assert [p.path for p in grouped.parts] == [
+            "x/single.mp3", "x/book_1.mp3", "x/book_2.mp3", "x/book_10.mp3",
+        ]
+        assert grouped.n_parts == 4
+
+    def test_assign_seg_ids(self, spark):
+        df = spark.createDataFrame(
+            [("b", 5.0), ("b", 1.0), ("b", 3.0), ("c", 2.0)],
+            ["book_id", "start"],
+        )
+        out = ordering.assign_seg_ids(df).orderBy("book_id", "seg_id").collect()
+        assert [(r.book_id, r.seg_id, r.start) for r in out] == [
+            ("b", 0, 1.0), ("b", 1, 3.0), ("b", 2, 5.0), ("c", 0, 2.0),
+        ]
+
+
+class TestAggregates:
+    def test_flag_ratio(self, spark):
+        df = spark.createDataFrame([("x",), ("y",), ("x",), ("x",)], ["s"])
+        r = aggregates.flag_ratio(df, F.col("s") == "x", "pct").first()
+        assert r.pct == pytest.approx(0.75)
+
+    def test_min_sample_rate(self, spark):
+        df = spark.createDataFrame(
+            [("b", 24000), ("b", 8000), ("c", 44100)],
+            ["book_id", "sample_rate"],
+        )
+        r = {x.book_id: x.min_sr for x in aggregates.min_sample_rate(df).collect()}
+        assert r == {"b": 8000, "c": 44100}

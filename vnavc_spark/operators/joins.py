@@ -79,7 +79,8 @@ def books_with_narrator(
     narrator list (``aeneas_batch_align.py:198-213``); we keep the
     full array and left-join the roster on the first element.
     Narrator roster is a few-hundred-row dimension → broadcast."""
-    first_id = F.col(narrator_array).getItem(0).getField("id")
+    # try_element_at: NULL for empty arrays (ANSI-safe)
+    first_id = F.try_element_at(F.col(narrator_array), F.lit(1)).getField("id")
     return books.withColumn("first_narrator_id", first_id).join(
         F.broadcast(narrators),
         on=F.col("first_narrator_id") == narrators[roster_key],

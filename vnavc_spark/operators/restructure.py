@@ -30,10 +30,12 @@ def narrator_pivot(
     cols: list[Column] = [F.col(c) for c in df.columns if c != array_col]
     for i in range(max_arity):
         for fld in fields:
+            # try_element_at: NULL past the end (ANSI-safe; plain
+            # getItem/element_at raise on out-of-bounds under ANSI)
             cols.append(
-                F.col(array_col).getItem(i).getField(fld).alias(
-                    f"narrator_{i + 1}_{fld}"
-                )
+                F.try_element_at(F.col(array_col), F.lit(i + 1))
+                .getField(fld)
+                .alias(f"narrator_{i + 1}_{fld}")
             )
     return df.select(*cols)
 

@@ -108,7 +108,8 @@ def utterance_table(
     downstream writer partitions by speaker_id so QC and publish
     reads prune (SURVEY §4)."""
     speaker = F.coalesce(
-        F.col("narrator").getItem(0).getField("id"), F.lit("unknown")
+        F.try_element_at(F.col("narrator"), F.lit(1)).getField("id"),
+        F.lit("unknown"),
     )
     b = books.select(book_col, speaker.alias("speaker_id"))
     return (

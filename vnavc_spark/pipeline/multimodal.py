@@ -1,0 +1,216 @@
+"""Multimodal binary columns (BASELINE.json north-star): image/audio/
+video ride as opaque ``binary`` + typed metadata; decode / feature
+extraction / resize / frame sampling are Arrow-batched ``mapInPandas``
+operators.
+
+Decoder availability: WAV decodes natively (pipeline/audio.py). Image
+and video codecs (PIL/ffmpeg) are NOT in this container — those
+decode fns are clearly-marked seams: the default raises
+``NotImplementedError`` unless the library imports, and every
+operator accepts an injected decoder so the Spark plumbing (schema,
+batching, partitioning) is real and tested with deterministic fakes.
+
+Scale: blobs enter execution ONLY via the binaryFile scan that
+produced them (no shuffle of content); every operator here outputs
+features/metadata and drops the bytes immediately. Re-partition by
+path BEFORE heavy decode so AQE balances decode cost, not file count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vnavc_spark.pipeline.audio import decode_wav
+
+#: decoder contracts
+ImageDecoder = Callable[[bytes], np.ndarray]  # → HxWxC uint8
+FrameSampler = Callable[[bytes, int], list[np.ndarray]]  # video → n frames
+
+
+def default_image_decoder(data: bytes) -> np.ndarray:
+    """STUB: real decode needs PIL/opencv (absent here)."""
+    try:  # pragma: no cover — not installed in this container
+        import io as _io
+
+        from PIL import Image  # type: ignore
+
+        return np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; inject decoder=..."
+        ) from e
+
+
+def default_frame_sampler(data: bytes, n: int) -> list[np.ndarray]:
+    """STUB: real sampling needs ffmpeg/av (absent here)."""
+    raise NotImplementedError("video frame sampling requires ffmpeg/av; inject sampler=...")
+
+
+# ---------------------------------------------------------------------------
+# scans
+# ---------------------------------------------------------------------------
+
+def scan_blobs(
+    spark: SparkSession, path: str, glob: str, modality: str
+) -> DataFrame:
+    """binaryFile scan → MEDIA_BLOBS-shaped rows (schemas.MEDIA_BLOBS
+    prefix). Glob pushdown prunes at the listing, not after read."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.regexp_replace("path", r"^file:", "").alias("path"),
+            F.lit(modality).alias("modality"),
+            F.col("content"),
+            F.col("length").alias("nbytes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio features (real — WAV native)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = (
+    "path string, sample_rate int, duration double, n_samples long, "
+    "rms double, peak double"
+)
+
+
+def audio_features(blobs: DataFrame) -> DataFrame:
+    """Decode WAV blobs → per-file acoustic features. Bytes die inside
+    the UDF; only features come out."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                y, sr = decode_wav(bytes(content))
+                rows.append(
+                    {
+                        "path": path,
+                        "sample_rate": sr,
+                        "duration": len(y) / sr if sr else 0.0,
+                        "n_samples": len(y),
+                        "rms": float(np.sqrt(np.mean(y**2))) if len(y) else 0.0,
+                        "peak": float(np.max(np.abs(y))) if len(y) else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(_feat, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image features / resize (decoder-injected)
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = (
+    "path string, width int, height int, n_channels int, mean_luma double"
+)
+
+
+def image_features(
+    blobs: DataFrame, decoder: ImageDecoder = default_image_decoder
+) -> DataFrame:
+    """Decode image blobs → shape + luminance features."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = decoder(bytes(content))
+                h, w = img.shape[:2]
+                c = img.shape[2] if img.ndim == 3 else 1
+                rows.append(
+                    {
+                        "path": path,
+                        "width": int(w),
+                        "height": int(h),
+                        "n_channels": int(c),
+                        "mean_luma": float(img.mean()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(_feat, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pure numpy — real, not
+    a stub; production would swap a filtered resampler)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+RESIZED_SCHEMA = "path string, content binary, width int, height int"
+
+
+def resize_images(
+    blobs: DataFrame,
+    out_w: int,
+    out_h: int,
+    decoder: ImageDecoder = default_image_decoder,
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-emit raw RGB bytes with
+    typed dimensions (binary stays a column here because resize IS
+    the payload transform; downstream writers partition it out)."""
+
+    def _rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = resize_nearest(decoder(bytes(content)), out_w, out_h)
+                rows.append(
+                    {
+                        "path": path,
+                        "content": img.astype(np.uint8).tobytes(),
+                        "width": out_w,
+                        "height": out_h,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(_rs, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling (sampler-injected)
+# ---------------------------------------------------------------------------
+
+FRAMES_SCHEMA = "path string, frame_idx int, width int, height int, mean_luma double"
+
+
+def sample_frames(
+    blobs: DataFrame,
+    n_frames: int = 4,
+    sampler: FrameSampler = default_frame_sampler,
+) -> DataFrame:
+    """UDTF-shaped: one video blob → n frame-feature rows."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for i, frame in enumerate(sampler(bytes(content), n_frames)):
+                    h, w = frame.shape[:2]
+                    rows.append(
+                        {
+                            "path": path,
+                            "frame_idx": i,
+                            "width": int(w),
+                            "height": int(h),
+                            "mean_luma": float(frame.mean()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(_frames, schema=FRAMES_SCHEMA)
