@@ -1,0 +1,144 @@
+"""Property-based tests (SURVEY §5: duration parser on random H:M:S,
+grouping invariants, WER metric properties, engine-portable float
+aggregation on random doubles)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vnavc_spark.functions.portable import exact_sum
+from vnavc_spark.functions.text import convert_duration
+from vnavc_spark.operators.sampling import exact_k_per_group
+from vnavc_spark.pipeline.qc import word_edit_distance
+from vnavc_spark.pipeline.text_pipeline import group_sentences
+from vnavc_spark.pipeline.vietnamese import digits_to_words
+
+# ---------------------------------------------------------------------------
+# pure-Python properties (hypothesis)
+# ---------------------------------------------------------------------------
+
+words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=8
+).map(" ".join)
+
+
+class TestGroupingProperties:
+    @given(st.lists(words, max_size=30), st.integers(2, 40))
+    @settings(max_examples=200, deadline=None)
+    def test_invariants(self, sents, threshold):
+        out = group_sentences(sents, threshold)
+        # 1. token stream is a prefix of the input token stream
+        out_toks = " ".join(out).split()
+        in_toks = " ".join(sents).split()
+        assert out_toks == in_toks[: len(out_toks)]
+        # 2. every group meets the minimum: ≥ threshold words, except
+        #    a possibly-smaller FINAL group that still has ≥ threshold//2
+        sizes = [len(g.split()) for g in out]
+        for s in sizes[:-1]:
+            assert s >= threshold  # every flushed (non-final) group
+        if sizes:
+            assert sizes[-1] >= threshold // 2  # trailing group rule
+
+    @given(st.lists(words, max_size=20), st.integers(2, 30))
+    @settings(max_examples=100, deadline=None)
+    def test_deterministic(self, sents, threshold):
+        assert group_sentences(sents, threshold) == group_sentences(
+            sents, threshold
+        )
+
+
+class TestWerProperties:
+    @given(words, words)
+    @settings(max_examples=200, deadline=None)
+    def test_metric_axioms(self, a, b):
+        d = word_edit_distance(a, b)
+        assert d == word_edit_distance(b, a)  # symmetry
+        assert (d == 0) == (a.split() == b.split())  # identity
+        assert d <= max(len(a.split()), len(b.split()))  # bound
+
+    @given(words, words, words)
+    @settings(max_examples=100, deadline=None)
+    def test_triangle_inequality(self, a, b, c):
+        assert word_edit_distance(a, c) <= word_edit_distance(
+            a, b
+        ) + word_edit_distance(b, c)
+
+
+class TestDigitWords:
+    @given(st.integers(0, 10**9))
+    @settings(max_examples=200, deadline=None)
+    def test_digitwise(self, n):
+        out = digits_to_words(n)
+        if n < 10:
+            assert " " not in out
+        else:
+            assert len(out.split()) == len(str(n))
+
+
+# ---------------------------------------------------------------------------
+# Spark batch properties (seeded random corpora, one job per test)
+# ---------------------------------------------------------------------------
+
+class TestDurationParserBatch:
+    def test_random_hms_roundtrip(self, spark):
+        rng = random.Random(42)
+        cases = []
+        for _ in range(300):
+            h, m, s = rng.randint(0, 99), rng.randint(0, 59), rng.randint(0, 59)
+            sep = rng.choice([":", ";"])
+            cases.append((f"{h:02d}{sep}{m:02d}:{s:02d}", h * 3600 + m * 60 + s))
+        for _ in range(50):  # garbage must parse to NULL
+            cases.append((rng.choice(["x:y", "1", "::", "1:2:3:4", "", "a:1:2"]), None))
+        df = spark.createDataFrame(cases, "raw string, expected long")
+        out = df.withColumn(
+            "got", convert_duration(F.col("raw"), "seconds")
+        ).collect()
+        for r in out:
+            if r.expected is None:
+                assert r.got is None, r.raw
+            else:
+                assert r.got == pytest.approx(float(r.expected)), r.raw
+
+
+class TestPortableAggregation:
+    def test_exact_sum_matches_duckdb_on_random_doubles(self, spark):
+        rng = random.Random(7)
+        vals = [rng.uniform(-1e6, 1e6) for _ in range(5000)]
+        got = (
+            spark.createDataFrame([(v,) for v in vals], "v double")
+            .repartition(13)  # scramble aggregation order
+            .agg(exact_sum(F.col("v"), 2).alias("s"))
+            .first()["s"]
+        )
+        want = duckdb.connect().execute(
+            "SELECT sum(floor(v * 100.0 + 0.5)) / 100.0 FROM (SELECT unnest(?) AS v)",
+            [vals],
+        ).fetchone()[0]
+        assert got == want  # bit-identical, any partitioning
+
+
+class TestSamplingProperties:
+    def test_exact_k_formula_random_group_sizes(self, spark):
+        rng = random.Random(3)
+        rows = []
+        sizes = {f"g{i}": rng.randint(1, 40) for i in range(25)}
+        for g, n in sizes.items():
+            rows += [(g, j) for j in range(n)]
+        df = spark.createDataFrame(rows, "grp string, k long")
+        out = (
+            exact_k_per_group(df, group="grp", key="k", pct=0.07)
+            .groupBy("grp")
+            .count()
+            .collect()
+        )
+        got = {r.grp: r["count"] for r in out}
+        assert got == {
+            g: max(1, math.ceil(n * 0.07)) for g, n in sizes.items()
+        }
