@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "q28_cosine_topk",
     "q31_sessionize",
     "q32_hourly_stats",
+    "q42_percentiles",
+    "q44_distinct_counts",
+    "q46_text_stage",
 ]
 
 

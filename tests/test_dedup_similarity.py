@@ -90,6 +90,38 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5
 
+    def test_ivf_recall_and_determinism(self, emb):
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.cosine_topk(emb, queries, k=10).collect()
+        }
+        ivf1 = similarity.ivf_topk(
+            emb, queries, k=10, n_cells=8, nprobe=3
+        ).collect()
+        got = {(r.query_id, r.neighbor_id) for r in ivf1}
+        assert len(exact & got) / len(exact) >= 0.5
+        # hash-seeded centroids → bit-stable across runs
+        ivf2 = similarity.ivf_topk(
+            emb, queries, k=10, n_cells=8, nprobe=3
+        ).collect()
+        assert sorted(map(tuple, ivf1)) == sorted(map(tuple, ivf2))
+
+    def test_ivf_full_probe_equals_exact(self, emb):
+        # probing ALL cells must recover the exact result
+        queries = emb.filter(F.col("vec_id") < 3)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.cosine_topk(emb, queries, k=5).collect()
+        }
+        full = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                emb, queries, k=5, n_cells=4, nprobe=4
+            ).collect()
+        }
+        assert full == exact
+
     def test_cosine_topk_scores_sane(self, emb):
         out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=5)
         rows = out.collect()

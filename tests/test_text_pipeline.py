@@ -95,3 +95,34 @@ class TestStage:
             threshold=15,
         ).orderBy("book_id", "group_id")
         assert [tuple(r) for r in g1.collect()] == [tuple(r) for r in g2.collect()]
+
+    def test_fold_paths_agree(self, spark, books):
+        # mapInPandas batch fold ≡ per-group applyInPandas
+        sents, _, _ = process_text_stage(books, threshold=15)
+        fast = group_sentences_df(sents, threshold=15).orderBy(
+            "book_id", "group_id"
+        )
+        ref = group_sentences_df(
+            sents, threshold=15, per_group_udf=True
+        ).orderBy("book_id", "group_id")
+        assert [tuple(r) for r in fast.collect()] == [
+            tuple(r) for r in ref.collect()
+        ]
+
+    def test_fold_carries_across_arrow_batches(self, spark):
+        # one big book whose rows span many tiny Arrow batches: the
+        # cross-batch carry must not split the fold
+        rows = [("b1", i, f"w{i} w{i} w{i}") for i in range(500)]
+        df = spark.createDataFrame(rows, ["book_id", "line_no", "norm"])
+        small_batches = spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        try:
+            fast = group_sentences_df(df, threshold=10).collect()
+            ref = group_sentences_df(df, threshold=10, per_group_udf=True).collect()
+            assert sorted(map(tuple, fast)) == sorted(map(tuple, ref))
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", small_batches
+            )

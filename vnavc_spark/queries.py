@@ -1295,6 +1295,114 @@ def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q42_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation
+    definition, so values match bit-for-bit (verified; the
+    approximate sketch alternative is ``approx_percentile`` at
+    scale — deliberately NOT used here because sketches aren't
+    oracle-comparable)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "q43_cube",
+    oracle="""
+SELECT c_mktsegment, o_orderstatus,
+       CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+""",
+)
+def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube with all subtotal combinations (the stats-module surface
+    SURVEY §2.4 adds beyond the reference)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return aggregates.rollup_stats(
+        j,
+        ["c_mktsegment", "o_orderstatus"],
+        {
+            "n": F.count("*"),
+            "total_price": exact_sum(F.col("o_totalprice"), 2),
+        },
+        cube=True,
+    ).withColumn("gid", F.col("gid").cast("long"))
+
+
+@query(
+    "q44_distinct_counts",
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       count(*) / count(DISTINCT o_custkey) AS orders_per_customer
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q44_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase in Spark; the
+    sketch alternative at scale is approx_count_distinct — not used,
+    same reason as q42)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        (F.count("*") / F.countDistinct("o_custkey")).alias(
+            "orders_per_customer"
+        ),
+    )
+
+
+@query("q45_ivf_ann")  # approximate — rows-only check (no SQL oracle)
+def q45_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic hash-seeded
+    centroids + one Lloyd refinement, probe nprobe nearest cells,
+    exact rerank inside probed cells. The clustered scale path where
+    LSH's data-independent planes underperform. Approximate → no SQL
+    oracle; recall vs q28 asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=3
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("q46_text_stage")  # pandas-UDF pipeline — rows-only check
+def q46_text_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text pipeline (T4 tokenize → T3 normalize → T5/F6 → T6
+    group) run over the documents table as if each doc were a book —
+    benchmarks the Arrow-batched Python path end-to-end."""
+    from vnavc_spark.pipeline.text_pipeline import process_text_stage
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("book_id"),
+        F.col("text").alias("raw_text"),
+    )
+    sents, groups, metrics = process_text_stage(d, threshold=15)
+    return metrics
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
