@@ -9,6 +9,15 @@ from vnavc_spark.io import TESTDATA_TABLES, register_views
 from vnavc_spark.queries import all_queries
 
 
+def _norm(rows):
+    # SQL literals type as DECIMAL in Spark SQL (API floats are
+    # DOUBLE) — compare numerics by value
+    return sorted(
+        tuple(float(v) if hasattr(v, "as_tuple") else v for v in r)
+        for r in rows
+    )
+
+
 class TestSqlSurface:
     def test_register_views_all_tables(self, spark):
         register_views(spark, SF_SMALL)
@@ -46,6 +55,4 @@ class TestSqlSurface:
             GROUP BY r_name
             """
         )
-        assert sorted(map(tuple, api.collect())) == sorted(
-            map(tuple, sql.collect())
-        )
+        assert _norm(api.collect()) == _norm(sql.collect())
