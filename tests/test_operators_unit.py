@@ -120,3 +120,33 @@ class TestAggregates:
         )
         r = {x.book_id: x.min_sr for x in aggregates.min_sample_rate(df).collect()}
         assert r == {"b": 8000, "c": 44100}
+
+
+class TestSketches:
+    def test_approx_within_error_of_exact(self, spark):
+        from tests.conftest import SF_SMALL
+        from vnavc_spark.queries import all_queries
+
+        approx = {
+            r.o_orderpriority: r
+            for r in all_queries()["q47_approx_sketches"](spark, SF_SMALL).collect()
+        }
+        exact = {
+            r.o_orderpriority: r
+            for r in all_queries()["q44_distinct_counts"](spark, SF_SMALL).collect()
+        }
+        for k, e in exact.items():
+            a = approx[k]
+            assert abs(a.approx_customers - e.n_customers) / e.n_customers < 0.1
+
+
+class TestRoster:
+    def test_read_narrator_roster(self, spark, tmp_path):
+        from vnavc_spark.sources.metadata import read_narrator_roster
+
+        p = tmp_path / "roster.csv"
+        p.write_text("id,name,gender,age,dialect\nn1,Ngọc Lan,nữ,34,bắc\nn2,Hà,,,\n")
+        df = read_narrator_roster(spark, str(p))
+        rows = {r.narrator_id: r for r in df.collect()}
+        assert rows["n1"].age == 34 and rows["n1"].dialect == "bắc"
+        assert rows["n2"].age is None

@@ -56,6 +56,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a dimension table with a broadcast hint applied when it is
+    known-small (BROADCAST_TABLES). Joins against the result skip the
+    shuffle regardless of statistics availability."""
+    from pyspark.sql.functions import broadcast
+
+    df = table(spark, sf_dir, name)
+    return broadcast(df) if name in BROADCAST_TABLES else df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TESTDATA_TABLES:

@@ -1403,6 +1403,21 @@ def q46_text_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics
 
 
+@query("q47_approx_sketches")  # sketch results — rows-only check
+def q47_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for q42/q44 at 100 TB: HyperLogLog++ distinct
+    counts and quantile-sketch percentiles — single-pass, fixed
+    memory, mergeable across partitions (exact variants need expand/
+    sort). Sketches are estimation → no SQL oracle; the test asserts
+    bounded relative error against the exact queries."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

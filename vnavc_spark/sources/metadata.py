@@ -162,6 +162,19 @@ def read_books_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_narrator_roster(spark: SparkSession, path: str) -> DataFrame:
+    """S6: narrator roster CSV (the reference fetches it from a Google
+    Sheet export and pandas-parses it, ``crawler/metadata.py:303-332``;
+    the HTTP fetch is a driver-side step — the engine ingests the
+    file). Typed per schemas.NARRATORS."""
+    df = spark.read.option("header", "true").csv(path)
+    if "age" in df.columns:
+        df = df.withColumn("age", F.col("age").cast("int"))
+    if "id" in df.columns and "narrator_id" not in df.columns:
+        df = df.withColumnRenamed("id", "narrator_id")
+    return df
+
+
 def read_url_list(spark: SparkSession, path: str) -> DataFrame:
     """S8: ``valid_book_urls.txt`` — comma-joined (audio_url,
     text_url, source) triples (reference ``crawler/metadata.py:
