@@ -54,6 +54,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
+    # warmup: pay JVM/codegen/FS-listing startup outside the timings
+    # so per-query numbers reflect steady state
+    for t in ("region", "lineitem"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -129,3 +129,31 @@ class TestSimilarity:
         # ranks are 1..5 per query
         for q in {r.query_id for r in rows}:
             assert sorted(r.rank for r in rows if r.query_id == q) == [1, 2, 3, 4, 5]
+
+
+class TestEmbeddingNeardupLsh:
+    def test_subset_of_bruteforce_with_recall(self, spark, emb):
+        from vnavc_spark.functions.vector import cosine
+        from vnavc_spark.functions.portable import stable_round
+
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        brute = {
+            (r.vec_a, r.vec_b)
+            for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a", "vec_b",
+                stable_round(cosine("ea", "eb"), 6).alias("score"),
+            )
+            .filter(F.col("score") >= 0.4)
+            .collect()
+        }
+        lsh = {
+            (r.vec_a, r.vec_b)
+            for r in similarity.embedding_neardup_lsh(
+                emb, threshold=0.4, bits=4
+            ).collect()
+        }
+        assert lsh <= brute  # no false positives (exact rerank)
+        if brute:
+            assert len(lsh) / len(brute) >= 0.3  # LSH recall floor

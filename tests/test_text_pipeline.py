@@ -126,3 +126,17 @@ class TestStage:
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", small_batches
             )
+
+
+class TestRejectedRows:
+    def test_rejected_table_accounts_for_all_rows(self, spark):
+        rows = [("b", 0, "một câu đủ dài để giữ lại nhé"), ("b", 1, "ngắn quá"),
+                ("b", 2, "...")]
+        df = spark.createDataFrame(rows, ["book_id", "line_no", "raw"])
+        from vnavc_spark.pipeline.text_pipeline import normalize_sentences
+
+        kept, rejected = normalize_sentences(df, with_rejected=True)
+        assert kept.count() + rejected.count() == 3
+        reasons = {r.line_no: r.reject_reason for r in rejected.collect()}
+        assert reasons[1] == "fewer_than_3_words"
+        assert reasons[2] == "empty_after_normalize"

@@ -293,6 +293,60 @@ def ivf_topk(
     )
 
 
+def embedding_neardup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs, scale path: hyperplane-LSH bucket
+    candidates → exact cosine → threshold. Replaces the brute-force
+    all-pairs cross join (q36's correctness surface) with a bucket
+    equi-join; recall < 1 by construction (raise ``tables`` to
+    amplify)."""
+    def with_buckets(df: DataFrame, name: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_sketch(F.col(vec_col), dim, bits, seed=42 + t).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(name),
+            F.col(vec_col).alias(f"{name}_vec"),
+            F.explode(buckets).alias("tb"),
+        ).select(
+            name,
+            f"{name}_vec",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+
+    a = with_buckets(corpus, "vec_a")
+    b = with_buckets(corpus, "vec_b")
+    cands = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cands.select(
+            "vec_a",
+            "vec_b",
+            _stable_round(cosine("vec_a_vec", "vec_b_vec"), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def embedding_norm_stats(
     df: DataFrame,
     vec_col: str = "embedding",

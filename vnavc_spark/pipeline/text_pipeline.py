@@ -88,11 +88,17 @@ def normalize_sentences(
     out_col: str = "norm",
     remove_punctuation: bool = True,
     min_words: int = 3,
-) -> DataFrame:
+    with_rejected: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """T3 + T5 + F6 over sentence rows: semiotic normalize (pandas
     UDF), strip punctuation (native translate), drop sentences with
     fewer than ``min_words`` whitespace words
-    (reference ``process_all.py:293-303``)."""
+    (reference ``process_all.py:293-303``).
+
+    ``with_rejected=True`` also returns the dropped rows with a
+    ``reject_reason`` column — an explicit rejected-rows table
+    instead of the reference's silent loss (SURVEY §2.11: failures
+    never reach the metadata)."""
 
     @pandas_udf("string")
     def _norm(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -108,7 +114,16 @@ def normalize_sentences(
             F.size(F.split(F.trim(F.col(out_col)), r"\s+"))
         ),
     )
-    return out.filter(F.col("n_words") >= min_words)
+    kept = out.filter(F.col("n_words") >= min_words)
+    if not with_rejected:
+        return kept
+    rejected = out.filter(F.col("n_words") < min_words).withColumn(
+        "reject_reason",
+        F.when(F.col("n_words") == 0, "empty_after_normalize").otherwise(
+            F.lit(f"fewer_than_{min_words}_words")
+        ),
+    )
+    return kept, rejected
 
 
 def group_sentences(sentences: list[str], threshold: int = 20) -> list[str]:
