@@ -35,25 +35,3 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL when either norm is 0."""
     denom = norm(a) * norm(b)
     return F.when(denom > 0, dot(a, b) / denom)
-
-
-def simhash_plane_sign(a: Column | str, seed: int, dim: int) -> Column:
-    """Sign bit of a deterministic pseudo-random hyperplane projection:
-    plane component i = hash-derived value in [-1, 1). Used by the LSH
-    bucketing path in operators/similarity.py. Deterministic across
-    runs and engines that share the same derivation."""
-    arr = _c(a)
-    # plane_i = (crc-ish value from (seed, i)) scaled; use xxhash64 for
-    # a cheap JVM-side derivation
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    plane = F.transform(
-        idx,
-        lambda i: (F.xxhash64(F.lit(seed), i) % 1000003).cast("double") / 1000003.0
-        - 0.5,
-    )
-    proj = F.aggregate(
-        F.zip_with(arr, plane, lambda x, p: x.cast("double") * p),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (proj >= 0).cast("int")

@@ -21,6 +21,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -91,8 +93,8 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
 # Python mirror of the shingle pipeline (used by the Arrow-batched
 # signature pass below — must stay semantically identical to
 # normalized_text → tokens → n-grams → distinct).
-_NON_ALNUM = __import__("re").compile(r"[^a-z0-9\s]")
-_WS = __import__("re").compile(r"\s+")
+_NON_ALNUM = re.compile(r"[^a-z0-9\s]")
+_WS = re.compile(r"\s+")
 
 
 def _py_shingles(text: str | None, n: int = 3) -> list[str]:
@@ -166,24 +168,6 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
-
-def minhash_signature(
-    text_col: Column | str, num_hashes: int = 16, n: int = 3
-) -> Column:
-    """MinHash signature as array<string>: element s = min over
-    shingles of md5(s|shingle). md5-based so the oracle matches;
-    string-min is a valid min-hash (uniform over hex strings).
-    Pure projection — no shuffle, no UDF."""
-    sh = word_shingles(text_col, n)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
-            )
-            for s in range(num_hashes)
-        ]
-    )
-
 
 def minhash_signatures_df(
     df: DataFrame,

@@ -91,6 +91,40 @@ def hyperplane_sketch(
     return out
 
 
+def _with_buckets(
+    df: DataFrame,
+    name: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    tables: int,
+) -> DataFrame:
+    """Explode a vector table into (id, vec, table, bucket) rows —
+    one row per LSH table — shared by the ANN and near-dup paths."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_sketch(F.col(vec_col), dim, bits, seed=42 + t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(name),
+        F.col(vec_col).alias(f"{name}_vec"),
+        F.explode(buckets).alias("tb"),
+    ).select(
+        name,
+        f"{name}_vec",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,25 +143,8 @@ def lsh_topk(
     equi-join on (table, bucket) — shuffle carries bucket ids + row
     ids. Exact scoring runs only on candidates.
     """
-    def with_buckets(df: DataFrame, name: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_sketch(F.col(vec_col), dim, bits, seed=42 + t).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(name), F.col(vec_col).alias(f"{name}_vec"),
-            F.explode(buckets).alias("tb"),
-        ).select(name, f"{name}_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-
-    qb = with_buckets(queries, "qid")
-    cb = with_buckets(corpus, "cid")
+    qb = _with_buckets(queries, "qid", id_col, vec_col, dim, bits, tables)
+    cb = _with_buckets(corpus, "cid", id_col, vec_col, dim, bits, tables)
     cands = (
         qb.join(cb, on=["tbl", "bucket"])
         .filter(F.col("qid") != F.col("cid"))
@@ -307,31 +324,8 @@ def embedding_neardup_lsh(
     all-pairs cross join (q36's correctness surface) with a bucket
     equi-join; recall < 1 by construction (raise ``tables`` to
     amplify)."""
-    def with_buckets(df: DataFrame, name: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_sketch(F.col(vec_col), dim, bits, seed=42 + t).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(name),
-            F.col(vec_col).alias(f"{name}_vec"),
-            F.explode(buckets).alias("tb"),
-        ).select(
-            name,
-            f"{name}_vec",
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
-        )
-
-    a = with_buckets(corpus, "vec_a")
-    b = with_buckets(corpus, "vec_b")
+    a = _with_buckets(corpus, "vec_a", id_col, vec_col, dim, bits, tables)
+    b = _with_buckets(corpus, "vec_b", id_col, vec_col, dim, bits, tables)
     cands = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from vnavc_spark.functions.quality import token_count
 from vnavc_spark.operators.aggregates import weighted_wer
 from vnavc_spark.operators.filters import wer_gate
 from vnavc_spark.operators.sampling import exact_k_per_group
@@ -95,12 +96,7 @@ def score_transcripts(
     joined = sampled.join(hypotheses, on=on)
     return joined.withColumn(
         "word_errors", word_errors_udf()(F.col(ref_col), F.col(hyp_col))
-    ).withColumn(
-        "ref_words",
-        F.when(F.trim(ref_col) == "", 0).otherwise(
-            F.size(F.split(F.trim(F.col(ref_col)), r"\s+"))
-        ),
-    )
+    ).withColumn("ref_words", token_count(ref_col))
 
 
 def qc_gate(

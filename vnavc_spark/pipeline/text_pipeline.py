@@ -27,8 +27,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from vnavc_spark.functions.quality import token_count
 from vnavc_spark.functions.text import strip_punctuation
-from vnavc_spark.pipeline.vietnamese import normalize_vi
+from vnavc_spark.pipeline.vietnamese import normalize_vi_udf
 
 try:  # optional Vietnamese NLP lib — fallback below mirrors its contract
     import underthesea  # type: ignore
@@ -100,20 +101,10 @@ def normalize_sentences(
     instead of the reference's silent loss (SURVEY §2.11: failures
     never reach the metadata)."""
 
-    @pandas_udf("string")
-    def _norm(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in batches:
-            yield s.map(normalize_vi)
-
-    out = df.withColumn(out_col, _norm(F.col(raw_col)))
+    out = df.withColumn(out_col, normalize_vi_udf()(F.col(raw_col)))
     if remove_punctuation:
         out = out.withColumn(out_col, strip_punctuation(F.col(out_col)))
-    out = out.withColumn(
-        "n_words",
-        F.when(F.trim(out_col) == "", 0).otherwise(
-            F.size(F.split(F.trim(F.col(out_col)), r"\s+"))
-        ),
-    )
+    out = out.withColumn("n_words", token_count(out_col))
     kept = out.filter(F.col("n_words") >= min_words)
     if not with_rejected:
         return kept

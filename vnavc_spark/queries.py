@@ -102,10 +102,6 @@ def q01_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    rev_cents = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)
-    )
-    qty_cents = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -113,9 +109,11 @@ def q01_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            (F.sum(rev_cents) / 100.0).alias("revenue"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
-            (F.sum(qty_cents) / 100.0).alias("sum_qty"),
+            exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
         )
     )
 
@@ -160,19 +158,17 @@ def q03_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
     )
-    qty_c = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
-    base_c = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
-    disc_c = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)
-    )
+    qty = F.col("l_quantity")
+    base = F.col("l_extendedprice")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return aggregates.per_group_metrics(
         li,
         ["l_returnflag", "l_linestatus"],
         {
-            "sum_qty": F.sum(qty_c) / 100.0,
-            "sum_base_price": F.sum(base_c) / 100.0,
-            "sum_disc_price": F.sum(disc_c) / 100.0,
-            "avg_qty": F.sum(qty_c) / 100.0 / F.count("*"),
+            "sum_qty": exact_sum(qty, 2),
+            "sum_base_price": exact_sum(base, 2),
+            "sum_disc_price": exact_sum(disc_price, 2),
+            "avg_qty": exact_sum(qty, 2) / F.count("*"),
             "count_order": F.count("*"),
         },
     )
