@@ -157,3 +157,17 @@ class TestEmbeddingNeardupLsh:
         assert lsh <= brute  # no false positives (exact rerank)
         if brute:
             assert len(lsh) / len(brute) >= 0.3  # LSH recall floor
+
+
+class TestVectorizedCosine:
+    def test_matches_hof_path(self, spark, emb):
+        queries = emb.filter(F.col("vec_id") < 5)
+        hof = similarity.cosine_topk(emb, queries, k=10).collect()
+        vec = similarity.cosine_topk_vectorized(emb, queries, k=10).collect()
+        h = {(r.query_id, r.neighbor_id): r.score for r in hof}
+        v = {(r.query_id, r.neighbor_id): r.score for r in vec}
+        # identical neighbor sets; scores equal to 1e-6 (summation
+        # order differs between BLAS and the sequential fold)
+        assert set(h) == set(v)
+        for kk in h:
+            assert abs(h[kk] - v[kk]) <= 1e-6

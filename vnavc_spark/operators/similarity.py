@@ -310,6 +310,58 @@ def ivf_topk(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force top-k, Arrow/numpy path: the query matrix is
+    collected (small by contract) and shipped in the UDF closure; each
+    corpus batch scores against ALL queries with one BLAS matmul.
+
+    Same semantics as ``cosine_topk``; trades interpreted per-element
+    Catalyst HOF math for vectorized numpy — the right engine when
+    queries × dim is non-trivial (one matmul per Arrow batch vs
+    3 interpreted array folds per pair). Scores can differ from the
+    HOF path in the last float bits (BLAS pairwise summation), hence
+    a separate entry rather than a drop-in replacement for the
+    oracle-matched q28."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (q_mat @ c_mat.T) / np.outer(q_norm, np.maximum(c_norm, 1e-300))
+            out = {
+                query_id_col: np.repeat(q_ids, len(ids)),
+                "neighbor_id": np.tile(ids, len(q_ids)),
+                "score": np.floor(sims.ravel() * 1e6 + 0.5) / 1e6,
+            }
+            yield pd.DataFrame(out)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema=f"{query_id_col} long, neighbor_id long, score double"
+    ).filter(F.col(query_id_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_neardup_lsh(
     corpus: DataFrame,
     threshold: float = 0.45,
