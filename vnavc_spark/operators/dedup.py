@@ -191,7 +191,10 @@ def minhash_signatures_df(
     oracle still matches byte-for-byte.
 
     Scale: output rows are ~num_hashes×32 bytes — the natural
-    Parquet staging table for incremental dedup."""
+    Parquet staging table for incremental dedup. The input is
+    repartitioned first: a small-file corpus arrives as few
+    partitions, which would serialize the Python pass on one core
+    (measured 16× underuse at sf0.1)."""
     import hashlib
 
     from collections.abc import Iterator as _It
@@ -213,9 +216,11 @@ def minhash_signatures_df(
                 )
             yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"), "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(
-        _sig, schema=f"{id_col} long, sig array<string>"
-    )
+    src = df.select(id_col, text_col)
+    n_parts = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < n_parts:
+        src = src.repartition(n_parts)
+    return src.mapInPandas(_sig, schema=f"{id_col} long, sig array<string>")
 
 
 def minhash_bands(

@@ -237,7 +237,14 @@ def process_text_stage(
     threshold: int = 20,
     min_words: int = 3,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Full text phase: returns (sentences, groups, metrics)."""
+    """Full text phase: returns (sentences, groups, metrics).
+
+    Input is spread across the default parallelism first — a corpus
+    arriving as one small file would otherwise run the tokenizer/
+    normalizer pandas UDFs on a single core."""
+    n_parts = books.sparkSession.sparkContext.defaultParallelism
+    if books.rdd.getNumPartitions() < n_parts:
+        books = books.repartition(n_parts)
     sents = normalize_sentences(
         explode_sentences(books, book_col, text_col), min_words=min_words
     )
