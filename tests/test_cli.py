@@ -1,0 +1,51 @@
+"""CLI smoke tests — main() reuses the active test session via
+getOrCreate, so these run in-process."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+from tests.test_sources import BOOK_CSV
+from vnavc_spark.__main__ import main
+
+
+class TestCli:
+    def test_list(self, capsys):
+        assert main(["list"]) == 0
+        out = capsys.readouterr().out
+        assert "q01_region_revenue" in out and "rows-only" in out
+
+    def test_query_runs(self, spark, capsys):
+        assert main(["query", "q18_top_k", "--sf-dir", SF_SMALL]) == 0
+        assert "o_orderkey" in capsys.readouterr().out
+
+    def test_query_unknown(self, capsys):
+        assert main(["query", "nope", "--sf-dir", SF_SMALL]) == 2
+
+    def test_sql(self, spark, capsys):
+        assert (
+            main(["sql", "SELECT count(*) AS n FROM region", "--sf-dir", SF_SMALL])
+            == 0
+        )
+        assert "5" in capsys.readouterr().out
+
+    def test_text_stage(self, spark, tmp_path, capsys):
+        (tmp_path / "metadata_book.csv").write_text(BOOK_CSV, encoding="utf-8")
+        texts = tmp_path / "texts"
+        texts.mkdir()
+        (texts / "chut-phan-linh-đinh.txt").write_text(
+            "Một câu chuyện rất dài và hay được kể lại cho mọi người nghe. "
+            "Câu thứ hai cũng đủ dài để giữ lại trong nhóm."
+        )
+        out = tmp_path / "out"
+        rc = main(
+            [
+                "text-stage",
+                "--books", str(tmp_path / "metadata_book.csv"),
+                "--texts", str(texts),
+                "--out", str(out),
+            ]
+        )
+        assert rc == 0
+        back = spark.read.parquet(str(out / "sentences"))
+        assert back.count() >= 1
+        assert back.first().book_id == "ab12cd34"

@@ -1,0 +1,141 @@
+"""CLI front door — the reference drives everything through typer
+CLIs (crawler/metadata.py run, process_all.py process,
+aeneas_batch_align.py run); this is the Spark-engine equivalent.
+
+    python -m vnavc_spark list
+    python -m vnavc_spark query q01_region_revenue [--sf-dir DIR] [--limit N]
+    python -m vnavc_spark sql "SELECT ... FROM lineitem ..." [--sf-dir DIR]
+    python -m vnavc_spark text-stage --books CSV --texts DIR --out DIR
+    python -m vnavc_spark dedup --sf-dir DIR [--threshold 0.8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(args):
+    from vnavc_spark.session import get_spark
+
+    return get_spark(app_name=f"vnavc-cli:{args.cmd}")
+
+
+def cmd_list(args) -> int:
+    from vnavc_spark.queries import all_oracles, all_queries
+
+    oracles = all_oracles()
+    for name, fn in sorted(all_queries().items()):
+        kind = "oracle" if name in oracles else "rows-only"
+        doc = (fn.__doc__ or "").strip().splitlines()[0]
+        print(f"{name:26s} [{kind}] {doc}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from vnavc_spark.queries import all_queries
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = qs[args.name](spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_sql(args) -> int:
+    from vnavc_spark.io import register_views
+
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    register_views(spark, args.sf_dir)
+    spark.sql(args.statement).show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_text_stage(args) -> int:
+    from pyspark.sql import functions as F
+
+    from vnavc_spark.pipeline.text_pipeline import process_text_stage
+    from vnavc_spark.sources.metadata import read_books_csv
+
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    books = read_books_csv(spark, args.books)
+    texts = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(args.texts)
+        .select(
+            F.regexp_extract(
+                F.regexp_replace("path", r"^file:", ""), r"([^/]+?)\.txt$", 1
+            ).alias("name"),
+            F.decode("content", "utf-8").alias("raw_text"),
+        )
+        .join(books.select(F.col("id").alias("book_id"), "name"), on="name")
+        .drop("name")
+    )
+    sents, groups, metrics = process_text_stage(texts)
+    sents.write.mode("overwrite").parquet(f"{args.out}/sentences")
+    groups.write.mode("overwrite").parquet(f"{args.out}/groups")
+    metrics.write.mode("overwrite").parquet(f"{args.out}/metrics")
+    print(f"wrote sentences/groups/metrics under {args.out}")
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    from vnavc_spark.io import table
+    from vnavc_spark.operators.dedup import minhash_dedup_pairs
+
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = table(spark, args.sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=args.threshold)
+    pairs.show(args.limit, truncate=False)
+    print(f"near-dup pairs (jaccard >= {args.threshold}): {pairs.count()}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    from vnavc_spark.io import DEFAULT_SF_DIR
+
+    p = argparse.ArgumentParser(prog="vnavc_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registry queries")
+
+    q = sub.add_parser("query", help="run a registry query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    q.add_argument("--limit", type=int, default=20)
+
+    s = sub.add_parser("sql", help="run SQL over the registered views")
+    s.add_argument("statement")
+    s.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    s.add_argument("--limit", type=int, default=20)
+
+    t = sub.add_parser("text-stage", help="run the text pipeline")
+    t.add_argument("--books", required=True, help="metadata_book.csv path")
+    t.add_argument("--texts", required=True, help="dir of {name}.txt files")
+    t.add_argument("--out", required=True)
+
+    d = sub.add_parser("dedup", help="MinHash-LSH near-dedup over documents")
+    d.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--limit", type=int, default=20)
+
+    args = p.parse_args(argv)
+    return {
+        "list": cmd_list,
+        "query": cmd_query,
+        "sql": cmd_sql,
+        "text-stage": cmd_text_stage,
+        "dedup": cmd_dedup,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
