@@ -87,3 +87,37 @@ class TestStreamingIngest:
             for r in spark.sql("SELECT * FROM win_counts").collect()
         }
         assert rows == {0: 2, 1: 2}
+
+    def test_session_windows(self, spark, tmp_path):
+        src = tmp_path / "sess"
+        src.mkdir()
+        # user 1: two bursts separated by > 30 min → 2 sessions
+        _write_batch(
+            src,
+            "s.json",
+            [
+                {"audio_url": "u1", "text_url": "t", "source": "s", "ts": "2024-01-01T00:00:00"},
+                {"audio_url": "u2", "text_url": "t", "source": "s", "ts": "2024-01-01T00:10:00"},
+                {"audio_url": "u3", "text_url": "t", "source": "s", "ts": "2024-01-01T02:00:00"},
+            ],
+        )
+        stream = ingest.read_json_stream(spark, str(src)).withColumn(
+            "user_id", __import__("pyspark").sql.functions.lit(1)
+        )
+        q = (
+            ingest.session_windows(stream, gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = sorted(
+            spark.sql("SELECT * FROM sessions").collect(),
+            key=lambda r: r.session_start,
+        )
+        assert [r.n_events for r in rows] == [2, 1]
+        # first session spans first burst + gap padding
+        assert rows[0].session_start.minute == 0
+        assert rows[0].session_end.minute == 40  # last event + 30min gap

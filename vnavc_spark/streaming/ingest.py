@@ -97,6 +97,31 @@ def windowed_counts(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    group_col: str = "user_id",
+) -> DataFrame:
+    """Event-time session windows (gap-based): the streaming twin of
+    the batch sessionization in queries.q31 — ``session_window``
+    merges events separated by < gap into one growing window; the
+    watermark closes and emits sessions once no earlier event can
+    arrive. State per open session is one window row."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(group_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(group_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def start_parquet_append(
     df: DataFrame,
     out_path: str,
