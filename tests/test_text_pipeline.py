@@ -140,3 +140,25 @@ class TestRejectedRows:
         reasons = {r.line_no: r.reject_reason for r in rejected.collect()}
         assert reasons[1] == "fewer_than_3_words"
         assert reasons[2] == "empty_after_normalize"
+
+
+class TestFusedSentences:
+    def test_fused_equals_unfused(self, spark):
+        from vnavc_spark.pipeline.text_pipeline import (
+            explode_sentences,
+            normalize_sentences,
+            sentences_from_books,
+        )
+
+        rows = [
+            ("b1", "Câu một đủ dài rồi nhé. Ngắn. Câu 123 ngày 1/2/2023 nhé."),
+            ("b2", "Một quyển khác với một câu duy nhất thôi."),
+        ]
+        books = spark.createDataFrame(rows, ["book_id", "raw_text"])
+        fused = sentences_from_books(books).orderBy("book_id", "line_no")
+        unfused = normalize_sentences(explode_sentences(books)).orderBy(
+            "book_id", "line_no"
+        )
+        assert [tuple(r) for r in fused.collect()] == [
+            tuple(r) for r in unfused.collect()
+        ]

@@ -29,7 +29,7 @@ from pyspark.sql.functions import pandas_udf
 
 from vnavc_spark.functions.quality import token_count
 from vnavc_spark.functions.text import strip_punctuation
-from vnavc_spark.pipeline.vietnamese import normalize_vi_udf
+from vnavc_spark.pipeline.vietnamese import normalize_vi, normalize_vi_udf
 
 try:  # optional Vietnamese NLP lib — fallback below mirrors its contract
     import underthesea  # type: ignore
@@ -115,6 +115,54 @@ def normalize_sentences(
         ),
     )
     return kept, rejected
+
+
+def sentences_from_books(
+    books: DataFrame,
+    book_col: str = "book_id",
+    text_col: str = "raw_text",
+    remove_punctuation: bool = True,
+    min_words: int = 3,
+) -> DataFrame:
+    """Fused T4+T3+T5+F6: tokenize, normalize, strip punctuation and
+    filter in ONE Arrow pass (the unfused ``explode_sentences`` →
+    ``normalize_sentences`` chain crosses Python twice and
+    re-serializes the sentence rows in between). Semantics are
+    identical — cross-checked in tests."""
+    from vnavc_spark.functions.text import PUNCTUATION
+
+    drop_punct = str.maketrans("", "", PUNCTUATION)
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            books_out, lines, raws, norms, counts = [], [], [], [], []
+            for book, raw_text in zip(pdf[book_col], pdf[text_col]):
+                for i, raw in enumerate(tokenize_sentences(raw_text)):
+                    norm = normalize_vi(raw)
+                    if remove_punctuation:
+                        norm = norm.translate(drop_punct)
+                    n = len(norm.split())
+                    if n < min_words:
+                        continue
+                    books_out.append(book)
+                    lines.append(i)
+                    raws.append(raw)
+                    norms.append(norm)
+                    counts.append(n)
+            yield pd.DataFrame(
+                {
+                    book_col: pd.Series(books_out, dtype="object"),
+                    "line_no": pd.Series(lines, dtype="int32"),
+                    "raw": pd.Series(raws, dtype="object"),
+                    "norm": pd.Series(norms, dtype="object"),
+                    "n_words": pd.Series(counts, dtype="int32"),
+                }
+            )
+
+    return books.select(book_col, text_col).mapInPandas(
+        _fused,
+        schema=f"{book_col} string, line_no int, raw string, norm string, n_words int",
+    )
 
 
 def group_sentences(sentences: list[str], threshold: int = 20) -> list[str]:
@@ -245,9 +293,7 @@ def process_text_stage(
     n_parts = books.sparkSession.sparkContext.defaultParallelism
     if books.rdd.getNumPartitions() < n_parts:
         books = books.repartition(n_parts)
-    sents = normalize_sentences(
-        explode_sentences(books, book_col, text_col), min_words=min_words
-    )
+    sents = sentences_from_books(books, book_col, text_col, min_words=min_words)
     groups = group_sentences_df(sents, book_col, threshold=threshold)
     metrics = text_metrics(sents, groups, book_col)
     return sents, groups, metrics
