@@ -72,7 +72,7 @@ class TestStatefulTotals:
             {"user_id": 1, "value": 0.25, "ts": "2024-01-01T00:01:00"},
         ])
         ckpt = tmp_path / "ckpt"
-        got = _run_once(spark, src, ckpt, "totals_run1")
+        got = _run_once(spark, src, ckpt, tmp_path / "totals_run1")
         # state accumulated ACROSS the two micro-batches
         assert got[1] == (2, 175) and got[2] == (1, 200)
 
@@ -81,6 +81,6 @@ class TestStatefulTotals:
             {"user_id": 1, "value": 10.0, "ts": "2024-01-01T00:02:00"},
             {"user_id": 3, "value": 0.5, "ts": "2024-01-01T00:02:01"},
         ])
-        got2 = _run_once(spark, src, ckpt, "totals_run2")
+        got2 = _run_once(spark, src, ckpt, tmp_path / "totals_run2")
         assert got2[1] == (3, 1175)  # resumed from (2, 175)
         assert got2[3] == (1, 50)
