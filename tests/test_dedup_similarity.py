@@ -171,3 +171,74 @@ class TestVectorizedCosine:
         assert set(h) == set(v)
         for kk in h:
             assert abs(h[kk] - v[kk]) <= 1e-6
+
+
+class TestBucketCaps:
+    def test_degenerate_corpus_is_bounded(self, spark):
+        # 200 identical docs would generate 200²/2 ≈ 20k pairs per
+        # band bucket without the cap; with it, the degenerate bucket
+        # is dropped entirely and only the planted near-dup survives
+        boiler = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, boiler) for i in range(200)]
+        planted = (
+            "unique planted document about spark shuffle behavior at scale "
+            "with adaptive execution skew salting broadcast joins bucketed "
+            "staging and partition pruning over parquet scans ending"
+        )
+        rows += [(900, planted + " one"), (901, planted + " two")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = dedup.minhash_dedup_pairs(df, threshold=0.8, max_bucket_size=50)
+        got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        assert got == {(900, 901)}
+
+    def test_oversized_buckets_reports_drops(self, spark):
+        rows = [(i, "same same text here okay") for i in range(60)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        bands = dedup.minhash_bands(df)
+        over = dedup.oversized_buckets(bands, ["band_idx", "band_key"], cap=50)
+        got = over.collect()
+        # identical docs share all 4 band buckets, each with 60 members
+        assert len(got) == 4 and all(r.n_members == 60 for r in got)
+
+    def test_cap_none_is_identity(self, docs):
+        capped = dedup.minhash_candidates(docs, max_bucket_size=None)
+        default = dedup.minhash_candidates(docs, max_bucket_size=1000)
+        a = {(r.doc_a, r.doc_b) for r in capped.collect()}
+        b = {(r.doc_a, r.doc_b) for r in default.collect()}
+        assert a == b  # no degenerate buckets in the synthetic corpus
+
+
+class TestSimhashBlocks:
+    def test_block_bounds_cover_all_bits(self):
+        for k in (1, 2, 3, 7):
+            bounds = dedup.simhash_block_bounds(k)
+            assert len(bounds) == k + 1
+            covered = [lo + w for lo, w in bounds]
+            assert sum(w for _, w in bounds) == 32
+            assert bounds[0][0] == 0 and covered[-1] == 32
+
+    def test_recall_is_exact_for_low_hamming(self, docs):
+        # pigeonhole: k+1 disjoint blocks → every pair within hamming
+        # ≤ k shares a block → block join finds EXACTLY the brute-
+        # force pair set (verify step makes precision exact too)
+        sub = docs.filter(F.col("doc_id") < 200)
+        sh = {
+            r.doc_id: r.sh
+            for r in sub.select(
+                "doc_id", dedup.simhash32("text").alias("sh")
+            ).collect()
+        }
+        ids = sorted(sh)
+        brute = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sh[a] ^ sh[b]).count("1") <= 3
+        }
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.simhash_near_dups(
+                sub, max_hamming=3, max_block_size=None
+            ).collect()
+        }
+        assert got == brute

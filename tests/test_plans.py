@@ -93,3 +93,29 @@ class TestEventsTimestampCaveat:
         e2 = table(spark, SF_SMALL, "events").filter(F.col("event_id") < 100)
         f2 = plan_facts(e2)
         assert any("event_id" in p for p in f2.pushed_filters)
+
+
+class TestCertifiedScalePaths:
+    def test_lsh_neardup_has_no_nested_loop(self, facts):
+        # q48 is the certified embedding-neardup path: candidates come
+        # from an equi-join on (table, bucket) — a cross join here
+        # would mean the scale path regressed to brute force
+        f = facts("q48_embedding_neardup_lsh")
+        assert f.nested_loop_joins == 0
+        assert f.python_nodes == 0  # pure Catalyst: literal planes
+
+    def test_simhash_neardup_has_no_nested_loop(self, facts):
+        f = facts("q49_simhash_neardup")
+        assert f.nested_loop_joins == 0
+        assert f.python_nodes == 0
+
+    def test_minhash_verify_is_per_pair(self, spark):
+        # the Jaccard verify must join candidate PAIRS to shingle
+        # arrays (array_intersect per pair), never self-join on the
+        # exploded shingle — a hot shingle would fan out corpus-wide
+        from vnavc_spark.plans.audit import explain_string
+
+        df = QS["q33_minhash_dedup"](spark, SF_SMALL)
+        simple = explain_string(df, "simple")
+        assert "array_intersect" in simple
+        assert "shingle#" not in simple  # exploded-shingle join is gone

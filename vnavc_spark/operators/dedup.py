@@ -24,7 +24,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vnavc_spark.functions.quality import fingerprint, normalized_text, tokens
@@ -218,7 +218,18 @@ def minhash_signatures_df(
 
     src = df.select(id_col, text_col)
     n_parts = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < n_parts:
+    # Partition-count probe WITHOUT df.rdd (that converts the plan to
+    # an RDD just to read a number): the file count of the underlying
+    # scan bounds the scan partition count for small-file corpora —
+    # the exact case the guard exists for. Large files split into
+    # MORE partitions than files, which never triggers the guard, and
+    # non-file plans (in-memory test frames) report zero files, where
+    # an extra round-robin shuffle of tiny data is harmless.
+    try:
+        n_input = len(src.inputFiles())
+    except Exception:  # non-file-backed plan
+        n_input = 0
+    if n_input < n_parts:
         src = src.repartition(n_parts)
     return src.mapInPandas(_sig, schema=f"{id_col} long, sig array<string>")
 
@@ -261,6 +272,44 @@ def minhash_bands(
     )
 
 
+def cap_bucket_size(
+    df: DataFrame, keys: list[str], cap: int | None
+) -> DataFrame:
+    """Drop rows in degenerate buckets (> ``cap`` members on ``keys``).
+
+    A self-join on a bucket key is quadratic in bucket size, so one
+    degenerate key (empty docs, boilerplate sharing a signature) can
+    dominate the whole job. Members of an over-cap bucket are non-
+    discriminative by construction — a signature shared by thousands
+    of documents carries no near-dup information (exact dedup
+    upstream is the right tool for those) — so dropping is safe and
+    standard. The window count shares the exchange with the
+    downstream self-join (same partition keys), so the cap adds no
+    extra shuffle. Use ``oversized_buckets`` to see what was dropped.
+    """
+    if cap is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bucket_n", F.count("*").over(w))
+        .filter(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
+
+
+def oversized_buckets(
+    df: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """Audit view of what ``cap_bucket_size`` drops: one row per
+    over-cap bucket with its member count. Run (and log) alongside
+    any capped candidate join."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > cap)
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -268,10 +317,14 @@ def minhash_candidates(
     num_hashes: int = 16,
     band_size: int = 4,
     n: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs from LSH banding. The
-    band-bucket self-join carries only (band_key, doc_id)."""
+    band-bucket self-join carries only (band_key, doc_id); buckets
+    larger than ``max_bucket_size`` are dropped before the join
+    (degenerate signatures — see ``cap_bucket_size``)."""
     bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, n)
+    bands = cap_bucket_size(bands, ["band_idx", "band_key"], max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, on=["band_idx", "band_key"])
@@ -284,6 +337,46 @@ def minhash_candidates(
     )
 
 
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard over an explicit (doc_a, doc_b) pair
+    list — the verify stage of near-dedup.
+
+    Unlike ``jaccard_pairs`` (shingle self-join — right for discovery
+    over a bounded subset, but a hot shingle fans out across every
+    doc containing it and generates pairs that are then thrown away),
+    this joins the pair list to per-doc shingle ARRAYS and computes
+    ``size(array_intersect)`` per pair: work is proportional to the
+    number of candidate pairs, with no hot-key fan-out. This is the
+    100 TB-safe verify."""
+    sh = docs.select(F.col(id_col), word_shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (
+                F.size("sh_a") + F.size("sh_b") - F.col("n_inter")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -292,22 +385,27 @@ def minhash_dedup_pairs(
     band_size: int = 4,
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
-    This is the scale path: Jaccard's quadratic join runs only on the
-    candidate pairs."""
-    # candidates are tiny relative to the corpus and referenced three
-    # times below (ids union, semi-join, final filter) — persist so the
-    # LSH pipeline runs once, not per consumer
-    cands = minhash_candidates(df, id_col, text_col, num_hashes, band_size, n).persist()
+    """Full near-dup pipeline: LSH candidates → exact per-pair
+    Jaccard verify. This is the scale path: candidate generation is
+    linear (projection + capped bucket join), and the verify stage
+    touches exactly the candidate pairs — no shingle self-join, so a
+    corpus-hot shingle cannot fan out."""
+    # candidates are tiny relative to the corpus and referenced twice
+    # below (ids semi-join, pair join) — persist so the LSH pipeline
+    # runs once, not per consumer
+    cands = minhash_candidates(
+        df, id_col, text_col, num_hashes, band_size, n, max_bucket_size
+    ).persist()
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    # shingle only docs that appear in some candidate pair
     subset = df.join(cand_ids, on=id_col, how="left_semi")
-    verified = jaccard_pairs(subset, id_col, text_col, n, threshold)
-    return verified.join(cands, on=["doc_a", "doc_b"], how="left_semi")
+    return jaccard_verify_pairs(cands, subset, id_col, text_col, n, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -320,8 +418,13 @@ def simhash32(text_col: Column | str) -> Column:
     Bit i = sign of Σ_tokens (parity of hex char i of md5(token)),
     mapping parity {0,1} → {-1,+1}. Hex-char parity keeps the
     derivation portable to the SQL oracle (no 64-bit hex→int
-    conversion needed). Pure per-row expression: zero shuffle."""
-    toks = F.array_distinct(tokens(normalized_text(text_col)))
+    conversion needed). Pure per-row expression: zero shuffle.
+
+    NULL text is coalesced to '' first so a NULL-text doc gets sh=0
+    instead of silently vanishing — keeps Spark and the SQL oracle
+    (whose unnest would drop the doc) agreeing on nullable corpora."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.array_distinct(tokens(normalized_text(F.coalesce(c, F.lit("")))))
     bit_votes = [
         F.aggregate(
             toks,
@@ -344,32 +447,74 @@ def simhash_hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_block_bounds(max_hamming: int = 3, bits: int = 32) -> list[tuple[int, int]]:
+    """(lo, width) of the ``max_hamming + 1`` bit blocks. By the
+    pigeonhole principle, two hashes within Hamming distance k must
+    agree EXACTLY on at least one of k+1 disjoint blocks — so joining
+    on every block gives recall 1.0 at distance ≤ k (Manku, Jain &
+    Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07)."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    bounds, lo = [], 0
+    for j in range(n_blocks):
+        width = base + (1 if j < extra else 0)
+        bounds.append((lo, width))
+        lo += width
+    return bounds
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    max_block_size: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the high prefix bits
-    (docs differing in ≤ max_hamming bits usually share the prefix
-    block; multi-probe over rotations is the production extension),
-    then verify Hamming distance within blocks."""
+    """Near-dup pairs by SimHash via exact block decomposition: split
+    the 32-bit hash into ``max_hamming + 1`` disjoint blocks and join
+    docs sharing ANY (block_idx, block_val) — pigeonhole guarantees
+    every pair within ``max_hamming`` shares a block, so recall is
+    1.0 (vs the lossy single-prefix blocking this replaces). Hamming
+    is then verified exactly per candidate pair.
+
+    Scale shape: blocks are pure projections; the join carries
+    (block_idx, block_val, id, sh) — 4 small rows per doc; degenerate
+    blocks (> ``max_block_size`` members, e.g. a boilerplate corpus
+    collapsing to one hash) are dropped before the join."""
     sh = df.select(F.col(id_col), simhash32(text_col).alias("sh"))
-    blocked = sh.withColumn(
-        "block", F.shiftright(F.col("sh"), 32 - prefix_bits)
+    bounds = simhash_block_bounds(max_hamming)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("block_idx"),
+                F.shiftright(F.col("sh"), lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("block_val"),
+            )
+            for j, (lo, width) in enumerate(bounds)
+        ]
     )
+    blocked = sh.select(
+        F.col(id_col), F.col("sh"), F.explode(blocks).alias("b")
+    ).select(
+        id_col,
+        "sh",
+        F.col("b.block_idx").alias("block_idx"),
+        F.col("b.block_val").alias("block_val"),
+    )
+    blocked = cap_bucket_size(blocked, ["block_idx", "block_val"], max_block_size)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
-        a.join(b, on="block")
+        a.join(b, on=["block_idx", "block_val"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn(
-            "hamming", simhash_hamming(F.col("a.sh"), F.col("b.sh"))
-        )
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            "hamming",
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", simhash_hamming(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -65,23 +65,44 @@ def cosine_topk(
     )
 
 
+def hyperplane(seed: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component i derives
+    from md5(seed|bit|i) — no RNG state, so every executor, every
+    run, AND the DuckDB correctness oracle reconstruct the identical
+    plane. Computed once driver-side and inlined as literals (the
+    per-element in-plan hash this replaces re-derived the plane for
+    every row)."""
+    import hashlib
+
+    return [
+        (
+            int(hashlib.md5(f"{seed}|{bit}|{i}".encode()).hexdigest()[:8], 16)
+            % 1000003
+        )
+        / 1000003.0
+        - 0.5
+        for i in range(dim)
+    ]
+
+
+def hyperplane_sql(seed: int, bit: int, dim: int) -> str:
+    """The same plane as a SQL list literal — ``repr`` emits the
+    shortest round-trip decimal, which DuckDB parses back to the
+    identical double, keeping sketch signs engine-portable."""
+    return "[" + ", ".join(repr(v) for v in hyperplane(seed, bit, dim)) + "]"
+
+
 def hyperplane_sketch(
     vec_col, dim: int, bits: int = 8, seed: int = 42
 ):
-    """Random-hyperplane sign sketch as an int bucket id. Plane
-    components derive from xxhash64(seed, bit, i) — deterministic
-    across runs, cluster-safe (no RNG state)."""
+    """Random-hyperplane sign sketch as an int bucket id. Planes are
+    literal arrays (see ``hyperplane``); each projection is one
+    zip_with/aggregate fold whose lambdas touch element args only —
+    the same left-to-right fold DuckDB's list_dot_product uses, so
+    the oracle computes bit-identical projections."""
     out = F.lit(0)
     for b in range(bits):
-        idx = F.sequence(F.lit(0), F.lit(dim - 1))
-        plane = F.transform(
-            idx,
-            lambda i: (
-                F.xxhash64(F.lit(seed), F.lit(b), i) % 1000003
-            ).cast("double")
-            / 1000003.0
-            - 0.5,
-        )
+        plane = F.array(*[F.lit(v) for v in hyperplane(seed, b, dim)])
         proj = F.aggregate(
             F.zip_with(vec_col, plane, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
@@ -332,9 +353,16 @@ def cosine_topk_vectorized(
     import numpy as np
 
     q_rows = queries.select(id_col, vec_col).collect()
+    # small-by-contract: the matrix ships in every task's closure
+    assert len(q_rows) <= 100_000, (
+        f"query set too large to broadcast in-closure ({len(q_rows)} rows); "
+        "use lsh_topk/ivf_topk for query sets beyond ~100k vectors"
+    )
     q_ids = [r[0] for r in q_rows]
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    # floor both norms: an all-zero vector otherwise yields inf/nan
+    # scores where the Catalyst cosine() path returns NULL
+    q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-300)
 
     def _score(batches):
         import pandas as pd
@@ -370,14 +398,31 @@ def embedding_neardup_lsh(
     dim: int = 64,
     bits: int = 8,
     tables: int = 4,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs, scale path: hyperplane-LSH bucket
     candidates → exact cosine → threshold. Replaces the brute-force
-    all-pairs cross join (q36's correctness surface) with a bucket
-    equi-join; recall < 1 by construction (raise ``tables`` to
-    amplify)."""
+    all-pairs cross join (q36, the recall reference) with a bucket
+    equi-join.
+
+    Multi-probe: with ``probe_bits=1`` one side of the join is
+    expanded to its bucket PLUS every 1-bit flip (bits+1 rows per
+    (vec, table)), so pairs whose sketches differ in one hyperplane
+    sign still meet — recall amplifies from p^bits per table to
+    p^bits + bits·p^(bits-1)(1-p) without shrinking buckets (the
+    bits=4 alternative reaches similar recall but its candidate set
+    is ~N²/4 — not a scale win). Probing multiplies candidate volume
+    by ~(bits+1)·(bucket adjacency), still a tiny corpus fraction at
+    bits=8 (~9/256 per table)."""
     a = _with_buckets(corpus, "vec_a", id_col, vec_col, dim, bits, tables)
     b = _with_buckets(corpus, "vec_b", id_col, vec_col, dim, bits, tables)
+    if probe_bits:
+        # bucket-hamming ≤ 1 is symmetric → expanding ONE side covers
+        # every such pair; the other side stays one row per (vec, tbl)
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(2**i)) for i in range(bits)]
+        )
+        a = a.withColumn("bucket", F.explode(probes))
     cands = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))

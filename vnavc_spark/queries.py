@@ -747,7 +747,9 @@ def _minhash_sig_sql(num_hashes: int = 16) -> str:
     return f"[{mins}]"
 
 
-def _minhash_bands_sql(num_hashes: int = 16, band_size: int = 4) -> str:
+def _minhash_bands_sql(
+    num_hashes: int = 16, band_size: int = 4, cap: int | None = None
+) -> str:
     nbands = num_hashes // band_size
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, CAST({b} AS BIGINT) AS band_idx, "
@@ -759,10 +761,18 @@ def _minhash_bands_sql(num_hashes: int = 16, band_size: int = 4) -> str:
         )
         for b in range(nbands)
     )
-    return (
+    out = (
         f"sig AS (SELECT doc_id, {_minhash_sig_sql(num_hashes)} AS s FROM sh "
         f"WHERE len(shingles) > 0),\nbands AS ({band_rows})"
     )
+    if cap is not None:
+        # mirror of dedup.cap_bucket_size: degenerate band buckets are
+        # dropped before the candidate self-join
+        out += (
+            ",\nbands_c AS (SELECT doc_id, band_idx, band_key FROM bands "
+            f"QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {cap})"
+        )
+    return out
 
 
 @query(
@@ -787,33 +797,41 @@ def q25_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_minhash_candidates",
     oracle=f"""
 WITH {_shingle_cte()},
-{_minhash_bands_sql()}
+{_minhash_bands_sql(cap=1000)}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b USING (band_idx, band_key)
+FROM bands_c a JOIN bands_c b USING (band_idx, band_key)
 WHERE a.doc_id < b.doc_id
 """,
 )
 def q26_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket. The join
-    carries only (band_key, doc_id) — text never shuffles."""
+    carries only (band_key, doc_id) — text never shuffles; degenerate
+    buckets (>1000 members) are dropped on both sides (the oracle
+    mirrors the cap)."""
     d = table(spark, sf_dir, "documents")
-    return dedup.minhash_candidates(d)
+    return dedup.minhash_candidates(d, max_bucket_size=1000)
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
+    """CTE chain ending in ``shh(doc_id, sh)`` — the SQL mirror of
+    ``dedup.simhash32`` over the documents table."""
     votes = ", ".join(
         f"CAST(sum((ascii(substr(md5(t), {i + 1}, 1)) % 2) * 2 - 1) AS BIGINT)"
         f" AS v{i}"
         for i in range(32)
     )
     bits = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(32))
-    toks = TOKS_SQL.format(c="text")
-    return f"""
-WITH toks AS (
+    # coalesce NULL text to '' (mirrors simhash32): a NULL-text doc
+    # otherwise vanishes from the oracle's unnest while Spark emits it
+    toks = TOKS_SQL.format(c="coalesce(text, '')")
+    return f"""toks AS (
   SELECT doc_id, unnest(list_distinct({toks})) AS t FROM documents),
-votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
-SELECT doc_id, CAST({bits} AS BIGINT) AS sh FROM votes
-"""
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+shh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS sh FROM votes)"""
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, sh FROM shh"
 
 
 @query("q27_simhash", oracle=_simhash_sql())
@@ -828,39 +846,32 @@ def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_minhash_dedup",
     oracle=f"""
 WITH {_shingle_cte()},
-{_minhash_bands_sql()},
+{_minhash_bands_sql(cap=1000)},
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b USING (band_idx, band_key)
+  FROM bands_c a JOIN bands_c b USING (band_idx, band_key)
   WHERE a.doc_id < b.doc_id),
-cdocs AS (
-  SELECT DISTINCT doc_id FROM (
-    SELECT doc_a AS doc_id FROM cands
-    UNION ALL SELECT doc_b AS doc_id FROM cands)),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
-       WHERE doc_id IN (SELECT doc_id FROM cdocs)),
-sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh
-          WHERE doc_id IN (SELECT doc_id FROM cdocs)),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM ex a JOIN ex b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+p AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b)
 SELECT doc_a, doc_b, n_inter,
-       n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
-  AND EXISTS (SELECT 1 FROM cands c
-              WHERE c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b)
+       n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+FROM p
+WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8
 """,
 )
 def q33_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup pipeline — the 100 TB scale path: MinHash-LSH
-    candidate generation (projection + tiny bucket join) followed by
-    exact Jaccard verification restricted to candidate docs. Linear
-    in corpus size; the quadratic verify touches only candidates."""
+    candidate generation (projection + capped bucket join) followed
+    by exact PER-PAIR Jaccard verification (candidate pairs joined to
+    per-doc shingle arrays, ``size(array_intersect)`` per pair). The
+    verify is proportional to candidate-pair count — no shingle
+    self-join, so a corpus-hot shingle cannot fan out. The oracle
+    mirrors the per-pair form with ``list_intersect``."""
     d = table(spark, sf_dir, "documents")
     out = dedup.minhash_dedup_pairs(d, threshold=0.8)
     return out.select(
@@ -1079,11 +1090,10 @@ SELECT vec_a, vec_b, score FROM p WHERE score >= 0.45
 """,
 )
 def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.45 — calibrated
-    to the synthetic corpus where max pairwise cosine ≈ 0.51).
-    Brute-force all-pairs is the CORRECTNESS surface; at 100 TB the
-    same threshold filter runs over q30's LSH candidate pairs
-    instead of the full cross join."""
+    """Embedding-cosine near-dup pairs, brute-force all-pairs form —
+    the RECALL REFERENCE for q48 (the certified LSH scale path).
+    Deliberately quadratic: its only production role is measuring
+    q48's recall on samples; never run corpus-wide at scale."""
     from vnavc_spark.functions.vector import cosine
 
     emb = table(spark, sf_dir, "embeddings")
@@ -1098,6 +1108,97 @@ def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= 0.45)
     )
+
+
+def _lsh_bucket_sql(seed: int, bits: int = 8, dim: int = 64) -> str:
+    """SQL mirror of ``similarity.hyperplane_sketch``: the SAME
+    md5-derived literal planes, the same left-to-right dot-product
+    fold, the same ``>= 0`` sign rule — bucket ids are bit-identical
+    across engines."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(e, {similarity.hyperplane_sql(seed, b, dim)})"
+        f" >= 0 THEN {2**b} ELSE 0 END)"
+        for b in range(bits)
+    )
+
+
+def _lsh_neardup_sql(
+    tables: int = 4, bits: int = 8, dim: int = 64, threshold: float = 0.45
+) -> str:
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, {_lsh_bucket_sql(42 + t, bits, dim)}"
+        f" AS bucket FROM v"
+        for t in range(tables)
+    )
+    # multi-probe mirror: one side expands to its bucket + 1-bit flips
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {2**i})" for i in range(bits)])
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS ({bucket_rows}),
+pa AS (SELECT vec_id, tbl, unnest([{probes}]) AS bucket FROM bk),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM pa a JOIN bk c ON a.tbl = c.tbl AND a.bucket = c.bucket
+  WHERE a.vec_id < c.vec_id),
+p AS (
+  SELECT vec_a, vec_b,
+         floor((list_dot_product(va.e, vb.e) /
+                (sqrt(list_dot_product(va.e, va.e)) *
+                 sqrt(list_dot_product(vb.e, vb.e))))
+               * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM cand JOIN v va ON va.vec_id = cand.vec_a
+            JOIN v vb ON vb.vec_id = cand.vec_b)
+SELECT vec_a, vec_b, score FROM p WHERE score >= {threshold}
+"""
+
+
+@query("q48_embedding_neardup_lsh", oracle=_lsh_neardup_sql())
+def q48_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, THE CERTIFIED SCALE PATH: hyperplane-LSH
+    bucket candidates (equi-join on (table, bucket) — shuffle carries
+    ids + bucket ints, never a cross join) → exact cosine → threshold.
+    Fully oracle-checked: planes are md5-derived literals shared with
+    the DuckDB SQL, so candidates AND scores hash-match byte-for-byte
+    (not rows-only). q36 (brute force) is the recall reference."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_lsh(emb, threshold=0.45)
+
+
+def _simhash_blocks_sql(max_hamming: int = 3, cap: int = 1000) -> str:
+    block_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sh, CAST({j} AS BIGINT) AS block_idx, "
+        f"(sh >> {lo}) & {(1 << width) - 1} AS block_val FROM shh"
+        for j, (lo, width) in enumerate(dedup.simhash_block_bounds(max_hamming))
+    )
+    return f"""blocks AS ({block_rows}),
+capped AS (SELECT doc_id, sh, block_idx, block_val FROM blocks
+           QUALIFY count(*) OVER (PARTITION BY block_idx, block_val) <= {cap}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh AS sh_a, b.sh AS sh_b
+  FROM capped a JOIN capped b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+  WHERE a.doc_id < b.doc_id)"""
+
+
+@query(
+    "q49_simhash_neardup",
+    oracle=f"""
+WITH {_simhash_cte()},
+{_simhash_blocks_sql()}
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""",
+)
+def q49_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via exact Manku block decomposition:
+    4 disjoint 8-bit blocks of the 32-bit hash; pigeonhole guarantees
+    every pair within Hamming ≤ 3 shares a block → recall 1.0 with an
+    equi-join (no prefix-blocking recall gap, no cross join). Capped
+    at 1000 members per block (oracle mirrors the cap)."""
+    d = table(spark, sf_dir, "documents")
+    out = dedup.simhash_near_dups(d, max_hamming=3, max_block_size=1000)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 @query(
