@@ -101,3 +101,37 @@ class TestQc:
         assert wer["b_good"] == 0.0
         assert wer["b_bad"] >= 50.0
         assert [r.book_id for r in kept.collect()] == ["b_good"]
+
+
+class TestWerDenominator:
+    def test_ref_words_counts_normalized_tokens(self, spark):
+        # '123' expands to 'một hai ba' (3 tokens): the denominator
+        # must count NORMALIZED tokens — the same stream the edit
+        # distance runs over — or number-heavy books get WER > 100%
+        sampled = spark.createDataFrame(
+            [("b1", 1, "đoạn 123 xong")], ["book_id", "seg_id", "text"]
+        )
+        hyps = spark.createDataFrame(
+            [("b1", 1, "đoạn một hai ba xong")],
+            ["book_id", "seg_id", "hypothesis"],
+        )
+        row = QC.score_transcripts(sampled, hyps).first()
+        # normalized ref = 'đoạn một hai ba xong' -> 5 tokens, 0 errors
+        assert row.ref_words == 5
+        assert row.word_errors == 0
+
+    def test_perfect_asr_on_numbers_gives_zero_wer(self, spark):
+        sampled = spark.createDataFrame(
+            [("b1", i, f"chương {i} có 45 trang") for i in range(3)],
+            ["book_id", "seg_id", "text"],
+        )
+        hyps = spark.createDataFrame(
+            [
+                ("b1", i, f"chương {QC.process_transcript(str(i))} có bốn năm trang")
+                for i in range(3)
+            ],
+            ["book_id", "seg_id", "hypothesis"],
+        )
+        scored = QC.score_transcripts(sampled, hyps)
+        wer = QC.weighted_wer(scored, group="book_id").first()
+        assert wer.wer_pct == 0.0

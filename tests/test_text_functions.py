@@ -44,17 +44,45 @@ class TestNormalizeName:
             expected = "-".join(nfd.split())
             assert _one(spark, TX.normalize_name(F.lit(s))) == expected
 
+    def test_byte_exact_reference_parity(self, spark):
+        # the reference algorithm verbatim (__init__.py:10-29):
+        # NFD-strip -> [^\w\s\-] drop -> lower -> ' '->'-' per space
+        import re as _re
+
+        def ref(name: str) -> str:
+            out = unicodedata.normalize("NFD", name)
+            out = "".join(
+                c for c in out if unicodedata.category(c) != "Mn"
+            )
+            out = _re.sub(r"[^\w\s\-]", "", out)
+            return out.lower().replace(" ", "-")
+
+        cases = [
+            "Müller und Söhne",        # non-Vietnamese accents de-accent
+            "niño François ça",        # ñ/ç (ç IS base+cedilla in NFD)
+            "double  space",           # runs are NOT collapsed
+            " lead and trail ",        # no trim
+            "tab\there",               # non-space whitespace survives
+            "e\u0301 decomposed",      # combining mark on decomposed input
+            "Chút Phận Linh Đinh",
+        ]
+        for s2 in cases:
+            assert _one(spark, TX.normalize_name(F.lit(s2))) == ref(s2), s2
+
 
 class TestConvertDuration:
     @pytest.mark.parametrize(
         ("raw", "hours"),
         [
-            ("01:20:00", 4800 / 3600),  # FIXTURES golden 1.3333 h
+            ("01:20:00", 1.3333),  # FIXTURES golden, rounded to 4dp
             ("4;30:00", 4.5),  # dirty ';' tolerated
-            ("45:30", (45 * 60 + 30) / 3600),  # MM:SS
+            ("45:30", 0.7583),  # MM:SS, round(0.75833.., 4)
+            ("1::30", round((60 + 30) / 3600, 4)),  # ';:' runs collapse
+            ("::5", round(5 / 3600, 4)),  # empty parts skipped
             ("x:y", None),
-            ("12", None),  # single field rejected
-            ("1:2:3:4", None),  # too many fields
+            ("12", round(12 / 3600, 4)),  # single field = seconds (ref)
+            ("1:2:3:4", round((((1 * 60 + 2) * 60 + 3) * 60 + 4) / 3600, 4)),
+            ("", 0.0),  # all-empty parts -> 0, the reference's behavior
             (None, None),
         ],
     )

@@ -38,17 +38,49 @@ def strip_vietnamese_accents(col: Column | str) -> Column:
     return F.translate(F.col(col) if isinstance(col, str) else col, _VI_ACCENTED, _VI_BASE)
 
 
-def normalize_name(col: Column | str) -> Column:
-    """T1: lower → strip Vietnamese diacritics (NFD-equivalent) → drop
-    punctuation except ``-`` → collapse whitespace → hyphens.
+def _build_deaccent_table() -> tuple[str, str]:
+    """Precompute the NFD-equivalent de-accent map for every LOWERCASE
+    precomposed Latin letter (Latin-1 … Latin Extended Additional,
+    which contains the Vietnamese range): char → its NFD base when
+    stripping combining marks yields a single ASCII letter. Driver-
+    side once; the result is a plain ``translate`` — codegen'd, no
+    per-row Unicode machinery. đ survives (no decomposition), exactly
+    like the reference's NFD strip."""
+    import unicodedata
 
-    Reference: ``tts_data_pipeline/__init__.py:10-29``.
-    """
+    src, dst = [], []
+    for cp in range(0x00C0, 0x1F00):
+        ch = chr(cp)
+        if ch != ch.lower():  # uppercase handled by lower() upstream
+            continue
+        base = "".join(
+            c
+            for c in unicodedata.normalize("NFD", ch)
+            if unicodedata.category(c) != "Mn"
+        )
+        if base != ch and len(base) == 1 and base.isascii() and base.isalpha():
+            src.append(ch)
+            dst.append(base)
+    return "".join(src), "".join(dst)
+
+
+DEACCENT_SRC, DEACCENT_DST = _build_deaccent_table()
+
+
+def normalize_name(col: Column | str) -> Column:
+    """T1: the reference's slug exactly (``__init__.py:10-29``):
+    NFD de-accent (any Latin letter — ü→u, ñ→n, Vietnamese table
+    included; đ kept) → drop everything but word chars / whitespace /
+    hyphen → lower → each SPACE becomes one hyphen (runs are NOT
+    collapsed, and there is no trim — byte-for-byte reference slugs).
+
+    Decomposed input (base + combining mark) also works: the mark is
+    not ``\\p{L}``, so the punctuation strip removes it, leaving the
+    base — the same result the reference's NFD pass produces."""
     c = F.col(col) if isinstance(col, str) else col
-    c = strip_vietnamese_accents(F.lower(c))
-    c = F.regexp_replace(c, r"[^\w\sđ-]", "")  # keep word chars, space, đ, -
-    c = F.regexp_replace(F.trim(c), r"\s+", "-")
-    return c
+    c = F.translate(F.lower(c), DEACCENT_SRC, DEACCENT_DST)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}_\s\-]", "")
+    return F.regexp_replace(c, " ", "-")
 
 
 # ---------------------------------------------------------------------------
@@ -56,33 +88,43 @@ def normalize_name(col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 def convert_duration(col: Column | str, unit: str = "hours") -> Column:
-    """T2: parse ``"HH:MM:SS"`` / ``"MM:SS"`` (tolerating ``;`` for
-    ``:``) into seconds/minutes/hours; NULL on parse failure.
+    """T2: the reference's tolerant duration parse exactly
+    (``__init__.py:32-73``; duplicate at
+    ``crawler/metadata.py:204-224``):
 
-    Implemented as a right-to-left fold over the split parts with
-    base-60 place values — ``aggregate(reverse(split(...)))`` — so a
-    2-part string is naturally MM:SS and a 3-part HH:MM:SS, exactly
-    the reference's tolerant semantics (``__init__.py:32-73``; it has
-    a duplicate impl at ``crawler/metadata.py:204-224``).
-    Non-numeric parts cast to NULL which propagates to a NULL total.
+    - ``[;:]+`` runs collapse to one ``:`` ("1::30" → "1:30");
+    - empty parts are skipped ("::5" → 5 s);
+    - ANY part count: "45" → 45 s, "1:2:3:4" → base-60 fold over all
+      four; "" → 0 (all parts empty — the reference returns 0 too);
+    - each part goes through ``int()`` → optional sign + surrounding
+      whitespace tolerated; any other junk → NULL (reference: None);
+    - minutes/hours are rounded to 4 decimals. The reference uses
+      Python ``round`` (half-to-even); we use the engine-portable
+      ``floor(x·10⁴+0.5)`` which differs only on exact .5 ties of the
+      binary double — unobservable for base-60 rationals in practice.
+
+    Implemented as a left-to-right fold with base-60 place values
+    over the non-empty parts; lambdas touch element args only.
     """
+    from vnavc_spark.functions.portable import stable_round
+
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(F.trim(c), ";", ":")
-    parts = F.split(cleaned, ":")
-    # strict numeric gate: every part must be pure digits
-    all_numeric = F.forall(parts, lambda p: p.rlike(r"^\s*\d+\s*$"))
+    cleaned = F.regexp_replace(F.trim(c), "[;:]+", ":")
+    parts = F.filter(F.split(cleaned, ":"), lambda p: p != "")
+    # int()-equivalent gate: sign + digits, surrounding whitespace ok
+    all_numeric = F.forall(parts, lambda p: p.rlike(r"^\s*[+-]?\d+\s*$"))
     seconds = F.aggregate(
         parts,
         F.lit(0.0),
         lambda acc, x: acc * 60.0 + x.cast("double"),
     )
-    seconds = F.when(all_numeric & (F.size(parts) <= 3) & (F.size(parts) >= 2), seconds)
-    if unit == "seconds":
+    seconds = F.when(all_numeric, seconds)
+    if unit in ("seconds", "second"):
         return seconds
-    if unit == "minutes":
-        return seconds / 60.0
-    if unit == "hours":
-        return seconds / 3600.0
+    if unit in ("minutes", "minute"):
+        return stable_round(seconds / 60.0, 4)
+    if unit in ("hours", "hour"):
+        return stable_round(seconds / 3600.0, 4)
     raise ValueError(f"unknown unit {unit!r}")
 
 

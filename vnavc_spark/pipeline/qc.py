@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from vnavc_spark.functions.quality import token_count
 from vnavc_spark.operators.aggregates import weighted_wer
 from vnavc_spark.operators.filters import wer_gate
 from vnavc_spark.operators.sampling import exact_k_per_group
@@ -68,6 +67,38 @@ def word_errors_udf():
     return _udf
 
 
+def wer_counts_udf():
+    """Numerator AND denominator from ONE normalization pass:
+    (word_errors, ref_words) where ref_words counts tokens of the
+    NORMALIZED reference — the same token stream the edit distance
+    runs over. Counting raw-text tokens instead (the old behavior)
+    skews WER whenever normalization changes token counts (digit
+    expansion '123' → 'một hai ba' turns 1 token into 3), letting
+    book WER exceed 100% and diverge from jiwer's corpus WER on
+    reference-normalized text (reference normalizes via process_text
+    before jiwer — ``whisper_qc.py:308-329``)."""
+
+    @pandas_udf("struct<word_errors:int, ref_words:int>")
+    def _udf(
+        it: Iterator[tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        for refs, hyps in it:
+            errs, nwords = [], []
+            for r, h in zip(refs, hyps):
+                rn = process_transcript(r or "").lower()
+                hn = process_transcript(h or "").lower()
+                errs.append(word_edit_distance(rn, hn))
+                nwords.append(len(rn.split()))
+            yield pd.DataFrame(
+                {
+                    "word_errors": pd.Series(errs, dtype="int32"),
+                    "ref_words": pd.Series(nwords, dtype="int32"),
+                }
+            )
+
+    return _udf
+
+
 def sample_for_qc(
     utterances: DataFrame,
     pct: float = 0.05,
@@ -91,12 +122,18 @@ def score_transcripts(
     hyp_col: str = "hypothesis",
 ) -> DataFrame:
     """Join sampled utterances with ASR hypotheses and compute
-    per-utterance word errors + reference word counts."""
+    per-utterance word errors + NORMALIZED-reference word counts
+    (one normalization pass produces both — see ``wer_counts_udf``)."""
     on = on or ["book_id", "seg_id"]
     joined = sampled.join(hypotheses, on=on)
-    return joined.withColumn(
-        "word_errors", word_errors_udf()(F.col(ref_col), F.col(hyp_col))
-    ).withColumn("ref_words", token_count(ref_col))
+    return (
+        joined.withColumn(
+            "_wer", wer_counts_udf()(F.col(ref_col), F.col(hyp_col))
+        )
+        .withColumn("word_errors", F.col("_wer.word_errors"))
+        .withColumn("ref_words", F.col("_wer.ref_words"))
+        .drop("_wer")
+    )
 
 
 def qc_gate(

@@ -650,15 +650,23 @@ def q21_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _slug_sql(col: str) -> str:
+    """SQL mirror of ``TX.normalize_name``: identical de-accent
+    translate table (driver-precomputed NFD map), identical keep-set,
+    one hyphen per space, no trim."""
+    return (
+        f"replace(regexp_replace(translate(lower({col}), "
+        f"'{TX.DEACCENT_SRC}', '{TX.DEACCENT_DST}'), "
+        r"'[^\p{L}\p{N}_\s\-]', '', 'g'), ' ', '-')"
+    )
+
+
 @query(
     "q22_slug_ids",
-    oracle="""
+    oracle=f"""
 SELECT p_partkey,
-       regexp_replace(trim(regexp_replace(lower(p_name), '[^a-z0-9_đ\\s-]', '', 'g')),
-                      '\\s+', '-', 'g') AS slug,
-       substr(sha256(regexp_replace(trim(regexp_replace(lower(p_name),
-                      '[^a-z0-9_đ\\s-]', '', 'g')), '\\s+', '-', 'g')
-              || CAST(p_partkey AS VARCHAR)), 1, 8) AS id8
+       {_slug_sql("p_name")} AS slug,
+       substr(sha256({_slug_sql("p_name")} || CAST(p_partkey AS VARCHAR)), 1, 8) AS id8
 FROM part
 """,
 )
