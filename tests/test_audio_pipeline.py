@@ -145,3 +145,40 @@ class TestStage:
         assert cut[1].duration == pytest.approx(0.75, abs=0.01)
         for r in cut:
             assert os.path.exists(r.audio_path)
+
+
+class TestSincResampler:
+    def test_antialiasing_above_target_nyquist(self):
+        import numpy as np
+        sr, tgt = 44100, 24000
+        t = np.arange(sr) / sr
+        tone = np.sin(2 * np.pi * 15000 * t).astype(np.float32)  # > 12 kHz
+        out = A.resample_sinc(tone, sr, tgt)
+        energy_db = 10 * np.log10(np.mean(out[200:-200] ** 2) + 1e-30)
+        assert energy_db < -40.0  # band-limited: aliased tone suppressed
+
+    def test_in_band_tone_preserved(self):
+        import numpy as np
+        sr, tgt = 44100, 24000
+        t = np.arange(sr) / sr
+        tone = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+        out = A.resample_sinc(tone, sr, tgt)
+        # RMS of a unit sine is 1/sqrt(2): -3.01 dB, within 0.1 dB
+        energy_db = 10 * np.log10(np.mean(out[200:-200] ** 2))
+        assert abs(energy_db - (-3.01)) < 0.1
+        assert len(out) == int(np.ceil(sr * tgt / sr))
+
+    def test_noop_and_determinism(self):
+        import numpy as np
+        y = np.random.RandomState(3).randn(4000).astype(np.float32)
+        assert A.resample_sinc(y, 16000, 16000) is y
+        a = A.resample_sinc(y, 16000, 24000)
+        b = A.resample_sinc(y, 16000, 24000)
+        assert np.array_equal(a, b)
+
+    def test_dc_gain_exact(self):
+        import numpy as np
+        y = np.ones(8000, dtype=np.float32)
+        out = A.resample_sinc(y, 16000, 11025)
+        core = out[100:-100]
+        assert np.max(np.abs(core - 1.0)) < 1e-4  # unit DC per phase
