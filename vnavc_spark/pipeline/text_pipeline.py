@@ -291,7 +291,13 @@ def process_text_stage(
     arriving as one small file would otherwise run the tokenizer/
     normalizer pandas UDFs on a single core."""
     n_parts = books.sparkSession.sparkContext.defaultParallelism
-    if books.rdd.getNumPartitions() < n_parts:
+    # file-count probe instead of df.rdd (which converts the plan to
+    # an RDD just to read a number) — see minhash_signatures_df
+    try:
+        n_input = len(books.inputFiles())
+    except Exception:
+        n_input = 0
+    if n_input < n_parts:
         books = books.repartition(n_parts)
     sents = sentences_from_books(books, book_col, text_col, min_words=min_words)
     groups = group_sentences_df(sents, book_col, threshold=threshold)

@@ -1493,11 +1493,89 @@ def q45_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("q46_text_stage")  # pandas-UDF pipeline — rows-only check
+def _text_stage_sql(threshold: int = 15, min_words: int = 3) -> str:
+    """DuckDB mirror of the fused text stage (T4→T3→T5→F6→T6→G10).
+
+    Every regex-expressible step is rendered exactly: sentence split
+    (marker + split — RE2 has no lookbehind), URL strip, whitespace
+    collapse, lowercase, punctuation translate, min-words gate, and
+    the ORDER-DEPENDENT grouping fold as a recursive CTE (one
+    recursion level per sentence). The per-match rewrite callbacks
+    (digit→words, date→words, currency) cannot be expressed in SQL —
+    they are identity on digit-free text, which the driver corpus is,
+    so the chain is complete for this comparison. ``text_size``
+    exploits the identity len(group)+1 = Σ(len(sentence)+1) over its
+    members, so only (acc_words, pending_len, n_groups) need
+    folding."""
+    from vnavc_spark.functions.text import PUNCTUATION
+
+    punct = PUNCTUATION.replace("'", "''")
+    half = threshold // 2
+    return f"""
+WITH RECURSIVE
+marked AS (
+  SELECT CAST(doc_id AS VARCHAR) AS book_id,
+         regexp_replace(trim(text), '([.!?…])(\\s+)', '\\1' || chr(30), 'g') AS t
+  FROM documents),
+raw_sents AS (
+  SELECT book_id,
+         unnest(string_split(t, chr(30))) AS raw,
+         unnest(range(len(string_split(t, chr(30))))) AS pos
+  FROM marked),
+normed AS (
+  SELECT book_id, pos,
+         translate(
+           lower(regexp_replace(trim(
+             regexp_replace(raw, 'https?://[^\\s]+', '', 'g')),
+             '\\s+', ' ', 'g')),
+           '{punct}', '') AS norm
+  FROM raw_sents WHERE raw <> ''),
+kept AS (
+  SELECT book_id, pos, norm,
+         len(list_filter(regexp_split_to_array(norm, '\\s+'), w -> w <> '')) AS wc,
+         length(norm) AS ln
+  FROM normed
+  WHERE len(list_filter(regexp_split_to_array(norm, '\\s+'), w -> w <> '')) >= {min_words}),
+seq AS (
+  SELECT book_id,
+         row_number() OVER (PARTITION BY book_id ORDER BY pos) AS idx,
+         wc, ln
+  FROM kept),
+counts AS (SELECT book_id, max(idx) AS n FROM seq GROUP BY book_id),
+fold AS (
+  SELECT book_id, CAST(0 AS BIGINT) AS idx, 0 AS a, CAST(0 AS BIGINT) AS p,
+         CAST(0 AS BIGINT) AS n_groups, CAST(0 AS BIGINT) AS gsize
+  FROM counts
+  UNION ALL
+  SELECT f.book_id, f.idx + 1,
+         CASE WHEN f.a + s.wc >= {threshold} THEN 0 ELSE f.a + s.wc END,
+         CASE WHEN f.a + s.wc >= {threshold} THEN 0 ELSE f.p + s.ln + 1 END,
+         f.n_groups + CASE WHEN f.a + s.wc >= {threshold} THEN 1 ELSE 0 END,
+         f.gsize + CASE WHEN f.a + s.wc >= {threshold} THEN f.p + s.ln + 1 ELSE 0 END
+  FROM fold f JOIN seq s ON s.book_id = f.book_id AND s.idx = f.idx + 1),
+final AS (
+  SELECT f.book_id,
+         f.n_groups + CASE WHEN f.a >= {half} THEN 1 ELSE 0 END AS num_groups,
+         f.gsize + CASE WHEN f.a >= {half} THEN f.p ELSE 0 END AS text_size
+  FROM fold f JOIN counts c ON c.book_id = f.book_id AND f.idx = c.n),
+sagg AS (
+  SELECT book_id, CAST(sum(wc) AS BIGINT) AS word_count,
+         count(*) AS num_sentences
+  FROM seq GROUP BY book_id)
+SELECT s.book_id, s.word_count, s.num_sentences,
+       CASE WHEN fi.num_groups > 0 THEN CAST(fi.num_groups AS BIGINT) END AS num_groups,
+       CASE WHEN fi.num_groups > 0 THEN CAST(fi.text_size AS BIGINT) END AS text_size
+FROM sagg s JOIN final fi USING (book_id)
+"""
+
+
+@query("q46_text_stage", oracle=_text_stage_sql())
 def q46_text_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text pipeline (T4 tokenize → T3 normalize → T5/F6 → T6
     group) run over the documents table as if each doc were a book —
-    benchmarks the Arrow-batched Python path end-to-end."""
+    benchmarks the Arrow-batched Python path end-to-end. Oracle: the
+    full chain in DuckDB, with the grouping fold as a recursive CTE
+    (see ``_text_stage_sql``)."""
     from vnavc_spark.pipeline.text_pipeline import process_text_stage
 
     d = table(spark, sf_dir, "documents").select(
