@@ -49,3 +49,24 @@ class TestCli:
         back = spark.read.parquet(str(out / "sentences"))
         assert back.count() >= 1
         assert back.first().book_id == "ab12cd34"
+
+
+class TestIncrementalDedupCli:
+    def test_two_runs_second_is_noop(self, spark, tmp_path, capsys):
+        sig = str(tmp_path / "sigs")
+        rc = main(
+            ["dedup", "--incremental", "--sig-dir", sig, "--sf-dir", SF_SMALL]
+        )
+        assert rc == 0
+        out1 = capsys.readouterr().out
+        assert "staged" in out1 and "staged 0" not in out1
+        rc = main(
+            ["dedup", "--incremental", "--sig-dir", sig, "--sf-dir", SF_SMALL]
+        )
+        assert rc == 0
+        out2 = capsys.readouterr().out
+        assert "staged 0 new signatures" in out2
+        assert "corpus unchanged" in out2
+
+    def test_incremental_requires_sig_dir(self, spark, capsys):
+        assert main(["dedup", "--incremental", "--sf-dir", SF_SMALL]) == 2

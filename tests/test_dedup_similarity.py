@@ -242,3 +242,51 @@ class TestSimhashBlocks:
             ).collect()
         }
         assert got == brute
+
+
+class TestIncrementalDedup:
+    def test_signature_staging_is_incremental(self, spark, docs, tmp_path):
+        sig = str(tmp_path / "sigs")
+        n1, _ = dedup.stage_minhash_signatures(docs, sig)
+        assert n1 > 0
+        # round 2 of the SAME corpus: zero new signature work
+        n2, _ = dedup.stage_minhash_signatures(docs, sig)
+        assert n2 == 0
+        # staged table holds one signature per shingled doc
+        staged = spark.read.parquet(sig)
+        assert staged.count() == n1
+        assert staged.select("doc_id").distinct().count() == n1
+
+    def test_incremental_matches_batch_on_new_docs(self, spark, docs, tmp_path):
+        sig = str(tmp_path / "sigs")
+        # stage the corpus minus two planted near-dup docs
+        base = docs.filter(~F.col("doc_id").isin(7, 8))
+        dedup.stage_minhash_signatures(base, sig)
+        # the "re-crawl" adds docs 7 and 8
+        n_new, new_ids = dedup.stage_minhash_signatures(docs, sig)
+        assert n_new == 2
+        inc = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.incremental_dedup_pairs(
+                docs, sig, new_ids, threshold=0.8
+            ).collect()
+        }
+        batch = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_dedup_pairs(docs, threshold=0.8).collect()
+        }
+        touching_new = {p for p in batch if p[0] in (7, 8) or p[1] in (7, 8)}
+        assert inc == touching_new
+
+    def test_full_dedup_from_staged_table(self, spark, docs, tmp_path):
+        sig = str(tmp_path / "sigs")
+        dedup.stage_minhash_signatures(docs, sig)
+        from_table = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.incremental_dedup_pairs(docs, sig, None).collect()
+        }
+        batch = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_dedup_pairs(docs).collect()
+        }
+        assert from_table == batch

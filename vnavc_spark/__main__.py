@@ -88,12 +88,29 @@ def cmd_text_stage(args) -> int:
 
 def cmd_dedup(args) -> int:
     from vnavc_spark.io import table
-    from vnavc_spark.operators.dedup import minhash_dedup_pairs
+    from vnavc_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_dedup_pairs,
+        stage_minhash_signatures,
+    )
 
     spark = _spark(args)
     spark.sparkContext.setLogLevel("ERROR")
     docs = table(spark, args.sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=args.threshold)
+    if args.incremental:
+        if not args.sig_dir:
+            print("--incremental requires --sig-dir", file=sys.stderr)
+            return 2
+        n_new, new_ids = stage_minhash_signatures(docs, args.sig_dir)
+        print(f"staged {n_new} new signatures in {args.sig_dir}")
+        if n_new == 0:
+            print("corpus unchanged — no new docs to dedup")
+            return 0
+        pairs = incremental_dedup_pairs(
+            docs, args.sig_dir, new_ids, threshold=args.threshold
+        )
+    else:
+        pairs = minhash_dedup_pairs(docs, threshold=args.threshold)
     pairs.show(args.limit, truncate=False)
     print(f"near-dup pairs (jaccard >= {args.threshold}): {pairs.count()}")
     return 0
@@ -126,6 +143,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     d.add_argument("--threshold", type=float, default=0.8)
     d.add_argument("--limit", type=int, default=20)
+    d.add_argument(
+        "--incremental",
+        action="store_true",
+        help="stage signatures in --sig-dir; dedup only new docs",
+    )
+    d.add_argument("--sig-dir", default=None, help="signature table path")
 
     args = p.parse_args(argv)
     return {

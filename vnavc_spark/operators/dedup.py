@@ -234,20 +234,17 @@ def minhash_signatures_df(
     return src.mapInPandas(_sig, schema=f"{id_col} long, sig array<string>")
 
 
-def minhash_bands(
-    df: DataFrame,
+def bands_from_signatures(
+    sig: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
     num_hashes: int = 16,
     band_size: int = 4,
-    n: int = 3,
 ) -> DataFrame:
-    """(doc_id, band_idx, band_key) rows: band_key = md5 of the
-    concatenated signature slice. Docs sharing any band_key are
-    near-dup candidates. Built on the materialized signature table —
-    band extraction is plain column ops over it."""
+    """Band extraction over an EXISTING signature table (id, sig:
+    array<string>) — plain column ops, no text, no Python. This is
+    the entry point for incremental dedup: a staged Parquet signature
+    table goes straight to banding without re-hashing the corpus."""
     nbands = num_hashes // band_size
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, n)
     bands = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -270,6 +267,21 @@ def minhash_bands(
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_key").alias("band_key"),
     )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows: band_key = md5 of the
+    concatenated signature slice. Docs sharing any band_key are
+    near-dup candidates."""
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, n)
+    return bands_from_signatures(sig, id_col, num_hashes, band_size)
 
 
 def cap_bucket_size(
@@ -518,3 +530,93 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (persistent signature table)
+# ---------------------------------------------------------------------------
+
+def stage_minhash_signatures(
+    df: DataFrame,
+    sig_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> tuple[int, DataFrame]:
+    """Incrementally maintain a Parquet MinHash signature table keyed
+    by ``id_col``: signatures are computed ONLY for ids not already
+    staged (anti-join against the table) and appended.
+
+    This is the 100 TB dedup workflow — the corpus is hashed once
+    EVER, not once per run: a re-crawl or nightly batch pays Python
+    signature cost only for its new documents (~num_hashes×32 B/doc
+    of state), and candidate generation reads the staged table as
+    plain columns. Returns ``(n_new, new_ids_df)``."""
+    spark = df.sparkSession
+    src = df.select(id_col, text_col)
+    try:
+        existing = spark.read.parquet(sig_path).select(id_col)
+        src = src.join(existing, on=id_col, how="left_anti")
+    except Exception:  # first run — no table yet
+        pass
+    # localCheckpoint (not persist): appending to sig_path below
+    # invalidates any cached plan that READS sig_path — which the
+    # anti-join does — so a lazily-cached `sigs` would silently
+    # re-evaluate to empty after the write. Checkpointing cuts the
+    # lineage first; the materialized batch is only the NEW docs'
+    # signatures (~num_hashes×32 B each), small per increment.
+    sigs = minhash_signatures_df(src, id_col, text_col, num_hashes, n).localCheckpoint()
+    n_new = sigs.count()
+    if n_new:
+        sigs.write.mode("append").parquet(sig_path)
+    new_ids = sigs.select(id_col)
+    return n_new, new_ids
+
+
+def incremental_dedup_pairs(
+    docs: DataFrame,
+    sig_path: str,
+    new_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs that TOUCH a new document, against the full
+    staged signature table.
+
+    Shape: bands come from the staged Parquet signatures (column ops,
+    no re-hash); the candidate join is new-side bands (small) ⋈ all
+    bands on (band_idx, band_key); verification is the per-pair
+    Jaccard over exactly the candidate pairs. With ``new_ids=None``
+    every staged doc is treated as new (full-corpus dedup from the
+    staged table — still no re-hash)."""
+    spark = docs.sparkSession
+    sig = spark.read.parquet(sig_path)
+    bands = bands_from_signatures(sig, id_col, num_hashes, band_size)
+    bands = cap_bucket_size(bands, ["band_idx", "band_key"], max_bucket_size)
+    lhs = bands if new_ids is None else bands.join(
+        F.broadcast(new_ids.select(id_col)), on=id_col, how="left_semi"
+    )
+    a, b = lhs.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    subset = docs.join(cand_ids, on=id_col, how="left_semi")
+    return jaccard_verify_pairs(cands, subset, id_col, text_col, n, threshold)
