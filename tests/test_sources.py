@@ -43,7 +43,8 @@ class TestMetadataCsv:
         assert b2.narrator[0].name == "Bare Name" and b2.narrator[0].url == ""
         # bare URL → one-element array; "45:30" → MM:SS
         assert b2.audio_download_url == ["http://a/2_1.mp3"]
-        assert b2.duration_hours == pytest.approx((45 * 60 + 30) / 3600)
+        # reference rounds minutes/hours to 4 decimals
+        assert b2.duration_hours == pytest.approx(0.7583)
 
     def test_query_download_url(self, spark, books_csv):
         df = metadata.read_books_csv(spark, books_csv)
@@ -153,6 +154,83 @@ class TestPdf:
         assert by_book["book1"].raw_text == "text(11)"
         assert by_book["book2"].n_pdf_bytes == 12
 
-    def test_default_extractor_is_gated(self):
-        with pytest.raises(NotImplementedError):
-            pdf.default_pdf_extractor(b"%PDF")
+    def test_default_extractor_falls_back_to_pure_parser(self):
+        # no pymupdf in this container -> the stdlib parser handles it
+        # (returns what it can find; empty for a text-free document)
+        assert pdf.default_pdf_extractor(b"%PDF") == ""
+
+
+def _mini_pdf(content: bytes, compress: bool = False) -> bytes:
+    """Hand-rolled single-page PDF with the given content stream."""
+    import zlib as _z
+
+    body, filt = (content, b"")
+    if compress:
+        body, filt = _z.compress(content), b"/Filter /FlateDecode "
+    stream_obj = (
+        b"4 0 obj\n<< " + filt + b"/Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+    )
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + stream_obj
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+class TestPurePdfExtractor:
+    CONTENT = (
+        b"BT /F1 12 Tf 72 720 Td (Hello Spark) Tj 0 -14 Td "
+        b"[(Xin ch) -30 (ao)] TJ T* (dong ba) Tj ET"
+    )
+
+    def test_uncompressed_stream(self):
+        from vnavc_spark.sources.pdf import extract_pdf_text_pure
+
+        txt = extract_pdf_text_pure(_mini_pdf(self.CONTENT))
+        assert "Hello Spark" in txt
+        assert "Xin chao" in txt       # TJ array: kerning numbers dropped
+        assert "dong ba" in txt
+        # line moves became newlines
+        assert txt.index("Hello Spark") < txt.index("Xin chao")
+        assert "\n" in txt
+
+    def test_flate_stream(self):
+        from vnavc_spark.sources.pdf import extract_pdf_text_pure
+
+        txt = extract_pdf_text_pure(_mini_pdf(self.CONTENT, compress=True))
+        assert "Hello Spark" in txt and "dong ba" in txt
+
+    def test_escapes_and_hex(self):
+        from vnavc_spark.sources.pdf import extract_pdf_text_pure
+
+        content = (
+            b"BT (paren \\( ok \\)) Tj T* (tab\\there) Tj T* "
+            b"(oct \\101\\102) Tj T* <48656C6C6F> Tj ET"
+        )
+        txt = extract_pdf_text_pure(_mini_pdf(content))
+        assert "paren ( ok )" in txt
+        assert "tab\there" in txt
+        assert "oct AB" in txt
+        assert "Hello" in txt
+
+    def test_no_text_and_garbage(self):
+        from vnavc_spark.sources.pdf import extract_pdf_text_pure
+
+        assert extract_pdf_text_pure(b"not a pdf at all") == ""
+        assert extract_pdf_text_pure(_mini_pdf(b"0 0 100 100 re f")) == ""
+
+    def test_end_to_end_spark_stage(self, spark, tmp_path):
+        from vnavc_spark.sources.pdf import extract_text, scan_pdfs
+
+        (tmp_path / "mybook_1.pdf").write_bytes(
+            _mini_pdf(self.CONTENT, compress=True)
+        )
+        pdfs = scan_pdfs(spark, str(tmp_path))
+        out = extract_text(pdfs).collect()  # default extractor: pure path
+        assert len(out) == 1
+        assert out[0].book_id == "mybook_1"
+        assert "Hello Spark" in out[0].raw_text
