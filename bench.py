@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "q33_minhash_dedup",
     "q27_simhash",
     "q28_cosine_topk",
+    "q48_embedding_neardup_lsh",
     "q31_sessionize",
     "q32_hourly_stats",
     "q42_percentiles",

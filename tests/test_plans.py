@@ -102,7 +102,9 @@ class TestCertifiedScalePaths:
         # would mean the scale path regressed to brute force
         f = facts("q48_embedding_neardup_lsh")
         assert f.nested_loop_joins == 0
-        assert f.python_nodes == 0  # pure Catalyst: literal planes
+        # exactly the 3 designed Arrow islands (2× bucketize + score);
+        # interpreted HOF math here was ~100× slower per row
+        assert f.python_nodes == 3
 
     def test_simhash_neardup_has_no_nested_loop(self, facts):
         f = facts("q49_simhash_neardup")

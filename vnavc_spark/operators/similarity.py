@@ -18,6 +18,7 @@ vector.py) — JVM-side, no UDF, no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -122,27 +123,55 @@ def _with_buckets(
     tables: int,
 ) -> DataFrame:
     """Explode a vector table into (id, vec, table, bucket) rows —
-    one row per LSH table — shared by the ANN and near-dup paths."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_sketch(F.col(vec_col), dim, bits, seed=42 + t).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(tables)
-        ]
-    )
-    return df.select(
-        F.col(id_col).alias(name),
-        F.col(vec_col).alias(f"{name}_vec"),
-        F.explode(buckets).alias("tb"),
-    ).select(
-        name,
-        f"{name}_vec",
-        F.col("tb.tbl").alias("tbl"),
-        F.col("tb.bucket").alias("bucket"),
+    one row per LSH table — shared by the ANN and near-dup paths.
+
+    Buckets are computed in ONE Arrow pass. The projection fold is
+    vectorized across ROWS but sequential across DIMENSIONS
+    (``acc += x[:, i] * p[i]`` for i in order), which reproduces the
+    exact left-to-right IEEE fold of both the Catalyst
+    ``hyperplane_sketch`` expression and DuckDB's
+    ``list_dot_product`` — so the oracle still hash-matches while the
+    per-row cost drops from interpreted-lambda milliseconds to a few
+    fused numpy ops (the round-1 MinHash lesson: HOF lambdas are
+    interpreted; Arrow batches are the scale path for wide per-row
+    math)."""
+    import numpy as np
+
+    planes = {
+        t: np.array(
+            [hyperplane(42 + t, b, dim) for b in range(bits)], dtype=np.float64
+        )
+        for t in range(tables)
+    }
+    weights = np.array([2**b for b in range(bits)], dtype=np.int64)
+
+    def _bucketize(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            out = []
+            for t, plane in planes.items():
+                acc = np.zeros((n, bits), dtype=np.float64)
+                for i in range(dim):  # exact fold order per (row, bit)
+                    acc += vecs[:, i : i + 1] * plane[:, i][None, :]
+                buckets = ((acc >= 0) @ weights).astype(np.int64)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            name: pdf[id_col].to_numpy(),
+                            "tbl": t,
+                            "bucket": buckets,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    # ids + bucket ints ONLY — candidate joins must never shuffle the
+    # vectors; consumers join vectors back by id after pair dedup
+    return df.select(id_col, vec_col).mapInPandas(
+        _bucketize, schema=f"{name} long, tbl int, bucket long"
     )
 
 
@@ -166,21 +195,29 @@ def lsh_topk(
     """
     qb = _with_buckets(queries, "qid", id_col, vec_col, dim, bits, tables)
     cb = _with_buckets(corpus, "cid", id_col, vec_col, dim, bits, tables)
+    # candidate pairs are (id, id) rows only; vectors join back AFTER
+    # the dedup so they never ride the bucket join or the distinct
     cands = (
         qb.join(cb, on=["tbl", "bucket"])
         .filter(F.col("qid") != F.col("cid"))
         .select(
             F.col("qid").alias(query_id_col),
             F.col("cid").alias("neighbor_id"),
-            F.col("qid_vec").alias("q_vec"),
-            F.col("cid_vec").alias("c_vec"),
         )
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
-    scored = cands.select(
-        query_id_col,
-        "neighbor_id",
-        _stable_round(cosine("q_vec", "c_vec"), 6).alias("score"),
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec"))
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cands.join(qv, on=query_id_col)
+        .join(cv, on="neighbor_id")
+        .select(
+            query_id_col,
+            "neighbor_id",
+            _stable_round(cosine("q_vec", "c_vec"), 6).alias("score"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -426,14 +463,48 @@ def embedding_neardup_lsh(
     cands = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+        .distinct()
     )
+    # vectors join back by id AFTER pair dedup — the multi-probe join
+    # and the distinct shuffle 16-byte id pairs, never 256-byte vecs
+    av = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("vec_a_vec"))
+    bv = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vec_b_vec"))
+    cands = cands.join(av, on="vec_a").join(bv, on="vec_b")
+
+    # exact cosine verify, Arrow-vectorized with the same per-dim fold
+    # order as the Catalyst cosine()/DuckDB list_dot_product pair, so
+    # scores stay oracle-hash-identical (the candidate set is ~100×
+    # the output; interpreted HOF math here dominated the whole query)
+    import numpy as np
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array(list(pdf["vec_a_vec"]), dtype=np.float64)
+            vb = np.array(list(pdf["vec_b_vec"]), dtype=np.float64)
+            ab = np.zeros(len(pdf))
+            aa = np.zeros(len(pdf))
+            bb = np.zeros(len(pdf))
+            for i in range(va.shape[1]):  # exact left-to-right fold
+                ab += va[:, i] * vb[:, i]
+                aa += va[:, i] * va[:, i]
+                bb += vb[:, i] * vb[:, i]
+            denom = np.sqrt(aa) * np.sqrt(bb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = np.floor(ab / denom * 1e6 + 0.5) / 1e6
+            out = pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy(),
+                    "vec_b": pdf["vec_b"].to_numpy(),
+                    "score": score,
+                }
+            )
+            yield out[denom > 0]  # cosine() is NULL-for-zero-norm: drop
+
     return (
-        cands.select(
-            "vec_a",
-            "vec_b",
-            _stable_round(cosine("vec_a_vec", "vec_b_vec"), 6).alias("score"),
-        )
+        cands.mapInPandas(_score, schema="vec_a long, vec_b long, score double")
         .filter(F.col("score") >= threshold)
     )
 
