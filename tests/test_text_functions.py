@@ -163,3 +163,44 @@ class TestVietnameseNormalizer:
 
     def test_process_transcript_digits(self):
         assert process_transcript("có 12 con") == "có một hai con"
+
+
+class TestPiiScrub:
+    def test_masks_all_three_kinds(self, spark):
+        from vnavc_spark.functions import quality as Q
+
+        s = (
+            "mail me at jane.doe+x@corp.example.org or see "
+            "https://ex.vn/a?b=1 or call +84 912 345 678 today"
+        )
+        out = _one(spark, Q.scrub_pii(F.lit(s)))
+        assert out == "mail me at <EMAIL> or see <URL> or call <PHONE> today"
+
+    def test_counts(self, spark):
+        from vnavc_spark.functions import quality as Q
+
+        s = "a@b.io c@d.vn https://x.y 0912 345 678"
+        assert _one(spark, Q.count_matches(F.lit(s), Q.PII_EMAIL)) == 2
+        assert _one(spark, Q.count_matches(F.lit(s), Q.PII_URL)) == 1
+        assert _one(spark, Q.count_matches(F.lit(s), Q.PII_PHONE)) == 1
+
+    def test_clean_text_untouched(self, spark):
+        from vnavc_spark.functions import quality as Q
+
+        s = "no personal data here, just words and 42 numbers"
+        assert _one(spark, Q.scrub_pii(F.lit(s))) == s
+
+
+class TestC4Gate:
+    def test_gate_components(self, spark):
+        from vnavc_spark.functions import quality as Q
+
+        good = "the quick brown fox jumps over this lazy dog again and again today"
+        short = "too short"
+        symbols = "the ### quick ### brown ### fox ### jumps and the dog runs"
+        rows = [(1, good), (2, short), (3, symbols)]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        out = {r.id: r.keep for r in df.select("id", Q.c4_quality_gate("text").alias("keep")).collect()}
+        assert out[1] is True
+        assert out[2] is False  # under min_words
+        assert out[3] is False  # symbol density over cap

@@ -132,3 +132,75 @@ def fingerprint(col: Column | str) -> Column:
     key; md5 chosen because the DuckDB oracle computes the identical
     digest)."""
     return F.md5(normalized_text(col))
+
+
+# ---------------------------------------------------------------------------
+# corpus-filter rule sets (C4 / Gopher style)
+# ---------------------------------------------------------------------------
+
+def symbol_word_ratio(col: Column | str, symbols: str = "#…") -> Column:
+    """Gopher rule input: symbols per word (hash/ellipsis density)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_sym = F.length(c) - F.length(F.translate(c, symbols, ""))
+    return n_sym / F.greatest(token_count(c), F.lit(1)).cast("double")
+
+
+def stopword_hits(col: Column | str) -> Column:
+    """Number of DISTINCT stopwords present — the Gopher 'has ≥2
+    stopwords' naturalness signal."""
+    toks = F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col)))
+    return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+
+
+def c4_quality_gate(
+    col: Column | str,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Composite C4/Gopher-style keep flag — every signal is a pure
+    codegen'd expression, so the gate rides the scan at 100 TB
+    (standard public rule set: word-count band, mean-word-length
+    band, symbol density cap, stopword floor)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    mwl = mean_token_len(c)
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (symbol_word_ratio(c) <= max_symbol_ratio)
+        & (stopword_hits(c) >= min_stopword_hits)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (emails / phones / URLs), RE2-portable patterns
+# ---------------------------------------------------------------------------
+
+#: patterns deliberately restricted to the Java∩RE2 regex subset (no
+#: lookaround, no backrefs) so the DuckDB oracle runs them verbatim
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\+?\d[\d .-]{7,}\d"
+
+
+def count_matches(col: Column | str, pattern: str) -> Column:
+    """Occurrences of a regex in the text (codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Mask emails/URLs/phones with typed placeholders. Order is
+    load-bearing: URLs first (they may embed @ and digits), then
+    emails, then phone-shaped digit runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_URL, "<URL>")
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
+    return c

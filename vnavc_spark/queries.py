@@ -1601,6 +1601,141 @@ def q47_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Corpus-filter rule sets + PII (training-data hygiene operators)
+# ===========================================================================
+
+@query(
+    "q50_repetition_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(cnt) AS BIGINT) AS top_cnt,
+       max(cnt) / sum(cnt) AS top_fraction,
+       count(*) / sum(cnt) AS distinct_ratio
+FROM c GROUP BY doc_id
+""",
+)
+def q50_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per doc: most-frequent-token
+    fraction and distinct-token ratio — the standard repetitive-text
+    filter inputs. Shape: explode → two map-side-combinable
+    aggregations on (doc_id[, tok]); tokens shuffle once, text never
+    does."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    c = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("cnt").cast("long").alias("top_cnt"),
+        (F.max("cnt") / F.sum("cnt")).alias("top_fraction"),
+        (F.count("*") / F.sum("cnt")).alias("distinct_ratio"),
+    )
+
+
+_TOK_COUNT_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+_MEAN_TOK_LEN_SQL = (
+    "list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),"
+    " x -> length(x)), 'sum')"
+    " / CAST(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)"
+    " AS DOUBLE)"
+)
+_SYMBOL_RATIO_SQL = (
+    "(length(text) - length(translate(text, '#…', '')))"
+    f" / CAST(greatest({_TOK_COUNT_SQL}, 1) AS DOUBLE)"
+)
+_STOP_HITS_SQL = (
+    f"len(list_filter(list_distinct({_QUALITY_TOKS}),"
+    f" t -> t IN ({_STOPWORD_LIST})))"
+)
+
+
+@query(
+    "q51_c4_gate",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_TOK_COUNT_SQL} AS BIGINT) AS n_words,
+       ({_TOK_COUNT_SQL} >= 10 AND {_TOK_COUNT_SQL} <= 100000
+        AND {_MEAN_TOK_LEN_SQL} >= 3.0 AND {_MEAN_TOK_LEN_SQL} <= 10.0
+        AND {_SYMBOL_RATIO_SQL} <= 0.1
+        AND {_STOP_HITS_SQL} >= 2) AS keep
+FROM documents
+""",
+)
+def q51_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style document quality gate (word-count band, mean
+    word length band, symbol density cap, stopword floor) — every
+    signal is a codegen'd expression, so the gate rides the parquet
+    scan at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        Q.token_count("text").cast("long").alias("n_words"),
+        Q.c4_quality_gate("text").alias("keep"),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text || ' contact: user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com via https://ex.vn/p/' || CAST(doc_id AS VARCHAR)"
+    " || ' tel +84 912 345 678'"
+)
+
+
+@query(
+    "q52_pii_scrub",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS txt FROM documents
+           WHERE doc_id < 200),
+s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(txt, '{Q.PII_EMAIL}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(txt, '{Q.PII_URL}')) AS BIGINT) AS n_urls,
+         CAST(len(regexp_extract_all(txt, '{Q.PII_PHONE}')) AS BIGINT) AS n_phones,
+         md5(regexp_replace(regexp_replace(regexp_replace(txt,
+             '{Q.PII_URL}', '<URL>', 'g'),
+             '{Q.PII_EMAIL}', '<EMAIL>', 'g'),
+             '{Q.PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+  FROM t)
+SELECT * FROM s
+""",
+)
+def q52_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / URLs / phone-shaped runs → typed
+    placeholders) with per-doc match counts, certified byte-for-byte
+    via md5 of the scrubbed text. The synthetic corpus carries no
+    PII, so deterministic PII is appended per doc IDENTICALLY on both
+    engines — the scrub itself is what's being certified. Patterns
+    live in the Java∩RE2 subset (no lookaround/backrefs) so one
+    pattern string serves both engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.vn/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" tel +84 912 345 678"),
+    )
+    return d.select(
+        "doc_id",
+        Q.count_matches(txt, Q.PII_EMAIL).cast("long").alias("n_emails"),
+        Q.count_matches(txt, Q.PII_URL).cast("long").alias("n_urls"),
+        Q.count_matches(txt, Q.PII_PHONE).cast("long").alias("n_phones"),
+        F.md5(Q.scrub_pii(txt)).alias("scrub_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
