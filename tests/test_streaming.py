@@ -121,3 +121,63 @@ class TestStreamingIngest:
         # first session spans first burst + gap padding
         assert rows[0].session_start.minute == 0
         assert rows[0].session_end.minute == 40  # last event + 30min gap
+
+
+class TestIncrementalNeardupStream:
+    def test_two_batches_dedup_against_signature_table(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        planted = (
+            "mot cau chuyen dai ve spark shuffle behavior adaptive "
+            "execution skew salting broadcast joins bucketed staging "
+            "partition pruning parquet scans o day ket thuc"
+        )
+        src = tmp_path / "docs_in"
+        src.mkdir()
+        _write_batch(
+            src,
+            "b1.json",
+            [
+                {"doc_id": 1, "text": planted + " mot"},
+                {"doc_id": 2, "text": "hoan toan khac biet noi dung nay day du"},
+            ],
+        )
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        stream = ingest.read_json_stream(spark, str(src), schema)
+        sig = str(tmp_path / "sigs")
+        pairs_out = str(tmp_path / "pairs")
+        q = ingest.start_incremental_neardup(
+            stream, sig, pairs_out, str(tmp_path / "ck1")
+        )
+        q.awaitTermination(120)
+        # batch 1: no near-dups yet; signature table has 2 docs
+        assert spark.read.parquet(sig).count() == 2
+
+        # batch 2 delivers a near-dup of doc 1 (and a re-delivery of 2)
+        _write_batch(
+            src,
+            "b2.json",
+            [
+                {"doc_id": 3, "text": planted + " hai"},
+                {"doc_id": 2, "text": "hoan toan khac biet noi dung nay day du"},
+            ],
+        )
+        stream2 = ingest.read_json_stream(spark, str(src), schema)
+        q2 = ingest.start_incremental_neardup(
+            stream2, sig, pairs_out, str(tmp_path / "ck2")
+        )
+        q2.awaitTermination(120)
+        # re-delivered doc 2 cost zero signature work (still 3 staged)
+        assert spark.read.parquet(sig).count() == 3
+        pairs = {
+            (r.doc_a, r.doc_b) for r in spark.read.parquet(pairs_out).collect()
+        }
+        assert (1, 3) in pairs  # new doc matched against the STAGED corpus
+        assert all(3 in p for p in pairs)  # only pairs touching new docs

@@ -208,9 +208,11 @@ def minhash_signatures_df(
                 if not sh:
                     continue
                 ids.append(i)
+                # min over raw digests, hex once at the end: digest
+                # byte order == lowercase-hex order, ~20% fewer cycles
                 sigs.append(
                     [
-                        min(hashlib.md5(p + s).hexdigest() for s in sh)
+                        min(hashlib.md5(p + s).digest() for s in sh).hex()
                         for p in prefixes
                     ]
                 )

@@ -142,3 +142,59 @@ def start_parquet_append(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def start_incremental_neardup(
+    stream: DataFrame,
+    sig_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+):
+    """Streaming near-dedup against the PERSISTENT signature table
+    (R5 online, the 100 TB ingest shape): each micro-batch stages
+    MinHash signatures for its new docs (anti-join against the table
+    — re-deliveries cost zero hashing), generates candidates by
+    joining the batch's bands against ALL staged bands, verifies
+    per-pair Jaccard, and appends confirmed near-dup pairs to
+    ``pairs_path``.
+
+    foreachBatch is the right tool (not a stateful operator): the
+    dedup state IS the signature table — columnar, shared with batch
+    jobs, unbounded in keys but ~512 B/doc — rather than executor
+    state bounded by a watermark horizon. Exactly-once comes from the
+    checkpoint + idempotent signature staging."""
+    from vnavc_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        stage_minhash_signatures,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        n_new, new_ids = stage_minhash_signatures(
+            batch_df, sig_path, id_col, text_col
+        )
+        if n_new == 0:
+            return
+        # verify needs candidate docs' text: the batch carries the new
+        # side; previously-staged docs' text comes from the docs table
+        # materialized alongside the signatures
+        batch_df.select(id_col, text_col).write.mode("append").parquet(
+            f"{sig_path}_docs"
+        )
+        docs = spark.read.parquet(f"{sig_path}_docs")
+        pairs = incremental_dedup_pairs(
+            docs, sig_path, new_ids, id_col, text_col, threshold=threshold
+        )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_path)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
