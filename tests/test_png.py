@@ -1,0 +1,141 @@
+"""Pure-Python PNG codec tests: roundtrip, every filter type, palette,
+and the multimodal Spark path decoding real PNGs in-container."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from vnavc_spark.pipeline import png as P
+
+
+def _rand_img(h, w, c, seed=0):
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if c == 1 else (h, w, c)
+    return rng.randint(0, 256, size=shape, dtype=np.uint8)
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("c", [1, 3, 4])
+    def test_encode_decode_identity(self, c):
+        img = _rand_img(13, 17, c, seed=c)
+        out = P.decode_png(P.encode_png(img))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img)
+
+    def test_1x1_and_wide(self):
+        for shape in ((1, 1, 3), (1, 200, 3), (200, 1, 3)):
+            img = _rand_img(*shape[:2], shape[2], seed=7)
+            assert np.array_equal(P.decode_png(P.encode_png(img)), img)
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Encode RGB image applying the given per-row filter types —
+    exercises the decoder's reconstruction of SUB/UP/AVG/PAETH."""
+    h, w, c = img.shape
+    x = img.astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros((w, c), dtype=np.int64)
+    for r in range(h):
+        f = filters[r % len(filters)]
+        row = x[r]
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            left = np.vstack([np.zeros((1, c), dtype=np.int64), row[:-1]])
+            filt = (row - left) & 0xFF
+        elif f == 2:  # Up
+            filt = (row - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.vstack([np.zeros((1, c), dtype=np.int64), row[:-1]])
+            filt = (row - (left + prev) // 2) & 0xFF
+        else:  # Paeth
+            filt = np.zeros_like(row)
+            for i in range(w):
+                for ch in range(c):
+                    a = int(row[i - 1, ch]) if i else 0
+                    b = int(prev[i, ch])
+                    cc = int(prev[i - 1, ch]) if i else 0
+                    filt[i, ch] = (row[i, ch] - P._paeth(a, b, cc)) & 0xFF
+        raw.append(f)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        P._SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+class TestFilters:
+    @pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+    def test_all_filter_types_reconstruct(self, filters):
+        img = _rand_img(10, 9, 3, seed=42)
+        assert np.array_equal(P.decode_png(_png_with_filters(img, filters)), img)
+
+
+class TestPalette:
+    def test_plte_lookup(self):
+        pal = _rand_img(1, 5, 3, seed=9).reshape(5, 3)
+        idx = np.array([[0, 1, 2], [4, 3, 0]], dtype=np.uint8)
+
+        def chunk(t, b):
+            return struct.pack(">I", len(b)) + t + b + struct.pack(
+                ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+            )
+
+        raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(2))
+        data = (
+            P._SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        out = P.decode_png(data)
+        assert out.shape == (2, 3, 3)
+        assert np.array_equal(out, pal[idx])
+
+
+class TestErrors:
+    def test_not_png(self):
+        with pytest.raises(P.PngError):
+            P.decode_png(b"JFIF not a png")
+
+    def test_unsupported_depth(self):
+        def chunk(t, b):
+            return struct.pack(">I", len(b)) + t + b + struct.pack(
+                ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+            )
+
+        data = P._SIG + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        )
+        with pytest.raises(P.PngError):
+            P.decode_png(data)
+
+
+class TestSparkPath:
+    def test_image_features_and_resize_on_real_pngs(self, spark, tmp_path):
+        from vnavc_spark.pipeline import multimodal as MM
+
+        for i in range(3):
+            img = _rand_img(20 + i, 30 + i, 3, seed=i)
+            (tmp_path / f"img{i}.png").write_bytes(P.encode_png(img))
+        blobs = MM.scan_blobs(spark, str(tmp_path), "*.png", "image")
+        feats = {r.path.split("/")[-1]: r for r in MM.image_features(blobs).collect()}
+        assert feats["img0.png"].width == 30 and feats["img0.png"].height == 20
+        assert feats["img2.png"].n_channels == 3
+        resized = MM.resize_images(blobs, 8, 8).collect()
+        assert all(len(r.content) == 8 * 8 * 3 for r in resized)

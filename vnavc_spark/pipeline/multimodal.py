@@ -33,17 +33,25 @@ FrameSampler = Callable[[bytes, int], list[np.ndarray]]  # video → n frames
 
 
 def default_image_decoder(data: bytes) -> np.ndarray:
-    """STUB: real decode needs PIL/opencv (absent here)."""
+    """PIL when importable (wide format coverage); else the pure-
+    Python PNG codec (``pipeline/png.py``) — PNG blobs decode with
+    no external dependency. Other formats need an injected decoder."""
     try:  # pragma: no cover — not installed in this container
         import io as _io
 
         from PIL import Image  # type: ignore
 
         return np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv; inject decoder=..."
-        ) from e
+    except ImportError:
+        from vnavc_spark.pipeline.png import PngError, decode_png
+
+        try:
+            return decode_png(data)
+        except PngError as e:
+            raise NotImplementedError(
+                f"non-PNG image decode requires PIL/opencv ({e}); "
+                "inject decoder=..."
+            ) from e
 
 
 def default_frame_sampler(data: bytes, n: int) -> list[np.ndarray]:
