@@ -290,3 +290,38 @@ class TestIncrementalDedup:
             for r in dedup.minhash_dedup_pairs(docs).collect()
         }
         assert from_table == batch
+
+
+class TestStagedIvf:
+    def test_staged_equals_fresh_and_incremental_assign(self, spark, emb, tmp_path):
+        idx = str(tmp_path / "ivf")
+        base = emb.filter(F.col("vec_id") < 40)
+        similarity.stage_ivf_index(base, idx, n_cells=8)
+        queries = emb.filter(F.col("vec_id") < 3)
+        fresh = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                base, queries, k=5, n_cells=8, nprobe=3
+            ).collect()
+        }
+        staged = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk_staged(
+                queries, idx, k=5, nprobe=3
+            ).collect()
+        }
+        assert staged == fresh  # deterministic index -> identical probe
+
+        # incremental: only unseen vectors get assigned
+        n = similarity.ivf_assign_incremental(emb, idx)
+        total = spark.read.parquet(f"{idx}/assignments").count()
+        assert n == emb.count() - 40
+        assert total == emb.count()
+        # re-run: zero new work
+        assert similarity.ivf_assign_incremental(emb, idx) == 0
+        # staged search now sees the newly assigned vectors
+        wider = {
+            r.neighbor_id
+            for r in similarity.ivf_topk_staged(queries, idx, k=20, nprobe=8).collect()
+        }
+        assert any(v >= 40 for v in wider)

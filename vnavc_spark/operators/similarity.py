@@ -329,6 +329,24 @@ def ivf_topk(
         corpus, n_cells, refine_iters, id_col, vec_col
     )
     assigned = assigned.persist()
+    return _ivf_probe_topk(
+        assigned, centroids, queries, k, nprobe, id_col, vec_col, query_id_col
+    )
+
+
+def _ivf_probe_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Probe stage shared by the in-memory and STAGED index paths:
+    rank cells per query by centroid cosine, equi-join the top
+    ``nprobe`` cells against the assignment table, exact-rerank."""
     c = F.broadcast(centroids)
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec")
@@ -529,4 +547,72 @@ def embedding_norm_stats(
             (exact_sum(F.col("l2"), 6) / F.count("*")).alias("avg_l2"),
             (exact_sum(F.col("self_dot"), 6) / F.count("*")).alias("avg_self_dot"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index (incremental ANN workflow)
+# ---------------------------------------------------------------------------
+
+def stage_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_cells: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the IVF index ONCE and persist it as two Parquet tables
+    (``centroids``, ``assignments``) — the ANN analog of the
+    incremental-dedup signature table: the expensive clustering pass
+    never re-runs; later batches only assign their new vectors."""
+    assigned, centroids = ivf_index(
+        corpus, n_cells, refine_iters, id_col, vec_col
+    )
+    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    assigned.write.mode("overwrite").parquet(f"{index_path}/assignments")
+
+
+def ivf_assign_incremental(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Assign only UNSEEN vectors to the staged centroids and append
+    them to the assignment table. Returns the number assigned.
+    Centroids are frozen (periodic re-clustering is a separate,
+    explicit rebuild — standard IVF practice)."""
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    existing = spark.read.parquet(f"{index_path}/assignments").select(id_col)
+    fresh = new_vectors.select(id_col, vec_col).join(
+        existing, on=id_col, how="left_anti"
+    )
+    # localCheckpoint: the anti-join READS the table we append to —
+    # a lazily-cached plan would re-evaluate to empty after the write
+    assigned = ivf_assign(fresh, centroids, id_col, vec_col).localCheckpoint()
+    n_new = assigned.count()
+    if n_new:
+        assigned.write.mode("append").parquet(f"{index_path}/assignments")
+    return n_new
+
+
+def ivf_topk_staged(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k against the STAGED index: no clustering, no
+    corpus scan — centroids broadcast from Parquet, candidates come
+    from the assignment-table equi-join on probed cells."""
+    spark = queries.sparkSession
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    assigned = spark.read.parquet(f"{index_path}/assignments")
+    return _ivf_probe_topk(
+        assigned, centroids, queries, k, nprobe, id_col, vec_col, query_id_col
     )
