@@ -150,3 +150,37 @@ class TestRoster:
         rows = {r.narrator_id: r for r in df.collect()}
         assert rows["n1"].age == 34 and rows["n1"].dialect == "bắc"
         assert rows["n2"].age is None
+
+
+class TestAsofJoin:
+    def test_semantics(self, spark):
+        from vnavc_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [("u1", 1, 10), ("u1", 2, 20), ("u1", 3, 15), ("u2", 4, 5)],
+            ["user_id", "event_id", "sec"],
+        )
+        right = spark.createDataFrame(
+            [("u1", 10, "a", 100), ("u1", 15, "b", 200), ("u2", 99, "z", 300)],
+            ["user_id", "sec", "tag", "amount"],
+        )
+        out = {
+            r.event_id: (r.asof_tag, r.asof_amount)
+            for r in asof_join(left, right, on="user_id", ts_col="sec").collect()
+        }
+        assert out[1] == ("a", 100)   # equal ts matches
+        assert out[2] == ("b", 200)   # latest <= 20
+        assert out[3] == ("b", 200)   # latest <= 15 (equal)
+        assert out[4] == (None, None)  # no prior right row
+
+    def test_payload_is_row_atomic(self, spark):
+        # a NULL payload FIELD must not be stitched from an older row
+        from vnavc_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([("u", 1, 30)], ["user_id", "event_id", "sec"])
+        right = spark.createDataFrame(
+            [("u", 10, "old", 1), ("u", 20, None, 2)],
+            ["user_id", "sec", "tag", "amount"],
+        )
+        r = asof_join(left, right, on="user_id", ts_col="sec").first()
+        assert r.asof_amount == 2 and r.asof_tag is None  # row at sec=20, whole

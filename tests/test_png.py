@@ -139,3 +139,26 @@ class TestSparkPath:
         assert feats["img2.png"].n_channels == 3
         resized = MM.resize_images(blobs, 8, 8).collect()
         assert all(len(r.content) == 8 * 8 * 3 for r in resized)
+
+
+class TestBilinearResize:
+    def test_constant_image_invariant(self):
+        from vnavc_spark.pipeline import multimodal as MM
+
+        img = np.full((10, 14, 3), 137, dtype=np.uint8)
+        out = MM.resize_bilinear(img, 7, 5)
+        assert out.shape == (5, 7, 3)
+        assert (out == 137).all()  # interpolation preserves constants
+
+    def test_gradient_smoother_than_nearest(self):
+        from vnavc_spark.pipeline import multimodal as MM
+
+        # horizontal ramp: bilinear upsample must be monotone and
+        # strictly smoother (smaller max step) than nearest
+        ramp = np.tile(np.arange(0, 256, 16, dtype=np.uint8), (4, 1))
+        big_b = MM.resize_bilinear(ramp, 64, 4).astype(int)
+        big_n = MM.resize_nearest(ramp, 64, 4).astype(int)
+        step_b = np.abs(np.diff(big_b[0])).max()
+        step_n = np.abs(np.diff(big_n[0])).max()
+        assert step_b < step_n
+        assert (np.diff(big_b[0]) >= 0).all()

@@ -102,3 +102,63 @@ def lookup(
     URLs ride in one row from the start."""
     d = F.broadcast(dim) if broadcast_dim else dim
     return facts.join(d, on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): attach to each
+    left row the LATEST right row with ``right.ts_col <= left.ts_col``
+    per key — left join semantics (no prior right row → NULL payload).
+
+    Implementation is the union trick, not a range join: tag both
+    sides, union, and carry the right payload forward with
+    ``last(payload, ignorenulls)`` over (key, ts, side) — right sorts
+    before left at equal ts, so ties match. The payload travels as ONE
+    struct so multi-column payloads stay row-atomic (independent
+    per-column ``last`` could stitch different right rows when a
+    payload field is legitimately NULL).
+
+    Scale: ONE shuffle on the key for both sides combined — no range
+    explosion, no per-key driver loop; skewed keys split by AQE.
+    Ties within right (same key, same ts) are caller-resolved —
+    pre-aggregate right to one row per (key, ts)."""
+    payload = [c for c in right.columns if c not in (on, ts_col)]
+    lcols = left.columns
+    l2 = left.select(
+        *lcols,
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}" for c in payload
+            ) + ">"
+        ).alias("_asof"),
+        F.lit(1).alias("_side"),
+    )
+    r2 = right.select(
+        F.col(on),
+        F.col(ts_col),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in (on, ts_col)
+        ],
+        F.struct(*payload).alias("_asof"),
+        F.lit(0).alias("_side"),
+    ).select(*lcols, "_asof", "_side")
+    u = l2.unionByName(r2)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_c", F.last("_asof", ignorenulls=True).over(w))
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_c.{c}").alias(f"{right_prefix}{c}") for c in payload],
+    )

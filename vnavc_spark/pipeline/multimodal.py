@@ -151,12 +151,36 @@ def image_features(
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-    """Deterministic nearest-neighbor resize (pure numpy — real, not
-    a stub; production would swap a filtered resampler)."""
+    """Deterministic nearest-neighbor resize (pure numpy) — the
+    byte-exact-reproducible default; ``resize_bilinear`` is the
+    filtered variant."""
     h, w = img.shape[:2]
     yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return img[yi][:, xi]
+
+
+def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Filtered resize: bilinear interpolation with half-pixel-center
+    sampling (the OpenCV/PIL convention), fully vectorized numpy —
+    deterministic, no per-pixel Python."""
+    h, w = img.shape[:2]
+    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    fx = np.clip(x - x0, 0.0, 1.0)
+    fy = np.clip(y - y0, 0.0, 1.0)
+    im = img.astype(np.float64)
+    if im.ndim == 2:
+        im = im[:, :, None]
+    top = im[y0][:, x0] * (1 - fx)[None, :, None] + im[y0][:, x1] * fx[None, :, None]
+    bot = im[y1][:, x0] * (1 - fx)[None, :, None] + im[y1][:, x1] * fx[None, :, None]
+    out = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if img.ndim == 2 else out
 
 
 RESIZED_SCHEMA = "path string, content binary, width int, height int"
@@ -167,16 +191,19 @@ def resize_images(
     out_w: int,
     out_h: int,
     decoder: ImageDecoder = default_image_decoder,
+    method: str = "nearest",
 ) -> DataFrame:
-    """Decode → nearest-neighbor resize → re-emit raw RGB bytes with
-    typed dimensions (binary stays a column here because resize IS
-    the payload transform; downstream writers partition it out)."""
+    """Decode → resize (``nearest`` or ``bilinear``) → re-emit raw
+    RGB bytes with typed dimensions (binary stays a column here
+    because resize IS the payload transform; downstream writers
+    partition it out)."""
+    rs = {"nearest": resize_nearest, "bilinear": resize_bilinear}[method]
 
     def _rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                img = resize_nearest(decoder(bytes(content)), out_w, out_h)
+                img = rs(decoder(bytes(content)), out_w, out_h)
                 rows.append(
                     {
                         "path": path,

@@ -1736,6 +1736,40 @@ def q52_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q53_asof_join",
+    oracle="""
+WITH l AS (SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+r AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             max(value) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT l.user_id, l.event_id, l.sec, l.value,
+       r.sec AS asof_err_sec, r.err_value AS asof_err_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec
+""",
+)
+def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively: for every event,
+    the user's latest error at-or-before it (classic point-in-time
+    lookup). Implemented as the union + last(ignorenulls) window
+    carry (ONE shuffle on the key, no range explosion); the oracle is
+    DuckDB's native ASOF LEFT JOIN, certifying the semantics
+    end-to-end. Right side pre-aggregated to one row per (key, sec)
+    so tie-breaks are deterministic on both engines."""
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    left = e.select("user_id", "event_id", sec.alias("sec"), "value")
+    right = (
+        e.filter(F.col("event_type") == "error")
+        .select("user_id", sec.alias("sec"), "value")
+        .groupBy("user_id", "sec")
+        .agg(F.max("value").alias("err_value"))
+        .withColumn("err_sec", F.col("sec"))
+    )
+    return joins.asof_join(left, right, on="user_id", ts_col="sec")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
