@@ -325,3 +325,28 @@ class TestStagedIvf:
             for r in similarity.ivf_topk_staged(queries, idx, k=20, nprobe=8).collect()
         }
         assert any(v >= 40 for v in wider)
+
+
+class TestArrowBucketsMatchCatalyst:
+    def test_same_buckets_both_engines(self, emb):
+        # hyperplane_sketch (Catalyst literal-plane fold) is the
+        # reference semantics; the Arrow bucketize must agree exactly
+        sub = emb.filter(F.col("vec_id") < 40)
+        cat = {
+            r.vec_id: r.b
+            for r in sub.select(
+                "vec_id",
+                similarity.hyperplane_sketch(
+                    F.col("embedding"), 64, 8, seed=43
+                ).alias("b"),
+            ).collect()
+        }
+        arrow = {
+            r.vec_a: r.bucket
+            for r in similarity._with_buckets(
+                sub, "vec_a", "vec_id", "embedding", 64, 8, tables=4
+            )
+            .filter(F.col("tbl") == 1)  # tbl 1 -> seed 43
+            .collect()
+        }
+        assert arrow == cat

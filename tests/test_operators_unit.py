@@ -184,3 +184,36 @@ class TestAsofJoin:
         )
         r = asof_join(left, right, on="user_id", ts_col="sec").first()
         assert r.asof_amount == 2 and r.asof_tag is None  # row at sec=20, whole
+
+
+class TestRangeJoin:
+    def test_matches_naive_between(self, spark):
+        from vnavc_spark.operators.joins import range_join
+
+        pts = spark.createDataFrame(
+            [(i, i * 7 % 100) for i in range(60)], ["pid", "d"]
+        )
+        ivs = spark.createDataFrame(
+            [(j, j * 13 % 80, j * 13 % 80 + 25) for j in range(20)],
+            ["iid", "d0", "d1"],
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(pts, ivs, "d", "d0", "d1", bucket_width=10).collect()
+        }
+        naive = {
+            (r.pid, r.iid)
+            for r in pts.join(
+                ivs, (F.col("d") >= F.col("d0")) & (F.col("d") <= F.col("d1"))
+            ).collect()
+        }
+        assert got == naive and len(got) > 0
+
+    def test_no_duplicate_pairs(self, spark):
+        from vnavc_spark.operators.joins import range_join
+
+        pts = spark.createDataFrame([(1, 50)], ["pid", "d"])
+        ivs = spark.createDataFrame([(9, 0, 100)], ["iid", "d0", "d1"])
+        # interval spans 11 buckets at width 10 — pair must appear ONCE
+        out = range_join(pts, ivs, "d", "d0", "d1", bucket_width=10).collect()
+        assert len(out) == 1

@@ -121,3 +121,9 @@ class TestCertifiedScalePaths:
         simple = explain_string(df, "simple")
         assert "array_intersect" in simple
         assert "shingle#" not in simple  # exploded-shingle join is gone
+
+    def test_range_join_is_equi_not_nested_loop(self, facts):
+        # the bucketized range join must plan as an equi-join; a raw
+        # BETWEEN join would be BroadcastNestedLoopJoin (O(P·I))
+        f = facts("q54_range_join")
+        assert f.nested_loop_joins == 0

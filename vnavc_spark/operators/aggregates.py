@@ -106,3 +106,40 @@ def rollup_stats(
         F.grouping_id().cast("int").alias("gid"),
         *[c.alias(n) for n, c in aggs.items()],
     )
+
+
+def rollup_cascade(
+    df,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    places: int = 2,
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+):
+    """Hypertable-style cascading time rollup: aggregate at the finest
+    grain, then each coarser level aggregates the PREVIOUS level's
+    partials — never the raw rows. Exactness holds because counts and
+    scaled-integer sums are associative (floor once per row, then sum
+    in any grouping order). At 100 TB the minute level is the only
+    pass over raw data; hour/day read partial tables that are orders
+    of magnitude smaller — the continuous-aggregate pattern.
+
+    Returns {level: DataFrame(bucket, n_events, scaled_sum)} with the
+    scaled integer EXPOSED so callers divide once at the edge."""
+    from pyspark.sql import functions as F
+
+    scale = float(10**places)
+    out = {}
+    cur = df.groupBy(
+        F.date_trunc(levels[0], ts_col).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col(value_col) * scale + F.lit(0.5))).alias("scaled_sum"),
+    )
+    out[levels[0]] = cur
+    for lvl in levels[1:]:
+        cur = cur.groupBy(F.date_trunc(lvl, "bucket").alias("bucket")).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("scaled_sum").alias("scaled_sum"),
+        )
+        out[lvl] = cur
+    return out

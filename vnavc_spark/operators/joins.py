@@ -162,3 +162,43 @@ def asof_join(
         *lcols,
         *[F.col(f"_c.{c}").alias(f"{right_prefix}{c}") for c in payload],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Range (interval-containment) join — Spark plans a raw
+    ``ON p BETWEEN s AND e`` as BroadcastNestedLoopJoin, O(|P|·|I|).
+
+    Scale-safe shape: quantize the axis into ``bucket_width`` buckets;
+    each interval explodes to the buckets it overlaps (⌈len/width⌉+1
+    rows), each point maps to exactly ONE bucket; an equi-join on the
+    bucket then an exact range filter. A (point, interval) pair meets
+    in exactly one bucket — the point's — so no dedup pass is needed.
+    Pick ``bucket_width`` ≈ typical interval length: candidate volume
+    is then O(matches + points·avg_intervals_per_bucket).
+
+    Columns of both inputs are preserved (names must not collide)."""
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width),
+                F.floor(F.col(end_col) / bucket_width),
+            )
+        ),
+    )
+    pt = points.withColumn("_b", F.floor(F.col(point_col) / bucket_width))
+    return (
+        pt.join(iv, on="_b")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )

@@ -1770,6 +1770,72 @@ def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.asof_join(left, right, on="user_id", ts_col="sec")
 
 
+@query(
+    "q54_range_join",
+    oracle="""
+WITH iv AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS d0,
+         date_diff('day', DATE '1970-01-01', o_orderdate) + 30 AS d1
+  FROM orders WHERE o_orderkey < 2000),
+pt AS (SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS d, l_quantity
+       FROM lineitem)
+SELECT o_orderkey,
+       count(*) AS n_shipments,
+       sum(floor(l_quantity * 100.0 + 0.5)) / 100.0 AS qty_in_window
+FROM iv JOIN pt ON pt.d >= iv.d0 AND pt.d <= iv.d1
+GROUP BY o_orderkey
+""",
+)
+def q54_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — Spark's planner turns a raw BETWEEN join into a
+    BroadcastNestedLoopJoin; this is the bucketized form (intervals
+    explode to overlapped buckets, points equi-join on their single
+    bucket, exact filter after). Certified against DuckDB running the
+    plain inequality join. Semantics: corpus-wide shipments falling in
+    each order's 30-day window."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    iv = o.select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("d0"),
+    ).withColumn("d1", F.col("d0") + 30)
+    pt = table(spark, sf_dir, "lineitem").select(
+        F.datediff("l_shipdate", F.lit("1970-01-01")).alias("d"), "l_quantity"
+    )
+    joined = joins.range_join(pt, iv, "d", "d0", "d1", bucket_width=30)
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipments"),
+        exact_sum(F.col("l_quantity"), 2).alias("qty_in_window"),
+    )
+
+
+@query(
+    "q55_rollup_cascade",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+       count(*) AS n_events,
+       sum(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
+FROM events GROUP BY date_trunc('day', ts)
+""",
+)
+def q55_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: minute partials from raw
+    rows, hour from minute, day from hour — each coarser level reads
+    only the previous level's partials (the continuous-aggregate
+    pattern; exact because counts and scaled-integer sums are
+    associative). The oracle aggregates raw rows directly at day
+    grain — hash equality PROVES the cascade loses nothing."""
+    from vnavc_spark.operators.aggregates import rollup_cascade
+
+    e = table(spark, sf_dir, "events")
+    day = rollup_cascade(e, "ts", "value", places=2)["day"]
+    return day.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        "n_events",
+        (F.col("scaled_sum") / 100.0).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
