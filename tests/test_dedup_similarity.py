@@ -350,3 +350,34 @@ class TestArrowBucketsMatchCatalyst:
             .collect()
         }
         assert arrow == cat
+
+
+class TestDedupClusters:
+    def test_transitive_chain_one_cluster(self, spark):
+        # A~B, B~C, D~E: components {A,B,C} and {D,E}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+        )
+        out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        # path graph 0-1-2-...-12: diameter 12, one component
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+        )
+        out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+        assert set(out.values()) == {0} and len(out) == 13
+
+    def test_drop_near_dups_keeps_representatives(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],
+            ["doc_id", "text"],
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+        )
+        kept = sorted(
+            r.doc_id for r in dedup.drop_near_dups(docs, pairs).collect()
+        )
+        assert kept == [1, 10, 99]  # reps of each cluster + untouched doc

@@ -628,3 +628,79 @@ def incremental_dedup_pairs(
     )
     subset = docs.join(cand_ids, on=id_col, how="left_semi")
     return jaccard_verify_pairs(cands, subset, id_col, text_col, n, threshold)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components) + keep-one
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    for every doc appearing in a pair, cluster_id = min doc id of its
+    component — the step that turns PAIRS into dedup GROUPS (A~B,
+    B~C ⇒ {A,B,C} keep one, even though A,C never paired directly).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup components are cliques or
+    short chains — diameter is tiny in practice; ``max_iters`` is a
+    pathological-chain backstop). Each round is one join + one
+    map-side-combinable min-agg; labels are localCheckpointed per
+    round so the plan stays flat instead of growing a 2^k lineage.
+    This is the simple form of the large-star/small-star CC
+    algorithm; same per-round shuffle shape."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def drop_near_dups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (the min id) per near-dup cluster —
+    the end-to-end corpus dedup: every doc in a cluster except its
+    representative is dropped; docs in no pair pass through."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

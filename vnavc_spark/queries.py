@@ -1836,6 +1836,50 @@ def q55_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q56_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+{_shingle_cte()},
+{_minhash_bands_sql(cap=1000)},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_c a JOIN bands_c b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id),
+p AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b),
+verified AS (
+  SELECT doc_a, doc_b FROM p
+  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION SELECT doc_b, doc_a FROM verified),
+reach AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""",
+)
+def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS — the step that turns verified pairs into
+    dedup groups via connected components (A~B, B~C ⇒ one group even
+    though A,C never paired): iterative min-label propagation, one
+    join + one min-agg per round, rounds = component diameter. The
+    oracle computes the same components with a recursive transitive-
+    closure CTE — hash equality certifies the clustering, not just
+    the pairs."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
+    return dedup.dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
