@@ -70,3 +70,14 @@ class TestIncrementalDedupCli:
 
     def test_incremental_requires_sig_dir(self, spark, capsys):
         assert main(["dedup", "--incremental", "--sf-dir", SF_SMALL]) == 2
+
+
+class TestExplainCli:
+    def test_explain_prints_plan_and_audit(self, spark, capsys):
+        assert main(["explain", "q01_region_revenue", "--sf-dir", SF_SMALL]) == 0
+        out = capsys.readouterr().out
+        assert "BroadcastHashJoin" in out or "broadcast=" in out
+        assert "-- audit:" in out
+
+    def test_explain_unknown(self, spark, capsys):
+        assert main(["explain", "nope"]) == 2

@@ -145,3 +145,26 @@ class TestSamplingProperties:
         assert got == {
             g: max(1, math.ceil(n * 0.07)) for g, n in sizes.items()
         }
+
+
+class TestAsofJoinProperty:
+    def test_random_asof_matches_naive(self, spark):
+        from vnavc_spark.operators.joins import asof_join
+
+        rng = random.Random(11)
+        left = [(f"u{rng.randint(0, 5)}", i, rng.randint(0, 200)) for i in range(300)]
+        right_raw = {
+            (f"u{rng.randint(0, 5)}", rng.randint(0, 200)): rng.randint(0, 999)
+            for _ in range(120)
+        }
+        right = [(k, t, v) for (k, t), v in right_raw.items()]
+        ldf = spark.createDataFrame(left, ["k", "lid", "t"])
+        rdf = spark.createDataFrame(right, ["k", "t", "v"])
+        got = {
+            r.lid: r.asof_v
+            for r in asof_join(ldf, rdf, on="k", ts_col="t").collect()
+        }
+        for k, lid, t in left:
+            cands = [(rt, v) for (rk, rt), v in right_raw.items() if rk == k and rt <= t]
+            expect = max(cands)[1] if cands else None
+            assert got[lid] == expect, (k, lid, t)

@@ -46,6 +46,27 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    from vnavc_spark.plans.audit import explain_string, plan_facts
+    from vnavc_spark.queries import all_queries
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = qs[args.name](spark, args.sf_dir)
+    print(explain_string(df, args.mode))
+    f = plan_facts(df)
+    print(
+        f"-- audit: broadcast={f.broadcast_joins} sortmerge={f.sortmerge_joins}"
+        f" nested_loop={f.nested_loop_joins} exchanges={f.exchanges}"
+        f" python_nodes={f.python_nodes} pushed_filters={len(f.pushed_filters)}"
+    )
+    return 0
+
+
 def cmd_sql(args) -> int:
     from vnavc_spark.io import register_views
 
@@ -134,6 +155,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     s.add_argument("--limit", type=int, default=20)
 
+    x = sub.add_parser("explain", help="physical plan + audit facts")
+    x.add_argument("name")
+    x.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    x.add_argument("--mode", default="formatted")
+
     t = sub.add_parser("text-stage", help="run the text pipeline")
     t.add_argument("--books", required=True, help="metadata_book.csv path")
     t.add_argument("--texts", required=True, help="dir of {name}.txt files")
@@ -155,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
         "list": cmd_list,
         "query": cmd_query,
         "sql": cmd_sql,
+        "explain": cmd_explain,
         "text-stage": cmd_text_stage,
         "dedup": cmd_dedup,
     }[args.cmd](args)

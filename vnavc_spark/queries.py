@@ -1880,6 +1880,51 @@ def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs)
 
 
+@query(
+    "q57_vocabulary",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY tok),
+t AS (SELECT sum(cnt) AS total FROM c)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS doc_freq,
+       CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+       cnt / (SELECT total FROM t) AS share
+FROM c
+QUALIFY row_number() OVER (ORDER BY cnt DESC, tok) <= 50
+""",
+)
+def q57_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table (Zipf view): top-50 tokens with count,
+    document frequency, rank, and corpus share — the standard first
+    look at any training corpus. Two map-side-combinable aggs + a
+    TakeOrdered top-k; the total rides in as a scalar subquery /
+    broadcast crossJoin."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    total = c.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "rank",
+            (F.col("cnt") / F.col("total")).alias("share"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
