@@ -1925,6 +1925,69 @@ def q57_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q58_tfidf_topterms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok
+  FROM documents WHERE doc_id < 100),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, sum(cnt) AS doc_len FROM tf GROUP BY doc_id),
+df AS (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         floor((CAST(tf.cnt * n.n_docs AS DOUBLE) /
+                CAST(dl.doc_len * df.doc_freq AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN n),
+r AS (SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored)
+SELECT doc_id, tok, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+)
+def q58_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top terms (keyword extraction / routing).
+    Uses the log-free RAW-idf form — tf·(N/df) computed as one
+    terminal division of exact integer products — because JVM
+    StrictMath and libm ``ln`` differ in the last ulp on ~2.5% of
+    inputs (measured), which would make a log-based oracle luck-
+    dependent; the log variant is a one-line swap where bit-exact
+    certification isn't needed. Shape: two map-side-combinable aggs +
+    broadcast N + per-doc top-k window."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("doc_len"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("doc_freq"))
+    n = dl.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dl, on="doc_id")
+        .join(dfreq, on="tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            stable_round(
+                (F.col("cnt") * F.col("n_docs")).cast("double")
+                / (F.col("doc_len") * F.col("doc_freq")).cast("double"),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
