@@ -217,3 +217,36 @@ class TestRangeJoin:
         # interval spans 11 buckets at width 10 — pair must appear ONCE
         out = range_join(pts, ivs, "d", "d0", "d1", bucket_width=10).collect()
         assert len(out) == 1
+
+
+class TestPackGreedy:
+    def test_budget_boundaries_and_oversize(self, spark):
+        from vnavc_spark.operators.ordering import pack_greedy
+
+        rows = [
+            ("s", 1, 80), ("s", 2, 100),   # 180 fits
+            ("s", 3, 30),                  # 210 > 200 -> new pack
+            ("s", 4, 500),                 # oversized -> own pack
+            ("s", 5, 10),
+        ]
+        df = spark.createDataFrame(rows, ["shard", "i", "toks"])
+        out = {
+            r.i: (r.pack_id, r.pack_pos)
+            for r in pack_greedy(df, "shard", "i", "toks", capacity=200).collect()
+        }
+        assert out[1] == (0, 0) and out[2] == (0, 1)
+        assert out[3] == (1, 0)
+        assert out[4] == (2, 0)  # 30+500 > 200 -> reset; 500 alone
+        assert out[5] == (3, 0)  # 500+10 > 200 -> reset again
+
+    def test_exact_fit_stays_in_pack(self, spark):
+        from vnavc_spark.operators.ordering import pack_greedy
+
+        rows = [("s", 1, 150), ("s", 2, 50), ("s", 3, 1)]
+        df = spark.createDataFrame(rows, ["shard", "i", "toks"])
+        out = {
+            r.i: r.pack_id
+            for r in pack_greedy(df, "shard", "i", "toks", capacity=200).collect()
+        }
+        assert out[1] == 0 and out[2] == 0  # 150+50 == 200, not >
+        assert out[3] == 1

@@ -71,3 +71,52 @@ def top_k(
     """orderBy+limit — physical plan is TakeOrderedAndProject (per-
     partition heap + single merge, no global sort)."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def pack_greedy(
+    df,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    capacity: int,
+):
+    """Sequence packing for LLM training prep: greedily pack items
+    (docs) into fixed token-budget packs, preserving order within
+    each shard — pack_id increments when adding the next item would
+    exceed ``capacity`` (an oversized single item still gets its own
+    pack).
+
+    The fold is inherently sequential WITHIN a shard and
+    embarrassingly parallel ACROSS shards — the standard production
+    layout (pack per language/domain/hash shard); a single global
+    order would serialize. One shuffle on the shard key; state per
+    group is two integers."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401 (API symmetry)
+
+    schema = (
+        f"{group_col} string, {order_col} long, {token_col} long, "
+        "pack_id long, pack_pos long"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        packs, positions = [], []
+        pack, running, pos = 0, 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if running > 0 and running + t > capacity:
+                pack += 1
+                running, pos = 0, 0
+            packs.append(pack)
+            positions.append(pos)
+            running += t
+            pos += 1
+        out = pdf[[group_col, order_col, token_col]].copy()
+        out["pack_id"] = packs
+        out["pack_pos"] = positions
+        return out
+
+    return df.select(group_col, order_col, token_col).groupBy(
+        group_col
+    ).applyInPandas(_pack, schema=schema)

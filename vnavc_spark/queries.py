@@ -1988,6 +1988,55 @@ def q58_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q59_sequence_packing",
+    oracle=f"""
+WITH RECURSIVE
+t AS (SELECT lang, doc_id, CAST({_TOK_COUNT_SQL} AS BIGINT) AS n_tokens
+      FROM documents),
+seq AS (SELECT lang, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS idx
+        FROM t),
+counts AS (SELECT lang, max(idx) AS n FROM seq GROUP BY lang),
+fold AS (
+  SELECT lang, CAST(0 AS BIGINT) AS idx, CAST(0 AS BIGINT) AS pack,
+         CAST(0 AS BIGINT) AS running, CAST(0 AS BIGINT) AS pos,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+         CAST(NULL AS BIGINT) AS out_pack, CAST(NULL AS BIGINT) AS out_pos
+  FROM counts
+  UNION ALL
+  SELECT f.lang, f.idx + 1,
+         CASE WHEN f.running > 0 AND f.running + s.n_tokens > 200
+              THEN f.pack + 1 ELSE f.pack END,
+         CASE WHEN f.running > 0 AND f.running + s.n_tokens > 200
+              THEN s.n_tokens ELSE f.running + s.n_tokens END,
+         CASE WHEN f.running > 0 AND f.running + s.n_tokens > 200
+              THEN 1 ELSE f.pos + 1 END,
+         s.doc_id, s.n_tokens,
+         CASE WHEN f.running > 0 AND f.running + s.n_tokens > 200
+              THEN f.pack + 1 ELSE f.pack END,
+         CASE WHEN f.running > 0 AND f.running + s.n_tokens > 200
+              THEN 0 ELSE f.pos END
+  FROM fold f JOIN seq s ON s.lang = f.lang AND s.idx = f.idx + 1)
+SELECT lang, doc_id, n_tokens, out_pack AS pack_id, out_pos AS pack_pos
+FROM fold WHERE doc_id IS NOT NULL
+""",
+)
+def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (LLM training prep): greedily pack docs into
+    200-token budget packs, order-preserving, sharded by lang —
+    sequential within a shard, parallel across shards (the production
+    layout; a global order would serialize). The oracle folds the
+    same greedy recurrence in a recursive CTE — full hash match of
+    every (doc → pack, position) assignment."""
+    from vnavc_spark.operators.ordering import pack_greedy
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", Q.token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_greedy(d, "lang", "doc_id", "n_tokens", capacity=200)
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
