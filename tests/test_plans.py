@@ -127,3 +127,12 @@ class TestCertifiedScalePaths:
         # BETWEEN join would be BroadcastNestedLoopJoin (O(P·I))
         f = facts("q54_range_join")
         assert f.nested_loop_joins == 0
+
+    def test_bm25_broadcasts_queries_no_python(self, facts):
+        # the query term set must broadcast onto the corpus tf table
+        # (the corpus never shuffles on the term key) and the whole
+        # scoring pipeline stays JVM-side
+        f = facts("q60_bm25_topk")
+        assert f.broadcast_joins >= 2  # query terms + corpus stats
+        assert f.nested_loop_joins <= 1  # the scalar (n_docs,total) carry
+        assert f.python_nodes == 0

@@ -1,0 +1,101 @@
+"""Lexical retrieval: BM25 scoring and top-k over a token corpus.
+
+The reference pipeline has no retrieval engine; this extends the
+engine for LLM training-data curation (query-driven corpus
+exploration, contamination triage, eval-set mining). Spark-first
+shape, sized for a 100 TB corpus:
+
+- term statistics (tf, doc length, document frequency, corpus size)
+  are map-side-combinable aggregations over the exploded token view —
+  one shuffle each, integer rows only;
+- the query term set is small by contract (a handful of query
+  strings) → broadcast equi-join on ``tok``; the corpus tf table is
+  never shuffled on the term key;
+- per-(query, doc) scores aggregate with a partial (map-side) sum of
+  scaled integers; top-k is a per-query window over (qid, doc_id,
+  score) rows — document text never rides any shuffle.
+
+BM25 idf uses the log-free rational form ``(N - df + 0.5)/(df + 0.5)``
+instead of ``ln(...)`` because JVM StrictMath and libm ``ln`` differ
+in the last ulp on ~2.5% of inputs (measured — see
+functions/portable.py), which would make cross-engine hash
+certification luck-dependent. Ranking is order-isomorphic for terms
+with df ≤ N/2 (the useful ones), and the ``ln`` form is a one-line
+swap where bit-exact certification isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vnavc_spark.functions.portable import exact_sum
+
+
+def term_frequencies(tokens: DataFrame, doc_col: str = "doc_id",
+                     tok_col: str = "tok") -> DataFrame:
+    """(doc, tok) → count. One map-side-combinable aggregation."""
+    return tokens.groupBy(doc_col, tok_col).agg(F.count("*").alias("cnt"))
+
+
+def bm25_topk(
+    tf: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    places: int = 6,
+) -> DataFrame:
+    """Score every (query, document) pair sharing a term; keep top-k
+    docs per query.
+
+    Parameters
+    ----------
+    tf : DataFrame(doc_id, tok, cnt) — corpus term frequencies.
+    queries : DataFrame(qid, tok) — distinct query terms; SMALL by
+        contract (broadcast).
+
+    Returns DataFrame(qid, doc_id, score, rnk) with ``rnk`` 1..k per
+    query, ties broken by doc_id.
+
+    The per-term partial score is rounded to ``places`` decimals and
+    summed as scaled integers (order-independent — see
+    functions/portable.exact_sum), so the result is bit-identical
+    across engines and partitionings.
+    """
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+
+    cnt = F.col("cnt").cast("double")
+    # dl/avgdl rendered rationally: (dl * n_docs) / total_len — one
+    # division of exact integer products (avgdl never materialized,
+    # so no compounding rounding).
+    len_norm = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+        "total_len"
+    ).cast("double")
+    sat = cnt * F.lit(k1 + 1.0) / (
+        cnt + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * len_norm)
+    )
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+
+    scored = (
+        tf.join(F.broadcast(queries), on="tok")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(dl, on="doc_id")
+        .join(dfreq, on="tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("qid", "doc_id")
+        .agg(exact_sum(sat * idf, places).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "doc_id", "score", "rnk")
+    )

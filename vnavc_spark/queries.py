@@ -2037,6 +2037,62 @@ def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(d, "lang", "doc_id", "n_tokens", capacity=200)
 
 
+@query(
+    "q60_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+q AS (SELECT DISTINCT doc_id AS qid, tok FROM toks
+      WHERE doc_id < 5 AND length(tok) >= 7),
+dl AS (SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY doc_id),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(floor((CAST(tf.cnt AS DOUBLE) * {1.2 + 1.0!r}
+                    / (CAST(tf.cnt AS DOUBLE)
+                       + {1.2!r} * ({1.0 - 0.75!r}
+                                    + {0.75!r} * (CAST(dl.dl * n.n_docs AS DOUBLE)
+                                                  / CAST(n.total_len AS DOUBLE))))
+                    * ((CAST(n.n_docs - df.df AS DOUBLE) + 0.5)
+                       / (CAST(df.df AS DOUBLE) + 0.5)))
+                   * 1000000.0 + 0.5)) / 1000000.0 AS score
+  FROM tf JOIN q USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.tok = df.tok CROSS JOIN n
+  WHERE tf.doc_id <> q.qid
+  GROUP BY q.qid, tf.doc_id),
+r AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scored)
+SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10
+""",
+)
+def q60_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval top-10 (corpus exploration /
+    contamination triage). Query term sets are the ≥7-char tokens of
+    docs 0-4 — small by contract, broadcast onto the corpus tf table
+    so the corpus never shuffles on the term key; per-(query, doc)
+    scores are map-side partial sums of scaled integers. The idf is
+    the log-free rational form (see operators/retrieval.py: JVM vs
+    libm ``ln`` differs in the last ulp, so a log-based oracle would
+    be luck-dependent)."""
+    from vnavc_spark.operators.retrieval import bm25_topk, term_frequencies
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    tf = term_frequencies(toks)
+    qset = (
+        toks.filter((F.col("doc_id") < 5) & (F.length("tok") >= 7))
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+    )
+    return bm25_topk(tf, qset, k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
