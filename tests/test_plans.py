@@ -136,3 +136,16 @@ class TestCertifiedScalePaths:
         assert f.broadcast_joins >= 2  # query terms + corpus stats
         assert f.nested_loop_joins <= 1  # the scalar (n_docs,total) carry
         assert f.python_nodes == 0
+
+    def test_duplicate_spans_gram_build_is_window_not_hof(self, spark):
+        # the 8-gram build must be lead() windows (codegen'd, one doc
+        # exchange reused by the island merge) — a transform()/slice()
+        # HOF here hits interpreted-lambda + projection-collapse traps
+        from vnavc_spark.plans.audit import explain_string
+
+        df = QS["q61_duplicate_spans"](spark, SF_SMALL)
+        f = plan_facts(df)
+        assert f.python_nodes == 0
+        simple = explain_string(df, "simple")
+        assert "lead(" in simple and "transform(" not in simple
+        assert f.exchanges <= 3

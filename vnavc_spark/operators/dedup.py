@@ -704,3 +704,75 @@ def drop_near_dups(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def duplicate_spans(
+    toks: DataFrame,
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    doc_col: str = "doc_id",
+    pos_col: str = "pos",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Substring-level exact dedup (the Lee-et-al. "Deduplicating
+    Training Data" shape, re-expressed MapReduce-style): find every
+    token n-gram that occurs ≥ ``min_count`` times corpus-wide, then
+    merge each document's duplicated positions into maximal spans.
+
+    Input: one row per token — (doc, pos, tok), ``pos`` 1-based.
+    Output: (doc, span_start, span_end, n_grams) per duplicated span.
+
+    Scale shape (100 TB):
+    - n-grams are built with ``lead()`` windows over (doc, pos) — no
+      higher-order functions (interpreted + projection-collapse traps)
+      and no text re-shuffle: the window exchange on ``doc`` is the
+      only place token strings move, and it is REUSED by the final
+      island merge, which partitions on the same key.
+    - the duplicate count shuffles (doc, pos, md5) rows only (~50 B);
+      a window count on the gram hash replaces agg + self-join (one
+      exchange instead of two over the same data).
+    - suffix arrays (the paper's exact-substring structure) don't
+      distribute; fixed-n gram fingerprints are the standard
+      shuffle-friendly approximation (n = 8 words here).
+    """
+    w = Window.partitionBy(doc_col).orderBy(pos_col)
+    parts = [F.col(tok_col)] + [
+        F.lead(tok_col, i).over(w) for i in range(1, n)
+    ]
+    grams = (
+        toks.select(
+            doc_col,
+            pos_col,
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            F.lead(tok_col, n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    dup = grams.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("cnt") >= min_count)
+    wd = Window.partitionBy(doc_col).orderBy(pos_col)
+    brk = F.when(
+        F.col(pos_col) - F.lag(pos_col).over(wd) > n, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = (
+        dup.select(doc_col, pos_col)
+        .withColumn("brk", brk)
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        islands.groupBy(doc_col, "island")
+        .agg(
+            F.min(pos_col).alias("span_start"),
+            (F.max(pos_col) + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(doc_col, "span_start", "span_end", "n_grams")
+    )

@@ -2093,6 +2093,56 @@ def q60_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(tf, qset, k=10)
 
 
+@query(
+    "q61_duplicate_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c="text")} AS x FROM documents),
+t AS (SELECT doc_id,
+             unnest([i for i in range(1, len(x) + 1)]) AS pos,
+             unnest(x) AS tok
+      FROM toks),
+g0 AS (SELECT doc_id, pos,
+              concat_ws(' ', tok,
+                        lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                        lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+                        lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+                        lead(tok, 7) OVER w) AS gram,
+              lead(tok, 7) OVER w AS t7
+       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+g AS (SELECT doc_id, pos, md5(gram) AS h FROM g0 WHERE t7 IS NOT NULL),
+c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM g),
+d AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),
+i AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM i)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + 7 AS span_end, count(*) AS n_grams
+FROM s GROUP BY doc_id, island
+""",
+)
+def q61_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. shape): every 8-token
+    gram occurring ≥2× corpus-wide, merged per document into maximal
+    duplicated spans. All-integer output — exact hash oracle. See
+    operators/dedup.duplicate_spans for the scale notes (lead-window
+    gram build, window-count dup filter, reused doc exchange)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(Q.tokens(Q.normalized_text("text"))).alias("p0", "tok"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "tok"
+    )
+    return dedup.duplicate_spans(toks, n=8)
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
