@@ -149,3 +149,11 @@ class TestCertifiedScalePaths:
         simple = explain_string(df, "simple")
         assert "lead(" in simple and "transform(" not in simple
         assert f.exchanges <= 3
+
+    def test_contamination_broadcasts_benchmark(self, facts):
+        # the benchmark gram set must broadcast; the corpus gram table
+        # joins in place (no shuffle on the hash key, no cross join)
+        f = facts("q62_contamination")
+        assert f.broadcast_joins >= 1
+        assert f.nested_loop_joins == 0
+        assert f.python_nodes == 0

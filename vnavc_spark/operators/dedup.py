@@ -706,6 +706,79 @@ def drop_near_dups(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def ngram_hashes(
+    toks: DataFrame,
+    *,
+    n: int = 8,
+    doc_col: str = "doc_id",
+    pos_col: str = "pos",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """(doc, pos, tok) rows → (doc, pos, h) where ``h`` is the md5 of
+    the n-token gram starting at ``pos``. Built with ``lead()``
+    windows — codegen'd JVM expressions, ONE exchange on the doc key
+    (reusable by any downstream per-doc stage), and no higher-order
+    functions (interpreted lambdas + projection collapse re-evaluate
+    the captured token array per element — the q25 20× trap)."""
+    w = Window.partitionBy(doc_col).orderBy(pos_col)
+    parts = [F.col(tok_col)] + [
+        F.lead(tok_col, i).over(w) for i in range(1, n)
+    ]
+    return (
+        toks.select(
+            doc_col,
+            pos_col,
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            F.lead(tok_col, n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
+def benchmark_contamination(
+    toks: DataFrame,
+    bench_pred: Column,
+    *,
+    n: int = 8,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check (the GPT-3/PaLM report style):
+    for each document of the held-out/benchmark subset, the fraction
+    of its distinct n-gram hashes that appear in ANY other document.
+
+    Returns (bench_id, n_grams, n_matched, containment) — one row per
+    benchmark doc with ≥1 gram; ``containment`` is a single terminal
+    division of exact integers (hash-portable).
+
+    Scale shape: the benchmark side is small by construction → its
+    gram set BROADCASTS onto the corpus gram table, which is joined
+    in place on the 32-B hash and never shuffled; per-bench counts
+    are map-side partial. 100 TB corpus × 10 MB benchmark is the
+    intended regime.
+    """
+    g = ngram_hashes(toks, n=n, doc_col=doc_col).select(doc_col, "h").distinct()
+    b = g.filter(bench_pred).select(
+        F.col(doc_col).alias("bench_id"), "h"
+    )
+    tot = b.groupBy("bench_id").agg(F.count("*").alias("n_grams"))
+    m = (
+        g.join(F.broadcast(b), on="h")
+        .filter(F.col(doc_col) != F.col("bench_id"))
+        .groupBy("bench_id")
+        .agg(F.countDistinct("h").alias("n_matched"))
+    )
+    return tot.join(m, on="bench_id", how="left").select(
+        "bench_id",
+        "n_grams",
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+        (
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("containment"),
+    )
+
+
 def duplicate_spans(
     toks: DataFrame,
     *,
@@ -736,19 +809,8 @@ def duplicate_spans(
       distribute; fixed-n gram fingerprints are the standard
       shuffle-friendly approximation (n = 8 words here).
     """
-    w = Window.partitionBy(doc_col).orderBy(pos_col)
-    parts = [F.col(tok_col)] + [
-        F.lead(tok_col, i).over(w) for i in range(1, n)
-    ]
-    grams = (
-        toks.select(
-            doc_col,
-            pos_col,
-            F.md5(F.concat_ws(" ", *parts)).alias("h"),
-            F.lead(tok_col, n - 1).over(w).alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    grams = ngram_hashes(
+        toks, n=n, doc_col=doc_col, pos_col=pos_col, tok_col=tok_col
     )
     dup = grams.withColumn(
         "cnt", F.count("*").over(Window.partitionBy("h"))

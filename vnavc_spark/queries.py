@@ -2143,6 +2143,54 @@ def q61_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(toks, n=8)
 
 
+@query(
+    "q62_contamination",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c="text")} AS x FROM documents),
+t AS (SELECT doc_id,
+             unnest([i for i in range(1, len(x) + 1)]) AS pos,
+             unnest(x) AS tok
+      FROM toks),
+g0 AS (SELECT doc_id, pos,
+              concat_ws(' ', tok,
+                        lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                        lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+                        lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+                        lead(tok, 7) OVER w) AS gram,
+              lead(tok, 7) OVER w AS t7
+       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+gd AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM g0 WHERE t7 IS NOT NULL),
+b AS (SELECT doc_id AS bench_id, h FROM gd WHERE doc_id % 97 = 0),
+tot AS (SELECT bench_id, count(*) AS n_grams FROM b GROUP BY bench_id),
+m AS (SELECT b.bench_id, count(DISTINCT gd.h) AS n_matched
+      FROM gd JOIN b USING (h) WHERE gd.doc_id <> b.bench_id
+      GROUP BY b.bench_id)
+SELECT bench_id, n_grams,
+       CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(coalesce(n_matched, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         AS containment
+FROM tot LEFT JOIN m USING (bench_id)
+""",
+)
+def q62_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination check: docs with doc_id % 97 == 0 play
+    the held-out benchmark; for each, the fraction of its distinct
+    8-gram hashes found in any other document. Benchmark gram set
+    broadcasts onto the corpus gram table (see
+    dedup.benchmark_contamination) — the corpus side never shuffles."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(Q.tokens(Q.normalized_text("text"))).alias("p0", "tok"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "tok"
+    )
+    return dedup.benchmark_contamination(
+        toks, F.col("doc_id") % 97 == 0, n=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
