@@ -68,3 +68,55 @@ def exact_k_global(
 def ceil_pct(n: int, pct: float, min_k: int = 1) -> int:
     """Driver-side helper mirroring the sample-size rule."""
     return max(min_k, math.ceil(n * pct))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain: str,
+    weight_col: str,
+    key: str | list[str],
+    total: int,
+    salt: str = "vnavc",
+    places: int = 6,
+) -> DataFrame:
+    """Temperature-based domain mixture resampling (the multilingual /
+    multi-source rebalancing rule: sample domain i proportionally to
+    ``vol_i^α`` with α = 0.5, so low-resource domains are up-weighted
+    relative to their raw share).
+
+    α is fixed at 0.5 because ``sqrt`` is IEEE exact-rounded — the
+    one power that hash-certifies across engines (``pow``/``exp`` are
+    transcendental and differ in the last ulp between JVM and libm);
+    for other temperatures swap the weight expression and accept a
+    rows-only check.
+
+    Shape: per-domain volume agg (map-side partial, integer sum) →
+    sqrt-weights as scaled integers (order-independent total) →
+    quota = floor(total·w/Σw) broadcast back → one window per domain
+    ranks rows by deterministic md5 hash order and keeps ``quota``.
+    The corpus shuffles ONCE on the domain key; quotas ride a
+    broadcast. Appends (quota, rk) columns.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    scale = float(10**places)
+    stats = df.groupBy(domain).agg(F.sum(weight_col).alias("_vol"))
+    weights = stats.select(
+        domain,
+        F.floor(
+            F.sqrt(F.col("_vol").cast("double")) * scale + F.lit(0.5)
+        ).alias("_w"),
+    )
+    tot = weights.agg(F.sum("_w").alias("_tot"))
+    quotas = weights.crossJoin(F.broadcast(tot)).select(
+        domain,
+        F.floor(
+            (F.lit(total) * F.col("_w")).cast("double")
+            / F.col("_tot").cast("double")
+        ).alias("quota"),
+    )
+    w = Window.partitionBy(domain).orderBy(_hash_order(keys, salt), *keys)
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(quotas), on=domain)
+        .filter(F.col("rk") <= F.col("quota"))
+    )

@@ -2191,6 +2191,45 @@ def q62_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q63_temperature_mixture",
+    oracle="""
+WITH s AS (SELECT source, sum(n_chars) AS vol FROM documents GROUP BY source),
+w AS (SELECT source,
+             CAST(floor(sqrt(CAST(vol AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               AS w
+      FROM s),
+t AS (SELECT sum(w) AS tot FROM w),
+q AS (SELECT source,
+             CAST(floor(CAST(200 * w AS DOUBLE) / CAST(tot AS DOUBLE))
+                  AS BIGINT) AS quota
+      FROM w CROSS JOIN t),
+r AS (SELECT source, doc_id,
+             CAST(row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5('vnavc' || CAST(doc_id AS VARCHAR)), doc_id)
+                  AS BIGINT) AS rk
+      FROM documents)
+SELECT r.source, r.doc_id, q.quota, r.rk
+FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+""",
+)
+def q63_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture (α = 0.5): resample 200 docs
+    across sources proportional to sqrt(char volume) — the standard
+    low-resource up-weighting rule for training mixes. sqrt is IEEE
+    exact-rounded, so the whole quota computation hash-certifies; the
+    per-source take is the deterministic md5 hash order shared with
+    q39. See operators/sampling.temperature_mixture."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    out = sampling.temperature_mixture(
+        d, domain="source", weight_col="n_chars", key="doc_id", total=200
+    )
+    return out.select("source", "doc_id", "quota", "rk")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
