@@ -2230,6 +2230,65 @@ def q63_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "quota", "rk")
 
 
+@query(
+    "q64_unigram_lm_gate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+j AS (SELECT toks.doc_id, c.c FROM toks JOIN c USING (tok)),
+p AS (SELECT doc_id, count(*) AS n_tok,
+             CAST(sum(CASE WHEN c >= 5 THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+             CAST(sum(c) AS BIGINT) AS freq_sum
+      FROM j GROUP BY doc_id)
+SELECT doc_id, n_tok, n_oov,
+       CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_rate,
+       CAST(freq_sum AS DOUBLE) / CAST(n_tok * total AS DOUBLE) AS mean_freq,
+       (CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE)) <= 0.25 AS keep
+FROM p CROSS JOIN t
+""",
+)
+def q64_unigram_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality gate, log-free (the KenLM-perplexity-filter
+    shape without transcendental functions): per-doc OOV rate against
+    a min-count-5 corpus vocabulary, plus mean corpus token frequency
+    — both exact integer sums with one terminal division, so the
+    whole filter hash-certifies (a real perplexity would need ``ln``,
+    which differs JVM vs libm in the last ulp). Scale shape: token
+    counts aggregate map-side; the count table joins back on the SAME
+    tok partitioning (exchange reuse), then one shuffle on doc_id."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    cnts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = cnts.agg(F.sum("c").cast("long").alias("total"))
+    per_doc = (
+        toks.join(cnts, on="tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.when(F.col("c") >= 5, 0).otherwise(1))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum("c").cast("long").alias("freq_sum"),
+        )
+    )
+    oov_rate = F.col("n_oov").cast("double") / F.col("n_tok").cast("double")
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tok",
+        "n_oov",
+        oov_rate.alias("oov_rate"),
+        (
+            F.col("freq_sum").cast("double")
+            / (F.col("n_tok") * F.col("total")).cast("double")
+        ).alias("mean_freq"),
+        (oov_rate <= 0.25).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
