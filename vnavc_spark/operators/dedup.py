@@ -838,3 +838,81 @@ def duplicate_spans(
         )
         .select(doc_col, "span_start", "span_end", "n_grams")
     )
+
+
+def chunk_dedup_reassemble(
+    toks: DataFrame,
+    *,
+    chunk: int = 25,
+    doc_col: str = "doc_id",
+    pos_col: str = "pos",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Paragraph/chunk-level exact dedup WITH corpus reassembly — the
+    step q61 stops short of: documents are split into fixed
+    ``chunk``-token windows (a pseudo-paragraph segmentation for flat
+    text; swap the chunk key for a real paragraph index when the
+    corpus has one), every chunk keeps only its globally-first
+    occurrence (min (doc, chunk_id) per md5), and each document is
+    re-built from its surviving chunks.
+
+    Returns (doc, n_chunks, n_kept, dedup_fp) where ``dedup_fp`` is
+    the md5 of the reassembled text — the full text itself stays
+    executor-side; only fingerprints reach the result.
+
+    Scale shape: ONE shuffle of token rows onto (doc, chunk_id) builds
+    chunks; the keep-first decision shuffles (doc, chunk_id, md5)
+    rows only — chunk text never rides the second exchange since the
+    window carries just the 32-B hash; reassembly reuses the chunk
+    build's doc partitioning. The per-chunk sort_array/transform
+    lambdas run over SMALL aggregated arrays (≤ chunk tokens), not
+    captured row-level expressions — no interpreted-HOF blowup.
+    """
+    chunk_id = F.floor(
+        (F.col(pos_col) - 1) / F.lit(float(chunk))
+    ).cast("long")
+    chunks = (
+        toks.withColumn("chunk_id", chunk_id)
+        .groupBy(doc_col, "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(pos_col, tok_col))
+                    ),
+                    lambda s: s[tok_col],
+                ),
+            ).alias("chunk_text")
+        )
+        .withColumn("h", F.md5("chunk_text"))
+    )
+    w = Window.partitionBy("h").orderBy(doc_col, "chunk_id")
+    k = chunks.withColumn("rn", F.row_number().over(w))
+    tot = chunks.groupBy(doc_col).agg(F.count("*").alias("n_chunks"))
+    kept = (
+        k.filter(F.col("rn") == 1)
+        .groupBy(doc_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("chunk_id", "chunk_text")
+                            )
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                )
+            ).alias("fp"),
+        )
+    )
+    return tot.join(kept, on=doc_col, how="left").select(
+        doc_col,
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("fp"), F.md5(F.lit(""))).alias("dedup_fp"),
+    )

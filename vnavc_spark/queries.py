@@ -2289,6 +2289,51 @@ def q64_unigram_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q65_chunk_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c="text")} AS x FROM documents),
+t AS (SELECT doc_id,
+             unnest([i for i in range(1, len(x) + 1)]) AS pos,
+             unnest(x) AS tok
+      FROM toks),
+ch AS (SELECT doc_id,
+              CAST(floor((pos - 1) / 25.0) AS BIGINT) AS chunk_id,
+              string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+       FROM t GROUP BY doc_id, CAST(floor((pos - 1) / 25.0) AS BIGINT)),
+h AS (SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS h FROM ch),
+k AS (SELECT doc_id, chunk_id, chunk_text,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id)
+               AS rn
+      FROM h),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM h GROUP BY doc_id),
+kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                md5(string_agg(chunk_text, chr(10) ORDER BY chunk_id)) AS fp
+         FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_chunks,
+       coalesce(kept.n_kept, 0) AS n_kept,
+       coalesce(kept.fp, md5('')) AS dedup_fp
+FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+""",
+)
+def q65_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/chunk-level exact dedup with reassembly: 25-token
+    pseudo-paragraphs, keep the globally-first occurrence of each
+    chunk, rebuild every doc and fingerprint the deduped text. The
+    step that actually PRODUCES the deduplicated corpus (q61 only
+    reports spans). See dedup.chunk_dedup_reassemble for the
+    shuffle-shape notes."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(Q.tokens(Q.normalized_text("text"))).alias("p0", "tok"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "tok"
+    )
+    return dedup.chunk_dedup_reassemble(toks, chunk=25)
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
