@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "q42_percentiles",
     "q44_distinct_counts",
     "q46_text_stage",
+    "q60_bm25_topk",
+    "q61_duplicate_spans",
+    "q65_chunk_dedup",
 ]
 
 
