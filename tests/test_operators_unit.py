@@ -250,3 +250,140 @@ class TestPackGreedy:
         }
         assert out[1] == 0 and out[2] == 0  # 150+50 == 200, not >
         assert out[3] == 1
+
+
+class TestTrainingDataOps:
+    """q60-q69 operator-level properties not visible to the oracle."""
+
+    def _toks(self, spark, texts):
+        from vnavc_spark.functions import quality as Q
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return df.select(
+            "doc_id",
+            F.posexplode(Q.tokens(Q.normalized_text("text"))).alias(
+                "p0", "tok"
+            ),
+        ).select(
+            "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "tok"
+        )
+
+    def test_duplicate_spans_short_docs_and_overlap_merge(self, spark):
+        from vnavc_spark.operators import dedup
+
+        shared = "one two three four five six seven eight nine ten"
+        toks = self._toks(
+            spark,
+            [
+                f"aa bb {shared} cc",
+                f"dd {shared} ee ff",
+                "too short",  # < 8 tokens: no grams, no spans
+            ],
+        )
+        spans = dedup.duplicate_spans(toks, n=8).collect()
+        docs = {r.doc_id for r in spans}
+        assert docs == {0, 1}
+        # the 10 shared tokens yield 3 overlapping duplicated grams
+        # that must merge into ONE maximal span of length 10
+        for r in spans:
+            assert r.span_end - r.span_start + 1 == 10
+            assert r.n_grams == 3
+
+    def test_cdc_chunks_edit_resilient_vs_fixed(self, spark):
+        from vnavc_spark.operators import dedup
+
+        base = " ".join(f"w{i % 37}x{i % 11}" for i in range(400))
+        shifted = "inserted token stream prefix " + base
+        toks = self._toks(spark, [base, shifted])
+        out = {
+            r.doc_id: r
+            for r in dedup.cdc_chunk_stats(toks, window=4).collect()
+        }
+        # a 4-token prefix insertion must NOT re-chunk the whole doc:
+        # the overwhelming majority of chunks still dedup against the
+        # unshifted original (fixed windows would share ~none)
+        assert out[0].n_dup_chunks >= 0.7 * out[0].n_chunks
+        fixed = {
+            r.doc_id: r
+            for r in dedup.chunk_dedup_reassemble(toks, chunk=25).collect()
+        }
+        shared_fixed = fixed[1].n_chunks - fixed[1].n_kept
+        assert shared_fixed <= 1  # fixed windows lose alignment
+
+    def test_chunk_dedup_reassemble_keep_first(self, spark):
+        from vnavc_spark.operators import dedup
+
+        text = " ".join(f"t{i}" for i in range(50))
+        toks = self._toks(spark, [text, text])
+        out = {
+            r.doc_id: r
+            for r in dedup.chunk_dedup_reassemble(toks, chunk=25).collect()
+        }
+        assert out[0].n_kept == out[0].n_chunks == 2
+        assert out[1].n_kept == 0  # every chunk seen first in doc 0
+        from pyspark.sql.functions import md5, lit
+
+        empty_fp = spark.range(1).select(md5(lit(""))).first()[0]
+        assert out[1].dedup_fp == empty_fp
+
+    def test_stratified_split_proportions_and_determinism(self, spark):
+        from vnavc_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(f"s{i % 2}", i) for i in range(200)], "source string, id long"
+        )
+        out = sampling.stratified_split(df, "source", "id")
+        counts = {
+            (r.source, r.split): r.c
+            for r in out.groupBy("source", "split")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        for s in ("s0", "s1"):
+            assert counts[(s, "train")] == 80
+            assert counts[(s, "val")] == 10
+            assert counts[(s, "test")] == 10
+        again = sampling.stratified_split(df, "source", "id")
+        assert (
+            out.orderBy("id").collect() == again.orderBy("id").collect()
+        )
+
+    def test_temperature_mixture_quota_bounds(self, spark):
+        from vnavc_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(f"d{i % 4}", i, (i % 4 + 1) * 100) for i in range(400)],
+            "dom string, id long, wt long",
+        )
+        out = sampling.temperature_mixture(
+            df, domain="dom", weight_col="wt", key="id", total=100
+        )
+        per = out.groupBy("dom").agg(F.count("*").alias("c")).collect()
+        total_taken = sum(r.c for r in per)
+        assert total_taken <= 100
+        assert total_taken >= 100 - 4  # floor() loses < 1 per domain
+        # sqrt temperature: heaviest domain takes < its raw share
+        c = {r.dom: r.c for r in per}
+        assert c["d3"] < 100 * (400 / 1000)
+
+    def test_bm25_prefers_matching_doc(self, spark):
+        from vnavc_spark.operators import retrieval
+
+        tf = spark.createDataFrame(
+            [
+                (1, "spark", 5),
+                (1, "shuffle", 2),
+                (2, "spark", 1),
+                (2, "pandas", 6),
+                (3, "pandas", 2),
+                (3, "shuffle", 4),
+            ],
+            "doc_id long, tok string, cnt long",
+        )
+        q = spark.createDataFrame(
+            [(99, "spark"), (99, "shuffle")], "qid long, tok string"
+        )
+        top = retrieval.bm25_topk(tf, q, k=3).orderBy("rnk").collect()
+        assert top[0].doc_id == 1  # matches both terms, high tf

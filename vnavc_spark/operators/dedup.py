@@ -916,3 +916,70 @@ def chunk_dedup_reassemble(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("fp"), F.md5(F.lit(""))).alias("dedup_fp"),
     )
+
+
+def cdc_chunk_stats(
+    toks: DataFrame,
+    *,
+    window: int = 4,
+    doc_col: str = "doc_id",
+    pos_col: str = "pos",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC shape, on tokens):
+    chunk boundaries fall AFTER any position whose trailing
+    ``window``-gram md5 ends in the hex digit '0' (expected chunk
+    length 16 tokens) — boundaries depend only on local content, so
+    unlike fixed windows (chunk_dedup_reassemble) they survive
+    insertions/deletions: an edited doc re-chunks identically outside
+    the edited neighborhood. Returns per-doc (doc, n_chunks,
+    n_dup_chunks) where a dup chunk appears ≥2× corpus-wide.
+
+    Scale/portability notes:
+    - the trailing gram is ``lag()`` windows over one (doc, pos)
+      exchange; the running boundary count reuses the same sort — no
+      self-join to shift flags;
+    - the boundary test is a SUBSTRING equality on the md5 hex ('0'
+      → 1/16 cut rate), sidestepping hex→int conversion (Spark
+      ``conv`` returns strings and differs from DuckDB's casts);
+    - only (doc, chunk_id, md5) rows reach the duplicate-count
+      shuffle.
+    """
+    w = Window.partitionBy(doc_col).orderBy(pos_col)
+    lags = [F.lag(tok_col, i).over(w) for i in range(window - 1, 0, -1)]
+    gram = F.concat_ws(" ", *lags, F.col(tok_col))
+    brk = F.when(
+        lags[0].isNotNull()
+        & (F.substring(F.md5(gram), 32, 1) == "0"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    f = toks.select(doc_col, pos_col, tok_col, brk.alias("brk"))
+    c = f.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    ch = c.groupBy(doc_col, "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(pos_col, tok_col))
+                    ),
+                    lambda s: s[tok_col],
+                ),
+            )
+        ).alias("h")
+    )
+    d = ch.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+    return d.groupBy(doc_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+    )

@@ -120,3 +120,29 @@ def temperature_mixture(
         .join(F.broadcast(quotas), on=domain)
         .filter(F.col("rk") <= F.col("quota"))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata: str,
+    key: str | list[str],
+    fractions: tuple[float, float] = (0.8, 0.9),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic stratified train/val/test split: within each
+    stratum rows are ranked by md5 hash order and cut at
+    ``floor(n·f)`` boundaries — exact per-stratum proportions, fully
+    reproducible (same salt → same split on any cluster layout), and
+    one window pass: a single shuffle on the stratum key, no
+    sampling retries. Appends a ``split`` column."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(strata).orderBy(_hash_order(keys, salt), *keys)
+    n = F.count("*").over(Window.partitionBy(strata))
+    rn = F.row_number().over(w)
+    lo, hi = fractions
+    return df.withColumn(
+        "split",
+        F.when(rn <= F.floor(n.cast("double") * F.lit(lo)), "train")
+        .when(rn <= F.floor(n.cast("double") * F.lit(hi)), "val")
+        .otherwise("test"),
+    )

@@ -2334,6 +2334,186 @@ def q65_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.chunk_dedup_reassemble(toks, chunk=25)
 
 
+@query(
+    "q66_stratified_split",
+    oracle="""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('split' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT source, doc_id,
+       CASE WHEN rn <= floor(CAST(n AS DOUBLE) * 0.8) THEN 'train'
+            WHEN rn <= floor(CAST(n AS DOUBLE) * 0.9) THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+""",
+)
+def q66_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 80/10/10 train/val/test split per
+    source — exact per-stratum proportions via hash-order ranks, one
+    window pass (single shuffle on the stratum key). See
+    operators/sampling.stratified_split."""
+    d = table(spark, sf_dir, "documents").select("source", "doc_id")
+    return sampling.stratified_split(
+        d, strata="source", key="doc_id"
+    ).select("source", "doc_id", "split")
+
+
+@query(
+    "q67_bpe_merge_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+wc AS (SELECT tok, count(*) AS cnt FROM toks
+       WHERE length(tok) >= 2 GROUP BY tok),
+c AS (SELECT tok, cnt,
+             unnest([i for i in range(1, len(string_split(tok, '')) + 1)])
+               AS pos,
+             unnest(string_split(tok, '')) AS ch
+      FROM wc),
+p0 AS (SELECT tok, cnt,
+              ch || lead(ch) OVER w AS pair,
+              lead(ch) OVER w AS nxt
+       FROM c WINDOW w AS (PARTITION BY tok ORDER BY pos)),
+p AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt,
+             count(DISTINCT tok) AS n_words
+      FROM p0 WHERE nxt IS NOT NULL GROUP BY pair),
+r AS (SELECT pair, cnt, n_words,
+             row_number() OVER (ORDER BY cnt DESC, pair) AS rnk FROM p)
+SELECT pair, cnt, n_words, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 50
+""",
+)
+def q67_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting (the first tokenizer-training
+    iteration): corpus-frequency-weighted counts of adjacent character
+    pairs inside words, top-50. Scale shape: the corpus collapses to
+    the DISTINCT-word table first (map-side combinable, ~vocab-sized),
+    so the char-level work is O(vocab · word_len), not O(corpus);
+    pairs come from a lead window per word — no HOFs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    wc = (
+        toks.filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    c = wc.select(
+        "tok", "cnt", F.posexplode(F.split(F.col("tok"), "")).alias("p0", "ch")
+    )
+    w = Window.partitionBy("tok").orderBy("p0")
+    p0 = c.select(
+        "tok",
+        "cnt",
+        F.concat("ch", F.lead("ch", 1).over(w)).alias("pair"),
+        F.lead("ch", 1).over(w).alias("nxt"),
+    )
+    p = (
+        p0.filter(F.col("nxt").isNotNull())
+        .groupBy("pair")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.countDistinct("tok").alias("n_words"),
+        )
+    )
+    wr = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        p.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 50)
+        .select("pair", "cnt", "n_words", "rnk")
+    )
+
+
+@query(
+    "q68_cdc_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c="text")} AS x FROM documents),
+t AS (SELECT doc_id,
+             unnest([i for i in range(1, len(x) + 1)]) AS pos,
+             unnest(x) AS tok
+      FROM toks),
+f AS (SELECT doc_id, pos, tok,
+             CASE WHEN lag(tok, 3) OVER w IS NOT NULL
+                   AND substr(md5(concat_ws(' ',
+                         lag(tok, 3) OVER w, lag(tok, 2) OVER w,
+                         lag(tok, 1) OVER w, tok)), 32, 1) = '0'
+                  THEN 1 ELSE 0 END AS brk
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+c AS (SELECT doc_id, pos, tok,
+             coalesce(sum(brk) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM f),
+ch AS (SELECT doc_id, chunk_id,
+              md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+       FROM c GROUP BY doc_id, chunk_id),
+d AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM ch)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM d GROUP BY doc_id
+""",
+)
+def q68_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup stats: rolling 4-gram md5
+    boundaries (FastCDC shape — edit-resilient, unlike q65's fixed
+    windows), chunk fingerprints, corpus-wide duplicate counts per
+    doc. See dedup.cdc_chunk_stats for the one-exchange lag-window
+    design."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(Q.tokens(Q.normalized_text("text"))).alias("p0", "tok"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "tok"
+    )
+    return dedup.cdc_chunk_stats(toks, window=4)
+
+
+@query(
+    "q69_label_centroids",
+    oracle="""
+WITH e AS (
+  SELECT label,
+         unnest([i for i in range(1, len(embedding) + 1)]) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings)
+SELECT label, dim,
+       (sum(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5)) / 1000000.0)
+         / count(*) AS centroid,
+       count(*) AS n
+FROM e GROUP BY label, dim
+""",
+)
+def q69_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the k-means/IVF building block
+    (similarity.py uses it inside Lloyd passes) exposed as an
+    oracle-checked query. Scaled-integer dimension sums make the
+    mean order-independent; one shuffle on (label, dim) with map-side
+    partial aggregation — vectors never move whole."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    )
+    return (
+        e.select(
+            "label",
+            (F.col("dim0") + 1).cast("long").alias("dim"),
+            F.col("v").cast("double").alias("v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (exact_sum(F.col("v"), 6) / F.count("*")).alias("centroid"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
