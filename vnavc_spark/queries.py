@@ -2514,6 +2514,69 @@ def q69_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_sql(iters: int = 10, scale: int = 1_000_000) -> str:
+    """Chained-CTE rendering of the integer power iteration — one CTE
+    pair per iteration, generated to stay bit-identical with
+    operators/graph.pagerank_integer."""
+    parts = [
+        f"""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+edges AS (SELECT event_type AS src, nxt AS dst, count(*) AS cnt
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+deg AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, edges.cnt, deg.deg
+      FROM edges JOIN deg USING (src)),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+n AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT node, {scale} // n AS pr FROM nodes CROSS JOIN n)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+s{i} AS (SELECT e.dst, CAST(sum((p.pr * e.cnt) // e.deg) AS BIGINT) AS s
+         FROM e JOIN pr{i - 1} p ON p.node = e.src GROUP BY e.dst),
+pr{i} AS (SELECT node,
+                 (15 * {scale}) // (100 * n)
+                   + (85 * coalesce(s{i}.s, 0)) // 100 AS pr
+          FROM nodes CROSS JOIN n
+          LEFT JOIN s{i} ON s{i}.dst = nodes.node)"""
+        )
+    parts.append(f"\nSELECT node AS event_type, pr FROM pr{iters}")
+    return "".join(parts)
+
+
+@query("q70_transition_pagerank", oracle=_pagerank_sql())
+def q70_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (which states do
+    user journeys revolve around). The distributed work is the edge
+    build — one window + one aggregation over the event log; the
+    5-node power iteration then runs on broadcast joins with integer
+    arithmetic, so all 10 iterations hash-certify bit-exactly (the
+    oracle unrolls them as chained CTEs). See
+    operators/graph.pagerank_integer."""
+    from vnavc_spark.operators.graph import pagerank_integer
+
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(wu).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pr = pagerank_integer(edges, iters=10)
+    return pr.select(F.col("node").alias("event_type"), "pr")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
