@@ -387,3 +387,26 @@ class TestTrainingDataOps:
         )
         top = retrieval.bm25_topk(tf, q, k=3).orderBy("rnk").collect()
         assert top[0].doc_id == 1  # matches both terms, high tf
+
+    def test_deletion_neighborhood_finds_planted_typos(self, spark):
+        from vnavc_spark.operators import dedup
+
+        wc = spark.createDataFrame(
+            [
+                ("shuffle", 100),
+                ("shufle", 3),     # deletion
+                ("shuffles", 5),   # insertion
+                ("shuffli", 2),    # substitution
+                ("spark", 50),     # unrelated
+                ("spawn", 9),      # distance 2 from spark — excluded
+            ],
+            "tok string, cnt long",
+        )
+        pairs = {
+            (r.tok_a, r.tok_b)
+            for r in dedup.deletion_neighborhood_pairs(wc).collect()
+        }
+        assert ("shuffle", "shufle") in pairs
+        assert ("shuffle", "shuffles") in pairs
+        assert ("shuffle", "shuffli") in pairs
+        assert not any("spark" in p or "spawn" in p for pair in pairs for p in pair)

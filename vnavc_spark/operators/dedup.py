@@ -983,3 +983,50 @@ def cdc_chunk_stats(
         .cast("long")
         .alias("n_dup_chunks"),
     )
+
+
+def deletion_neighborhood_pairs(
+    words: DataFrame,
+    *,
+    tok_col: str = "tok",
+    carry: tuple[str, ...] = ("cnt",),
+) -> DataFrame:
+    """SymSpell-style fuzzy pairing: every Levenshtein-distance-1
+    word pair, found by blocking on {word} ∪ {single-char deletions}
+    and verifying ``levenshtein == 1`` on candidates only — never an
+    all-pairs cross join. Input is an aggregated vocabulary table
+    (tok + carried stats); variants multiply it by ~word_len, which
+    is vocab-scale, not corpus-scale. Degenerate blocks (shared
+    boilerplate stems) can be pre-capped with ``cap_bucket_size``.
+
+    Returns (tok_a, <carry>_a, tok_b, <carry>_b) with tok_a < tok_b.
+    """
+    v = words.select(
+        tok_col,
+        *carry,
+        F.explode(
+            F.expr(
+                f"concat(transform(sequence(1, length({tok_col})),"
+                f" i -> concat(substring({tok_col}, 1, i - 1),"
+                f" substring({tok_col}, i + 1, length({tok_col})))),"
+                f" array({tok_col}))"
+            )
+        ).alias("var"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sel = [
+        F.col(f"a.{tok_col}").alias("tok_a"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+        F.col(f"b.{tok_col}").alias("tok_b"),
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+    ]
+    p = (
+        a.join(
+            b,
+            (F.col("a.var") == F.col("b.var"))
+            & (F.col(f"a.{tok_col}") < F.col(f"b.{tok_col}")),
+        )
+        .select(*sel)
+        .distinct()
+    )
+    return p.filter(F.levenshtein("tok_a", "tok_b") == 1)

@@ -7,7 +7,7 @@ under any partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vnavc_spark.functions.text import trailing_int
@@ -120,3 +120,24 @@ def pack_greedy(
     return df.select(group_col, order_col, token_col).groupBy(
         group_col
     ).applyInPandas(_pack, schema=schema)
+
+
+def morton_z16(x: Column, y: Column) -> Column:
+    """Morton (z-order) interleave of two 16-bit values into one
+    BIGINT — the space-filling-curve key behind lakehouse layout
+    clustering (Delta/Iceberg ``OPTIMIZE ZORDER``): sorting/range-
+    partitioning files by z keeps BOTH dimensions locally bounded per
+    file, so min/max footer stats prune scans on either predicate.
+
+    Pure integer magic-mask spreading (4 shift/mask steps per dim) —
+    bit-identical in any engine; mirror the same constants in SQL.
+    Inputs must already be reduced to 16 bits (`% 65536`)."""
+
+    def spread(v: Column) -> Column:
+        v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
+        v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
+        return v
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))

@@ -2577,6 +2577,107 @@ def q70_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("event_type"), "pr")
 
 
+@query(
+    "q71_zorder_layout",
+    oracle="""
+WITH b AS (
+  SELECT event_id, user_id % 65536 AS x,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 60) % 65536 AS y
+  FROM events),
+s1 AS (SELECT event_id, x, y,
+              ((x | (x << 8)) & 16711935) AS sx,
+              ((y | (y << 8)) & 16711935) AS sy FROM b),
+s2 AS (SELECT event_id, x, y,
+              ((sx | (sx << 4)) & 252645135) AS sx,
+              ((sy | (sy << 4)) & 252645135) AS sy FROM s1),
+s3 AS (SELECT event_id, x, y,
+              ((sx | (sx << 2)) & 858993459) AS sx,
+              ((sy | (sy << 2)) & 858993459) AS sy FROM s2),
+s4 AS (SELECT event_id, x, y,
+              ((sx | (sx << 1)) & 1431655765) AS sx,
+              ((sy | (sy << 1)) & 1431655765) AS sy FROM s3),
+z AS (SELECT event_id, x, y, (sx | (sy << 1)) AS z FROM s4)
+SELECT z // 67108864 AS bucket, count(*) AS n,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM z GROUP BY z // 67108864
+""",
+)
+def q71_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering (the Delta/Iceberg OPTIMIZE ZORDER
+    primitive): Morton-interleave (user_id, event-minute) into one
+    curve key and aggregate per 2^26-wide z-bucket — each bucket's
+    min/max bounds on BOTH dims stay tight, which is exactly the
+    footer-stats property that lets a 100 TB scan prune files on
+    either predicate. Pure integer projection + one agg; at scale
+    the write path is repartitionByRange(z) before the parquet sink.
+    See operators/ordering.morton_z16."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("x"),
+        (F.expr("unix_timestamp(ts) div 60") % 65536).alias("y"),
+    )
+    z = b.select(
+        "event_id", "x", "y",
+        ordering.morton_z16(F.col("x"), F.col("y")).alias("z"),
+    )
+    return (
+        z.groupBy(F.expr("z div 67108864").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+@query(
+    "q72_fuzzy_vocab_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+wc AS (SELECT tok, count(*) AS cnt FROM toks
+       WHERE length(tok) >= 4 GROUP BY tok),
+v AS (SELECT tok, cnt,
+             unnest(list_append(
+               [substr(tok, 1, i - 1) || substr(tok, i + 1, length(tok))
+                for i in range(1, length(tok) + 1)], tok)) AS var
+      FROM wc),
+p AS (SELECT DISTINCT a.tok AS tok_a, a.cnt AS cnt_a,
+                      b.tok AS tok_b, b.cnt AS cnt_b
+      FROM v a JOIN v b ON a.var = b.var AND a.tok < b.tok)
+SELECT tok_a, cnt_a, tok_b, cnt_b
+FROM p WHERE levenshtein(tok_a, tok_b) = 1
+""",
+)
+def q72_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary join — typo/variant detection via SymSpell
+    deletion-neighborhood blocking: each word blocks on {itself} ∪
+    {single-char deletions}, so every Levenshtein-distance-1 pair
+    shares a block key and the verify step (levenshtein == 1) runs
+    on candidates only — never an all-pairs cross join. Scale shape:
+    the corpus collapses to the distinct-word table first; variants
+    multiply vocab by ~word_len (bounded rows, ~vocab-sized);
+    degenerate blocks can be capped with dedup.cap_bucket_size. The
+    deletion transform runs over attribute columns of the aggregated
+    vocab (no captured-expression recompute trap)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    wc = (
+        toks.filter(F.length("tok") >= 4)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return dedup.deletion_neighborhood_pairs(wc).select(
+        "tok_a", "cnt_a", "tok_b", "cnt_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
