@@ -181,3 +181,49 @@ class TestIncrementalNeardupStream:
         }
         assert (1, 3) in pairs  # new doc matched against the STAGED corpus
         assert all(3 in p for p in pairs)  # only pairs touching new docs
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_attributes_within_window(self, spark, tmp_path):
+        import json as _json
+
+        clicks = tmp_path / "clicks"
+        buys = tmp_path / "buys"
+        clicks.mkdir()
+        buys.mkdir()
+        (clicks / "c1.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7, "event_type": "click", "value": 0.0},
+                    {"event_id": 2, "ts": "2024-01-01T10:00:00", "user_id": 8, "event_type": "click", "value": 0.0},
+                ]
+            )
+        )
+        (buys / "b1.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    # user 7: within the hour → attributed
+                    {"event_id": 10, "ts": "2024-01-01T10:30:00", "user_id": 7, "event_type": "purchase", "value": 5.0},
+                    # user 8: 2h later → outside the window
+                    {"event_id": 11, "ts": "2024-01-01T12:00:00", "user_id": 8, "event_type": "purchase", "value": 5.0},
+                ]
+            )
+        )
+        from vnavc_spark.streaming import ingest
+
+        l = ingest.read_json_stream(
+            spark, str(clicks), ingest.EVENT_STREAM_SCHEMA
+        )
+        r = ingest.read_json_stream(
+            spark, str(buys), ingest.EVENT_STREAM_SCHEMA
+        )
+        joined = ingest.interval_join(l, r, within="1 hour")
+        assert joined.isStreaming
+        q = ingest.start_parquet_append(
+            joined, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(str(tmp_path / "out")).collect()
+        assert [(x.user_id, x.lag_seconds) for x in out] == [(7, 1800)]

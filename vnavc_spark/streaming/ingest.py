@@ -198,3 +198,46 @@ def start_incremental_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (attribution shape):
+    pair every left event with right events for the same key that
+    land in ``(left_ts, left_ts + within]`` — e.g. click → purchase
+    attribution. Both sides carry a watermark, so the join state for
+    a left row is dropped once event time passes
+    ``left_ts + within + watermark`` — bounded state, the property
+    that makes stream-stream joins viable at all. Returns
+    (key, left_ts as lhs_ts, right_ts as rhs_ts, lag_seconds).
+    """
+    lhs = left.select(
+        F.col(key).alias("k"), F.col(left_ts).alias("lhs_ts")
+    ).withWatermark("lhs_ts", watermark)
+    rhs = right.select(
+        F.col(key).alias("k2"), F.col(right_ts).alias("rhs_ts")
+    ).withWatermark("rhs_ts", watermark)
+    cond = (
+        (F.col("k") == F.col("k2"))
+        & (F.col("rhs_ts") > F.col("lhs_ts"))
+        & (
+            F.col("rhs_ts")
+            <= F.col("lhs_ts") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lhs.join(rhs, cond, "inner").select(
+        F.col("k").alias(key),
+        "lhs_ts",
+        "rhs_ts",
+        (
+            F.unix_timestamp("rhs_ts") - F.unix_timestamp("lhs_ts")
+        ).alias("lag_seconds"),
+    )
