@@ -66,3 +66,36 @@ class TestBucketed:
         assert n == li.join(
             o, li.l_orderkey == o.o_orderkey
         ).count()
+
+
+class TestStageFormats:
+    def test_orc_and_jsonl_roundtrip(self, spark, tmp_path):
+        from vnavc_spark import staging
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
+        )
+        for fmt in ("orc", "json"):
+            p = str(tmp_path / fmt)
+            staging.stage_format(df, p, fmt=fmt)
+            back = staging.read_stage_format(spark, p, fmt=fmt)
+            if fmt == "json":  # row format: no schema in footer
+                back = back.select("id", "s", "v")
+            assert sorted(
+                (r.id, r.s, r.v) for r in back.collect()
+            ) == [(1, "a", 1.5), (2, "b", None)]
+
+    def test_orc_pushdown_reaches_scan(self, spark, tmp_path):
+        from vnavc_spark import staging
+        from vnavc_spark.plans.audit import plan_facts
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).withColumn("k", F.col("id") % 10)
+        p = str(tmp_path / "orc_push")
+        staging.stage_format(df, p, fmt="orc")
+        f = plan_facts(
+            staging.read_stage_format(spark, p, fmt="orc").filter(
+                F.col("k") == 3
+            )
+        )
+        assert any("k" in s for s in f.pushed_filters)

@@ -57,3 +57,29 @@ def read_stage(spark: SparkSession, path_or_table: str) -> DataFrame:
     if "/" in path_or_table:
         return spark.read.parquet(path_or_table)
     return spark.table(path_or_table)
+
+
+#: formats with a native JVM-side vectorized reader in this build —
+#: staging accepts any of them; parquet stays the default for its
+#: footer stats + dictionary encoding, ORC is the drop-in alternative
+#: (both columnar, splittable, predicate-pushdown capable), JSON-lines
+#: is the interchange escape hatch (row-oriented: no pushdown, no
+#: column pruning — boundary use only, never between hot stages).
+STAGE_FORMATS = ("parquet", "orc", "json")
+
+
+def stage_format(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Write a stage table in any supported interchange format."""
+    if fmt not in STAGE_FORMATS:
+        raise ValueError(f"unsupported stage format: {fmt}")
+    df.write.mode(mode).format(fmt).save(path)
+
+
+def read_stage_format(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    if fmt not in STAGE_FORMATS:
+        raise ValueError(f"unsupported stage format: {fmt}")
+    return spark.read.format(fmt).load(path)
