@@ -2678,6 +2678,222 @@ def q72_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q73_cohort_retention",
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events),
+f AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM d)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f GROUP BY cohort_day, day - cohort_day
+""",
+)
+def q73_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — users grouped by first-seen day, counted at
+    each day-offset they return (the standard product-analytics
+    retention triangle). The per-user cohort day comes from a window
+    min over the SAME user_id partitioning the final groupBy needs,
+    so one exchange feeds both; no join back to a cohort table. At
+    100 TB the distinct-count shuffles (cohort_day, offset, user_id)
+    triples only — never event payloads."""
+    e = table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    d = e.select("user_id", day.alias("day"))
+    f = d.withColumn("cohort_day", F.min("day").over(Window.partitionBy("user_id")))
+    return f.groupBy(
+        F.col("cohort_day").cast("long").alias("cohort_day"),
+        (F.col("day") - F.col("cohort_day")).cast("long").alias("day_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@query(
+    "q74_funnel_steps",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+v AS (SELECT user_id, min(sec) AS v_sec FROM s
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT s.user_id, min(s.sec) AS c_sec
+      FROM s JOIN v ON s.user_id = v.user_id AND s.sec > v.v_sec
+      WHERE s.event_type = 'click' GROUP BY s.user_id),
+p AS (SELECT s.user_id, min(s.sec) AS p_sec
+      FROM s JOIN c ON s.user_id = c.user_id AND s.sec > c.c_sec
+      WHERE s.event_type = 'purchase' GROUP BY s.user_id)
+SELECT 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+""",
+)
+def q74_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each step's cohort is
+    users whose step event strictly follows their previous step's
+    first event. Each stage is a per-user min-agg joined to the
+    previous stage's per-user row — the join right side is one row
+    per user (≪ events), so at scale these are shuffle-joins on
+    pre-aggregated tables, never event×event."""
+    e = table(spark, sf_dir, "events")
+    s = e.select("user_id", "event_type", F.unix_timestamp("ts").alias("sec"))
+    v = (
+        s.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("v_sec"))
+    )
+    c = (
+        s.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("sec") > F.col("v_sec"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("c_sec"))
+    )
+    p = (
+        s.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("sec") > F.col("c_sec"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("p_sec"))
+    )
+
+    def count_step(df: DataFrame, step: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(step).alias("step"), "n_users"
+        )
+
+    return (
+        count_step(v, "view")
+        .unionAll(count_step(c, "click"))
+        .unionAll(count_step(p, "purchase"))
+    )
+
+
+@query(
+    "q75_scd2_history",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+c AS (
+  SELECT user_id, event_type, event_id, sec,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY sec, event_id) AS prev_type
+  FROM s),
+chg AS (
+  SELECT user_id, event_type, event_id, sec FROM c
+  WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type, sec AS valid_from,
+       lead(sec) OVER
+         (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to
+FROM chg
+""",
+)
+def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse a per-user event stream into
+    change intervals — rows where the tracked attribute differs from
+    its predecessor open a version, lead() closes it (NULL = current).
+    Both windows partition on user_id with the same (sec, event_id)
+    order, so one exchange + one sort serve the lag, the filter, and
+    the lead; this is the standard dimension-table derivation from a
+    100 TB change log."""
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        "user_id", "event_type", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    chg = s.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("sec").alias("valid_from"),
+        F.lead("sec").over(w).alias("valid_to"),
+    )
+
+
+@query(
+    "q76_unpivot_measures",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         sum(floor(l_quantity * 100.0 + 0.5)) / 100.0 AS sum_qty,
+         sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 AS sum_price,
+         sum(floor(l_discount * 100.0 + 0.5)) / 100.0 AS sum_disc
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+""",
+)
+def q76_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of q19's pivot): a wide per-group
+    measure table becomes long (group, measure, value) rows via the
+    native ``DataFrame.unpivot`` — a zero-shuffle Expand node over the
+    already-aggregated (tiny) wide table, so the long form costs
+    nothing extra at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        exact_sum(F.col("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )
+
+
+@query(
+    "q77_trailing_window_avg",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS sv
+  FROM events)
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       (sum(sv) OVER w) / (100.0 * (count(*) OVER w)) AS avg_value
+FROM s
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def q77_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-window average (RANGE frame): per event, the mean
+    value over that user's preceding hour — the batch analog of a
+    sliding-window stream agg, and a frame Spark evaluates with one
+    exchange + sort per user partition. The frame is defined by the
+    ORDER value (not row position), so duplicate-timestamp peers are
+    included identically in any engine; the mean is a single division
+    of exact scaled-integer window sums, keeping the hash portable."""
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("sv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return s.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).cast("long").alias("n_trailing"),
+        (F.sum("sv").over(w) / (F.lit(100.0) * F.count("*").over(w))).alias(
+            "avg_value"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
