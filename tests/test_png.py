@@ -162,3 +162,74 @@ class TestBilinearResize:
         step_n = np.abs(np.diff(big_n[0])).max()
         assert step_b < step_n
         assert (np.diff(big_b[0]) >= 0).all()
+
+
+def _natural_img(seed: int, h: int = 48, w: int = 48) -> np.ndarray:
+    """Natural-image-like fixture: low-frequency random field (8×8
+    noise upsampled) — a decaying DCT spectrum, the regime pHash is
+    designed for. (Pure sinusoids are degenerate: most coefficients
+    sit AT the median and bits become numerical noise.)"""
+    from vnavc_spark.pipeline import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    small = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+    return MM.resize_bilinear(small, w, h)[..., None].repeat(3, axis=2)
+
+
+class TestPhash:
+    def test_identical_images_hash_equal(self):
+        from vnavc_spark.pipeline import multimodal as MM
+
+        img = _natural_img(1)
+        assert MM.phash64(img) == MM.phash64(img.copy())
+
+    def test_resize_invariance(self):
+        from vnavc_spark.pipeline import multimodal as MM
+
+        img = _natural_img(3, 64, 64)
+        big = MM.resize_bilinear(img, 128, 128)
+        h1, h2 = MM.phash64(img), MM.phash64(big)
+        assert bin((h1 ^ h2) & 0xFFFFFFFFFFFFFFFF).count("1") <= 6
+
+    def test_small_edit_near_distinct_content_far(self):
+        from vnavc_spark.pipeline import multimodal as MM
+
+        base = _natural_img(1)
+        edited = base.copy()
+        edited[:4, :4] = 255  # small local edit
+        other = _natural_img(2)
+        d_edit = bin(((MM.phash64(base) ^ MM.phash64(edited)) & 0xFFFFFFFFFFFFFFFF)).count("1")
+        d_other = bin(((MM.phash64(base) ^ MM.phash64(other)) & 0xFFFFFFFFFFFFFFFF)).count("1")
+        assert d_edit <= 6 < d_other
+
+    def test_spark_phash_near_dup_join(self, spark, tmp_path):
+        from vnavc_spark.operators.dedup import hamming_near_dups
+        from vnavc_spark.pipeline import multimodal as MM
+
+        base = _natural_img(1, 40, 40)
+        edited = base.copy()
+        edited[:3, :3] = 0
+        other = _natural_img(2, 40, 40)
+        for name, img in [("a.png", base), ("b.png", edited), ("c.png", other)]:
+            (tmp_path / name).write_bytes(P.encode_png(img))
+        blobs = MM.scan_blobs(spark, str(tmp_path), "*.png", "image")
+        hashed = MM.image_phash(blobs)
+        pairs = hamming_near_dups(
+            hashed, id_col="path", hash_col="phash", max_hamming=6
+        ).collect()
+        names = {
+            tuple(sorted((r.id_a.split("/")[-1], r.id_b.split("/")[-1])))
+            for r in pairs
+        }
+        assert names == {("a.png", "b.png")}
+
+    def test_hamming_near_dups_sign_bit(self, spark):
+        # hashes differing only in bit 63 (negative longs) must pair
+        from vnavc_spark.operators.dedup import hamming_near_dups
+
+        a = -(2**63)        # bit 63 only
+        b = -(2**63) + 1    # bits 63 and 0... differs in bit 0
+        df = spark.createDataFrame([(1, a), (2, b), (3, 12345)], "id long, h long")
+        pairs = hamming_near_dups(df, "id", "h", max_hamming=2).collect()
+        got = {(r.id_a, r.id_b, r.hamming) for r in pairs}
+        assert (1, 2, 1) in got and all(3 not in (x, y) for x, y, _ in got)

@@ -183,6 +183,62 @@ def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return out[:, :, 0] if img.ndim == 2 else out
 
 
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n×n), pure numpy."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash64(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
+    """64-bit perceptual hash (pHash): grayscale → bilinear resize to
+    32×32 → 2-D DCT-II → top-left ``hash_size``² low-frequency block
+    → bit i = coefficient > median. Robust to resizing, small edits,
+    and re-encoding — the image analog of SimHash; near-dup images
+    land within a small Hamming distance. Deterministic pure numpy
+    (matrix-multiply DCT), no scipy. Returned as a SIGNED int64 (two's
+    complement) so it round-trips a Spark ``long`` column."""
+    if img.ndim == 3:
+        g = img[..., :3].astype(np.float64).mean(axis=2)
+    else:
+        g = img.astype(np.float64)
+    size = hash_size * highfreq_factor
+    small = resize_bilinear(g.astype(np.uint8), size, size).astype(np.float64)
+    d = _dct_matrix(size)
+    low = (d @ small @ d.T)[:hash_size, :hash_size]
+    med = np.median(low)
+    bits = (low > med).flatten()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            val |= np.uint64(1) << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+PHASH_SCHEMA = "path string, phash long"
+
+
+def image_phash(
+    blobs: DataFrame, decoder: ImageDecoder = default_image_decoder
+) -> DataFrame:
+    """Decode image blobs → 64-bit perceptual hash per path. One
+    Arrow pass; downstream near-dup pairing is
+    ``operators.dedup.hamming_near_dups`` (Manku block join — never
+    an image×image cross join)."""
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"path": path, "phash": phash64(decoder(bytes(content)))}
+                for path, content in zip(pdf["path"], pdf["content"])
+            ]
+            yield pd.DataFrame(rows, columns=["path", "phash"])
+
+    return blobs.mapInPandas(_ph, schema=PHASH_SCHEMA)
+
+
 RESIZED_SCHEMA = "path string, content binary, width int, height int"
 
 
