@@ -381,3 +381,52 @@ class TestDedupClusters:
             r.doc_id for r in dedup.drop_near_dups(docs, pairs).collect()
         )
         assert kept == [1, 10, 99]  # reps of each cluster + untouched doc
+
+
+class TestSemDeDup:
+    def test_pairs_subset_of_bruteforce_with_recall(self, spark, emb):
+        from vnavc_spark.functions.portable import stable_round
+        from vnavc_spark.functions.vector import cosine
+
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        brute = {
+            (r.vec_a, r.vec_b)
+            for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a", "vec_b",
+                stable_round(cosine("ea", "eb"), 6).alias("score"),
+            )
+            .filter(F.col("score") >= 0.4)
+            .collect()
+        }
+        sem = {
+            (r.vec_a, r.vec_b)
+            for r in similarity.semdedup_pairs(
+                emb, threshold=0.4, n_cells=8
+            ).collect()
+        }
+        assert sem <= brute  # exact verify: no false positives
+        if brute:
+            # cluster-scoped comparison: high-cosine pairs mostly share
+            # the density cell their vectors define
+            assert len(sem) / len(brute) >= 0.3
+
+    def test_deterministic(self, emb):
+        p1 = sorted(
+            (r.vec_a, r.vec_b)
+            for r in similarity.semdedup_pairs(emb, 0.4, n_cells=8).collect()
+        )
+        p2 = sorted(
+            (r.vec_a, r.vec_b)
+            for r in similarity.semdedup_pairs(emb, 0.4, n_cells=8).collect()
+        )
+        assert p1 == p2
+
+    def test_keep_one_survivors(self, emb):
+        pairs = similarity.semdedup_pairs(emb, 0.4, n_cells=8).collect()
+        dropped = {r.vec_b for r in pairs}
+        kept = {r.vec_id for r in similarity.semdedup(emb, 0.4, n_cells=8).collect()}
+        total = {r.vec_id for r in emb.select("vec_id").collect()}
+        assert kept == total - dropped
+        assert kept  # never drops everything

@@ -490,10 +490,17 @@ def embedding_neardup_lsh(
     bv = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vec_b_vec"))
     cands = cands.join(av, on="vec_a").join(bv, on="vec_b")
 
-    # exact cosine verify, Arrow-vectorized with the same per-dim fold
-    # order as the Catalyst cosine()/DuckDB list_dot_product pair, so
-    # scores stay oracle-hash-identical (the candidate set is ~100×
-    # the output; interpreted HOF math here dominated the whole query)
+    return arrow_cosine_scores(cands).filter(F.col("score") >= threshold)
+
+
+def arrow_cosine_scores(cands: DataFrame) -> DataFrame:
+    """Exact cosine over candidate pairs (cols vec_a, vec_b,
+    vec_a_vec, vec_b_vec) → (vec_a, vec_b, score), Arrow-vectorized
+    with the same per-dim fold order as the Catalyst cosine()/DuckDB
+    list_dot_product pair, so scores stay oracle-hash-identical (the
+    candidate set is ~100× the output; interpreted HOF math here
+    dominated the whole query). Zero-norm rows are dropped, matching
+    cosine()'s NULL-for-zero-norm contract."""
     import numpy as np
 
     def _score(batches):
@@ -521,10 +528,7 @@ def embedding_neardup_lsh(
             )
             yield out[denom > 0]  # cosine() is NULL-for-zero-norm: drop
 
-    return (
-        cands.mapInPandas(_score, schema="vec_a long, vec_b long, score double")
-        .filter(F.col("score") >= threshold)
-    )
+    return cands.mapInPandas(_score, schema="vec_a long, vec_b long, score double")
 
 
 def embedding_norm_stats(
@@ -616,3 +620,67 @@ def ivf_topk_staged(
     return _ivf_probe_topk(
         assigned, centroids, queries, k, nprobe, id_col, vec_col, query_id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-scoped cosine pruning
+# ---------------------------------------------------------------------------
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_cells: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 2000,
+) -> DataFrame:
+    """Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings (deterministic
+    IVF build), then compare pairs WITHIN a cluster only — the
+    clusters bound the quadratic term to Σ n_c² ≪ N², which is the
+    whole trick. Complements ``embedding_neardup_lsh``: LSH buckets
+    catch high-cosine pairs per-table probabilistically; SemDeDup's
+    partition is data-adaptive (centroids follow density) and is the
+    published recipe for pruning semantically redundant web-scale
+    training corpora.
+
+    Scale shape: assignment is a broadcast argmin (map-side);
+    the self-join key is the cell id; oversized degenerate clusters
+    are capped (dropped members are the least discriminative — same
+    posture as the LSH bucket caps); the pair join shuffles
+    (cell, id, vec) rows, and exact cosine runs Arrow-vectorized on
+    candidate pairs only."""
+    from vnavc_spark.operators.dedup import cap_bucket_size
+
+    assigned, _ = ivf_index(
+        corpus, n_cells, refine_iters, id_col, vec_col
+    )
+    assigned = cap_bucket_size(assigned, ["cell"], max_cluster_size)
+    a = assigned.select(
+        "cell", F.col(id_col).alias("vec_a"), F.col(vec_col).alias("vec_a_vec")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vec_b_vec")
+    )
+    cands = a.join(b, on="cell").filter(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", "vec_a_vec", "vec_b_vec"
+    )
+    return arrow_cosine_scores(cands).filter(F.col("score") >= threshold)
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep-one filter: survivors after dropping, from every
+    semantic near-dup pair, the higher-id member (deterministic
+    keep-lowest rule; ids shuffle, vectors don't)."""
+    pairs = semdedup_pairs(
+        corpus, threshold, n_cells, id_col=id_col, vec_col=vec_col
+    )
+    drop = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    return corpus.join(drop, on=id_col, how="left_anti")

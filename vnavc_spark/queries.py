@@ -2678,6 +2678,20 @@ def q72_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q78_semdedup")
+def q78_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs from
+    k-means-cluster-scoped exact cosine — the published recipe for
+    pruning redundant web-scale training corpora. Rows-only check
+    (the iterative Lloyd build is not SQL-expressible); subset-of-
+    brute-force + recall + determinism are pinned in
+    tests/test_dedup_similarity.py::TestSemDeDup. Scale: quadratic
+    term bounded to Σ n_cell² with capped degenerate cells; see
+    operators/similarity.semdedup_pairs."""
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_pairs(e, threshold=0.45, n_cells=16)
+
+
 @query(
     "q73_cohort_retention",
     oracle="""
