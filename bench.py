@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "q60_bm25_topk",
     "q61_duplicate_spans",
     "q65_chunk_dedup",
+    "q73_cohort_retention",
+    "q75_scd2_history",
+    "q77_trailing_window_avg",
+    "q78_semdedup",
 ]
 
 

@@ -2908,6 +2908,117 @@ def q77_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@query(
+    "q79_table_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column,
+       count(*) - count({c}) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (the Deequ/ydata-profiling primitive):
+    per-column null count, exact distinct count, min, max — in ONE
+    scan of the table. All columns' aggregates ride a single global
+    agg (Catalyst plans multi-distinct via Expand: rows multiply by
+    the distinct-column count, but the scan and shuffle happen once);
+    the wide one-row result is exploded driver-free into long form.
+    min/max are cast AFTER aggregation so numeric ordering is used,
+    string rendering only at the end (BIGINT/VARCHAR render
+    identically in both engines; doubles would not — profile them via
+    scaled ints)."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_Z_M = "(s1 / (100.0 * n))"
+_Z_SD = f"sqrt(s2 / (10000.0 * n) - {_Z_M} * {_Z_M})"
+_Z_EXPR = f"((sv / 100.0 - {_Z_M}) / {_Z_SD})"
+
+
+@query(
+    "q80_outlier_zscore",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS sv
+  FROM events),
+g AS (
+  SELECT event_id, event_type, sv,
+         sum(sv) OVER (PARTITION BY event_type) AS s1,
+         sum(sv * sv) OVER (PARTITION BY event_type) AS s2,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM s)
+SELECT event_id, event_type, sv / 100.0 AS value_r,
+       floor({_Z_EXPR} * 1000000.0 + 0.5) / 1000000.0 AS z
+FROM g WHERE abs({_Z_EXPR}) >= 2.0
+""",
+)
+def q80_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped z-score outlier detection: events whose value is ≥ 2σ
+    from their event-type mean. Moments come from EXACT scaled-
+    integer window sums (s1, s2, n — order-independent), so mean/
+    stddev/z are a fixed scalar IEEE tree evaluated identically in
+    both engines (sqrt and division are correctly-rounded per IEEE —
+    no transcendental-libm divergence); the |z| ≥ 2 boundary is
+    therefore hash-safe. One exchange on event_type serves all three
+    window sums."""
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("sv"),
+    )
+    w = Window.partitionBy("event_type")
+    g = s.select(
+        "event_id",
+        "event_type",
+        "sv",
+        F.sum("sv").over(w).alias("s1"),
+        F.sum(F.col("sv") * F.col("sv")).over(w).alias("s2"),
+        F.count("*").over(w).alias("n"),
+    )
+    m = F.col("s1") / (F.lit(100.0) * F.col("n"))
+    sd = F.sqrt(F.col("s2") / (F.lit(10000.0) * F.col("n")) - m * m)
+    z = (F.col("sv") / F.lit(100.0) - m) / sd
+    return (
+        g.filter(F.abs(z) >= 2.0)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("sv") / 100.0).alias("value_r"),
+            stable_round(z, 6).alias("z"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
