@@ -234,26 +234,57 @@ def ivf_assign(
     vec_col: str = "embedding",
     out_col: str = "cell",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast
-    centroids × corpus scan → argmin). Centroid count is small by
-    construction, so this is a map-side pass."""
-    c = F.broadcast(
-        centroids.select(
-            F.col("cell").alias("_c"), F.col("centroid").alias("_cv")
-        )
+    """Assign each vector to its nearest centroid — a map-side Arrow
+    pass (centroids are collected driver-side and closed over: small
+    by construction, size-asserted). Replaces the crossJoin + HOF
+    cosine + window-argmin form: the interpreted-lambda cosine cost
+    was N×k per pass, and the window added an exchange on id; this is
+    one matmul-class batch op with ZERO shuffle.
+
+    Bit-compatible with the old plan: the per-dim fold runs
+    sequentially in index order (the exact IEEE tree of
+    ``functions/vector.cosine``), zero-norm pairs score -inf (the
+    HOF's NULL ordered last), and ``argmax`` takes the lowest cell on
+    exact ties — the (desc sim, asc cell) tie-break."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = centroids.select("cell", "centroid").collect()
+    if not rows or len(rows) > 4096:
+        raise ValueError(f"centroid set must be 1..4096 rows, got {len(rows)}")
+    rows.sort(key=lambda r: r.cell)
+    cells_np = np.array([r.cell for r in rows], dtype=np.int64)
+    cmat = np.array([list(r.centroid) for r in rows], dtype=np.float64)
+
+    src = vectors.select(id_col, vec_col)
+    out_schema = T.StructType(
+        list(src.schema.fields) + [T.StructField(out_col, T.IntegerType())]
     )
-    scored = vectors.crossJoin(c).select(
-        id_col,
-        vec_col,
-        F.col("_c"),
-        cosine(vec_col, "_cv").alias("_sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("_c"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col("_c").alias(out_col))
-    )
+
+    bb = np.zeros(len(rows))
+    for i in range(cmat.shape[1]):  # exact fold order for centroid norms
+        bb += cmat[:, i] * cmat[:, i]
+    nb = np.sqrt(bb)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ab = np.zeros((len(pdf), len(cells_np)))
+            aa = np.zeros(len(pdf))
+            for i in range(vmat.shape[1]):  # exact fold order per dim
+                ab += vmat[:, i : i + 1] * cmat[:, i][None, :]
+                aa += vmat[:, i] * vmat[:, i]
+            denom = np.sqrt(aa)[:, None] * nb[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom > 0, ab / denom, -np.inf)
+            best = np.argmax(sim, axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out[out_col] = cells_np[best].astype(np.int32)
+            yield out
+
+    return src.mapInPandas(_assign, schema=out_schema)
 
 
 def ivf_index(
@@ -656,16 +687,23 @@ def semdedup_pairs(
     assigned, _ = ivf_index(
         corpus, n_cells, refine_iters, id_col, vec_col
     )
-    assigned = cap_bucket_size(assigned, ["cell"], max_cluster_size)
-    a = assigned.select(
-        "cell", F.col(id_col).alias("vec_a"), F.col(vec_col).alias("vec_a_vec")
+    # (id, cell) only — tiny; localCheckpoint cuts the lineage so the
+    # Lloyd build runs ONCE (the cap window + both self-join sides
+    # reference this table; lazily it would re-cluster three times)
+    cells = assigned.select(id_col, "cell")
+    cells = cap_bucket_size(cells, ["cell"], max_cluster_size).localCheckpoint()
+    a = cells.select("cell", F.col(id_col).alias("vec_a"))
+    b = cells.select("cell", F.col(id_col).alias("vec_b"))
+    cands = (
+        a.join(b, on="cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
     )
-    b = assigned.select(
-        "cell", F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vec_b_vec")
-    )
-    cands = a.join(b, on="cell").filter(F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b", "vec_a_vec", "vec_b_vec"
-    )
+    # vectors join back by id AFTER the pair join — the cell self-join
+    # shuffles 16-byte id pairs, never the 256-byte vectors
+    av = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("vec_a_vec"))
+    bv = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vec_b_vec"))
+    cands = cands.join(av, on="vec_a").join(bv, on="vec_b")
     return arrow_cosine_scores(cands).filter(F.col("score") >= threshold)
 
 
