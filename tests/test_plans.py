@@ -157,3 +157,60 @@ class TestCertifiedScalePaths:
         assert f.broadcast_joins >= 1
         assert f.nested_loop_joins == 0
         assert f.python_nodes == 0
+
+
+class TestAnalyticsSuitePlans:
+    """q73-q80: the plan properties that matter at 100×."""
+
+    def test_cohort_window_and_groupby_share_exchange(self, facts):
+        # window min on user_id + groupBy(cohort_day, offset): exactly
+        # 2 exchanges (user partition, final agg) — no join back
+        f = facts("q73_cohort_retention")
+        assert f.exchanges <= 3  # user window + distinct-agg expand pair
+        assert f.broadcast_joins == 0 and f.nested_loop_joins == 0
+
+    def test_funnel_joins_preaggregated(self, facts):
+        f = facts("q74_funnel_steps")
+        assert f.nested_loop_joins == 0
+        # events scan prunes to the 3 needed cols
+        assert all("props" not in s and "value" not in s for s in f.read_schemas)
+
+    def test_scd2_single_sort_pipeline(self, facts):
+        f = facts("q75_scd2_history")
+        # lag + filter + lead share one user_id exchange
+        assert f.exchanges == 1 and f.python_nodes == 0
+
+    def test_unpivot_is_shuffle_free_after_agg(self, facts):
+        f = facts("q76_unpivot_measures")
+        # one partial+final agg exchange; Expand adds nothing
+        assert f.exchanges <= 1 and f.python_nodes == 0
+
+    def test_trailing_window_single_exchange(self, facts):
+        f = facts("q77_trailing_window_avg")
+        assert f.exchanges == 1 and f.python_nodes == 0
+
+    def test_semdedup_shuffles_ids_not_vectors(self, spark):
+        from vnavc_spark.operators import similarity
+        from vnavc_spark.io import table
+        from vnavc_spark.plans.audit import explain_string
+
+        e = table(spark, SF_SMALL, "embeddings")
+        plan = explain_string(
+            similarity.semdedup_pairs(e, 0.45, n_cells=8), "simple"
+        )
+        # the cell self-join must not carry embedding payloads
+        import re
+
+        join_lines = [
+            ln for ln in plan.splitlines() if "Join" in ln and "cell" in ln
+        ]
+        assert join_lines and all("embedding" not in ln for ln in join_lines)
+
+    def test_profile_single_scan(self, facts):
+        f = facts("q79_table_profile")
+        assert len(f.read_schemas) == 1  # ONE scan of orders
+        assert f.python_nodes == 0
+
+    def test_zscore_single_exchange(self, facts):
+        f = facts("q80_outlier_zscore")
+        assert f.exchanges == 1 and f.python_nodes == 0
