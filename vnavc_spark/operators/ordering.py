@@ -141,3 +141,46 @@ def morton_z16(x: Column, y: Column) -> Column:
         return v
 
     return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
+
+
+def ewma_per_key(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    x_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+):
+    """Exponentially-weighted moving average per key — the canonical
+    order-dependent recurrence (e₀ = x₀; eᵢ = α·xᵢ + (1-α)·eᵢ₋₁),
+    used for time-decayed user metrics / smoothed telemetry.
+
+    Sequential WITHIN a key, embarrassingly parallel ACROSS keys:
+    one shuffle on the key, then an in-order scalar fold per group.
+    Each step is the fixed IEEE tree ``α·x + (1-α)·e`` evaluated in
+    stream order, so the result is bit-reproducible and certifiable
+    against a DuckDB RECURSIVE CTE computing the identical fold
+    (see q81). Keep α a dyadic rational (0.25, 0.5 …) if you want
+    the multiplications exact as well."""
+    import pandas as pd
+
+    order_sql = ", ".join(f"{c} long" for c in order_cols)
+    schema = f"{key_col} long, {order_sql}, {x_col} double, {out_col} double"
+    beta = 1.0 - alpha
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        out, e = [], None
+        for x in pdf[x_col]:
+            x = float(x)
+            e = x if e is None else alpha * x + beta * e
+            out.append(e)
+        res = pdf[[key_col, *order_cols, x_col]].copy()
+        res[out_col] = out
+        return res
+
+    return (
+        df.select(key_col, *order_cols, x_col)
+        .groupBy(key_col)
+        .applyInPandas(_fold, schema=schema)
+    )

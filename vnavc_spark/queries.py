@@ -3019,6 +3019,106 @@ def q80_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q81_ewma",
+    oracle="""
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) / 100.0 AS x,
+         CAST(row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS BIGINT) AS rn
+  FROM events),
+r AS (
+  SELECT user_id, event_id, sec, rn, x AS e FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.sec, s.rn, 0.25 * s.x + 0.75 * r.e
+  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+SELECT user_id, event_id, sec,
+       floor(e * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM r
+""",
+)
+def q81_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (α = 0.25, dyadic so the step
+    multiplications are exact): an order-dependent recurrence no
+    window frame expresses — computed as a per-key Arrow fold whose
+    step is the fixed IEEE tree ``α·x + (1-α)·e`` in stream order.
+    The oracle replays the IDENTICAL fold via a DuckDB recursive CTE
+    (rn = rn+1 join), so the hash match certifies every intermediate
+    step, not just the final row. One shuffle on user_id."""
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        (F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long") / 100.0).alias(
+            "x"
+        ),
+    )
+    folded = ordering.ewma_per_key(
+        s.withColumn("ord_sec", F.col("sec")).select(
+            "user_id", "ord_sec", "event_id", F.col("x")
+        ),
+        key_col="user_id",
+        order_cols=["ord_sec", "event_id"],
+        x_col="x",
+        alpha=0.25,
+    )
+    return folded.select(
+        "user_id",
+        "event_id",
+        F.col("ord_sec").alias("sec"),
+        stable_round(F.col("ewma"), 6).alias("ewma"),
+    )
+
+
+@query(
+    "q82_inverted_index",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+p AS (
+  SELECT tok,
+         CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         list_sort(list_distinct(list(doc_id))) AS postings
+  FROM toks GROUP BY tok)
+SELECT tok, n_postings, doc_freq, postings
+FROM p
+WHERE doc_freq * 100 >= (SELECT count(*) FROM documents)
+  AND doc_freq * 10 <= (SELECT count(*) FROM documents) * 9
+""",
+)
+def q82_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the IR/search primitive behind BM25
+    retrieval, q60): token → sorted posting list + frequencies, for
+    the useful band defined RELATIVE to corpus size (1% ≤ df ≤ 90% —
+    boilerplate-universal and hapax terms are filtered, at any SF).
+    One tokenize pass, one shuffle on the term; the corpus count is a
+    broadcast one-row scalar. At 100 TB, postings for a hot term are
+    bounded by the df ceiling — shard longer lists by doc_id range."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    p = toks.groupBy("tok").agg(
+        F.count("*").alias("n_postings"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+    total = F.broadcast(d.agg(F.count("*").alias("n_docs")))
+    return (
+        p.crossJoin(total)
+        .filter(
+            (F.col("doc_freq") * 100 >= F.col("n_docs"))
+            & (F.col("doc_freq") * 10 <= F.col("n_docs") * 9)
+        )
+        .select("tok", "n_postings", "doc_freq", "postings")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
