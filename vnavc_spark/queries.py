@@ -3119,6 +3119,174 @@ def q82_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPS = ["the", "a", "of", "and", "to"]
+
+
+@query(
+    "q83_gopher_gate",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS BIGINT)
+           AS char_total
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         char_total,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS alpha_words,
+         CAST(len(list_intersect(
+           list_distinct(list_transform(words, x -> lower(x))),
+           {_STOPS!r})) AS BIGINT) AS stop_hits
+  FROM w)
+SELECT doc_id, n_words,
+       char_total / n_words AS mean_wl,
+       alpha_words / n_words AS alpha_frac,
+       stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 20 AND 80
+                  AND char_total / n_words >= 3.0
+                  AND char_total / n_words <= 5.5
+                  AND alpha_words / n_words >= 0.8
+                  AND stop_hits >= 2
+             THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM m
+""",
+)
+def q83_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length band, alphabetic-word
+    fraction, and minimum stopword hits — the published heuristic
+    suite for pruning web corpora before training (complements q51's
+    C4 gate). All pure Catalyst expressions over the raw (not
+    normalized) text; ratios are single divisions of exact integer
+    counts, so the pass/fail boundary is hash-identical in both
+    engines. Zero shuffle — this is a map-only scan gate."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    char_total = F.length(
+        F.regexp_replace(F.trim(F.col("text")), r"\s", "")
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        char_total.alias("char_total"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(words, F.lower)),
+                F.array(*[F.lit(s) for s in _STOPS]),
+            )
+        )
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    mean_wl = F.col("char_total") / F.col("n_words")
+    alpha_frac = F.col("alpha_words") / F.col("n_words")
+    passes = (
+        F.col("n_words").between(20, 80)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 5.5)
+        & (alpha_frac >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        mean_wl.alias("mean_wl"),
+        alpha_frac.alias("alpha_frac"),
+        "stop_hits",
+        F.when(passes, 1).otherwise(0).cast("long").alias("passes"),
+    )
+
+
+@query(
+    "q84_length_batches",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents),
+b AS (SELECT doc_id, n_tok, n_tok // 25 AS bucket FROM t),
+r AS (
+  SELECT doc_id, n_tok, bucket,
+         row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY md5('batch' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM b)
+SELECT doc_id, n_tok, CAST(bucket AS BIGINT) AS bucket,
+       CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+       CAST((rn - 1) % 8 AS BIGINT) AS pos_in_batch
+FROM r
+""",
+)
+def q84_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly (dynamic batching for training
+    efficiency): docs bucket by token-length band so each batch packs
+    similar-length sequences (minimal padding waste), then get a
+    deterministic md5-shuffled position → (batch_id, pos) within the
+    bucket. One exchange on the bucket key; batches of 8. The md5
+    order is the engine-portable seeded shuffle (q12's pattern)."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    b = d.select("doc_id", n_tok.alias("n_tok")).select(
+        "doc_id", "n_tok", F.expr("n_tok div 25").alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.concat(F.lit("batch"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    r = b.withColumn("rn", F.row_number().over(w))
+    return r.select(
+        "doc_id",
+        "n_tok",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr("(rn - 1) div 8").cast("long").alias("batch_id"),
+        ((F.col("rn") - 1) % 8).cast("long").alias("pos_in_batch"),
+    )
+
+
+@query(
+    "q85_training_shards",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         md5('shard' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents),
+s AS (
+  SELECT doc_id, hx,
+         CAST(ascii(substr(hx, 1, 1)) % 4 AS BIGINT) AS shard
+  FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+FROM s
+""",
+)
+def q85_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every doc
+    gets a pseudo-random shard (md5-derived — reproducible on any
+    cluster, no RNG state) and a shuffled position within it. This is
+    the write-order spec for a 100 TB training-data sink
+    (`repartitionByRange(shard, pos)` → one sorted file per shard);
+    the md5 hash order IS the shuffle, so re-runs and backfills
+    produce byte-identical shard manifests. One exchange on shard."""
+    d = table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string")))
+    s = d.select(
+        "doc_id",
+        hx.alias("hx"),
+        (F.ascii(F.substring(hx, 1, 1)) % 4).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return s.select(
+        "doc_id", "shard", (F.row_number().over(w) - 1).cast("long").alias("pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
