@@ -131,3 +131,55 @@ class TestSparkStage:
         assert len(rows["low.wav"].mel_mean) == 16
         assert rows["low.wav"].n_frames > 0
         assert rows["low.wav"].rms == pytest.approx(1 / np.sqrt(2), abs=0.01)
+
+
+class TestAudioFingerprint:
+    def _noise_clip(self, seed, sr=16000, secs=1.0):
+        rng = np.random.default_rng(seed)
+        # shaped noise: low-pass-ish random walk → structured spectrum
+        y = np.cumsum(rng.standard_normal(int(sr * secs))).astype(np.float64)
+        return (y / (np.abs(y).max() or 1.0) * 0.5).astype(np.float32)
+
+    def test_gain_invariance(self):
+        from vnavc_spark.pipeline.dsp import audio_fingerprint64
+
+        y = self._noise_clip(1)
+        assert audio_fingerprint64(y, 16000) == audio_fingerprint64(
+            (y * 0.25).astype(np.float32), 16000
+        )
+
+    def test_edit_near_distinct_far(self):
+        from vnavc_spark.pipeline.dsp import audio_fingerprint64
+
+        def ham(a, b):
+            return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+        y = self._noise_clip(1)
+        edited = y.copy()
+        edited[:800] = 0.0  # clip a 50 ms chunk
+        other = self._noise_clip(2)
+        fp = audio_fingerprint64(y, 16000)
+        assert ham(fp, audio_fingerprint64(edited, 16000)) <= 6
+        assert ham(fp, audio_fingerprint64(other, 16000)) > 6
+
+    def test_spark_near_dup_join(self, spark, tmp_path):
+        from vnavc_spark.operators.dedup import hamming_near_dups
+        from vnavc_spark.pipeline.audio import encode_wav
+        from vnavc_spark.pipeline.dsp import audio_fingerprint_stage
+
+        base = self._noise_clip(1)
+        edited = base.copy()
+        edited[:800] = 0.0
+        clips = {"a.wav": base, "b.wav": edited, "c.wav": self._noise_clip(5)}
+        for name, y in clips.items():
+            (tmp_path / name).write_bytes(encode_wav(y, 16000))
+        paths = spark.createDataFrame(
+            [(str(tmp_path / n),) for n in clips], "path string"
+        )
+        fps = audio_fingerprint_stage(paths)
+        pairs = hamming_near_dups(fps, "path", "afp", max_hamming=6).collect()
+        names = {
+            tuple(sorted((r.id_a.split("/")[-1], r.id_b.split("/")[-1])))
+            for r in pairs
+        }
+        assert names == {("a.wav", "b.wav")}

@@ -251,3 +251,50 @@ def spectral_features_stage(
             yield pd.DataFrame(rows)
 
     return df.select(path_col).mapInPandas(_features, schema=SPECTRAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (near-dup across recordings)
+# ---------------------------------------------------------------------------
+
+def audio_fingerprint64(y: np.ndarray, sr: int, n_bands: int = 65) -> int:
+    """64-bit spectral-shape fingerprint: mean mel-band energies over
+    the whole clip, bit i = energy[i] > energy[i+1] (Haitsma-Kalker's
+    band-difference sign, collapsed over time). GAIN-INVARIANT (a
+    volume change scales every band equally, preserving each
+    comparison) and robust to short edits (means move little); clips
+    with different spectral content land far in Hamming space. The
+    audio analog of ``multimodal.phash64`` — pair with
+    ``dedup.hamming_near_dups``. Returned as signed int64."""
+    if len(y) == 0:
+        return 0
+    mag = stft_magnitude(y)
+    fb = mel_filterbank(sr, 1024, n_bands)
+    band_mean = (mag @ fb.T).mean(axis=0)
+    val = np.uint64(0)
+    for i in range(n_bands - 1):
+        if band_mean[i] > band_mean[i + 1]:
+            val |= np.uint64(1) << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+FINGERPRINT_SCHEMA = "path string, afp long"
+
+
+def audio_fingerprint_stage(df, path_col: str = "path"):
+    """Per-file 64-bit audio fingerprint (path-not-payload: only the
+    8-byte hash shuffles; near-dup pairing is the Manku block join)."""
+    import pandas as pd
+
+    from vnavc_spark.pipeline.audio import decode_wav
+
+    def _fp(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf[path_col]:
+                with open(p, "rb") as fh:
+                    y, sr = decode_wav(fh.read())
+                rows.append({"path": p, "afp": audio_fingerprint64(y, sr)})
+            yield pd.DataFrame(rows, columns=["path", "afp"])
+
+    return df.select(path_col).mapInPandas(_fp, schema=FINGERPRINT_SCHEMA)
