@@ -302,8 +302,14 @@ def ivf_index(
     centroids — a uniform hash-order sample, reproducible on any
     cluster. Each Lloyd refinement is two DataFrame passes: assign
     (broadcast argmin) + recompute means (posexplode → groupBy(cell,
-    dim) → rebuild arrays). Iterations are a driver-side loop over
-    lazy plans — at scale, persist assignments between iterations.
+    dim) → rebuild arrays). The per-dimension mean is an
+    ORDER-INDEPENDENT scaled-integer sum (``exact_sum``), not
+    ``F.avg`` over doubles: partial-aggregation order varies with
+    partitioning, so a plain double mean is not even run-to-run
+    stable on a cluster — and it is what makes the whole build
+    SQL-expressible for the DuckDB oracle (q45). Iterations are a
+    driver-side loop over lazy plans — at scale, persist assignments
+    between iterations.
     """
     seeds = (
         corpus.select(id_col, vec_col)
@@ -323,7 +329,11 @@ def ivf_index(
         )
         means = (
             exploded.groupBy("cell", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(
+                (exact_sum(F.col("val").cast("double"), 6) / F.count("*")).alias(
+                    "m"
+                )
+            )
             .groupBy("cell")
             .agg(
                 F.transform(
@@ -388,7 +398,9 @@ def _ivf_probe_topk(
             query_id_col,
             "q_vec",
             "cell",
-            cosine("q_vec", "centroid").alias("_sim"),
+            # rounded to 1e-6 so the probe choice is portable across
+            # engines (ties break on asc cell — deterministic)
+            _stable_round(cosine("q_vec", "centroid"), 6).alias("_sim"),
         )
         .withColumn(
             "_rn",

@@ -946,12 +946,61 @@ def q29_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_norm_stats(table(spark, sf_dir, "embeddings"))
 
 
-@query("q30_lsh_ann")  # approximate — rows-only check (no SQL oracle)
+def _lsh_bucket_sql(seed: int, bits: int = 8, dim: int = 64) -> str:
+    """SQL mirror of ``similarity.hyperplane_sketch``: the SAME
+    md5-derived literal planes, the same left-to-right dot-product
+    fold, the same ``>= 0`` sign rule — bucket ids are bit-identical
+    across engines."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(e, {similarity.hyperplane_sql(seed, b, dim)})"
+        f" >= 0 THEN {2**b} ELSE 0 END)"
+        for b in range(bits)
+    )
+
+
+def _lsh_ann_sql(
+    tables: int = 4, bits: int = 8, dim: int = 64, k: int = 10
+) -> str:
+    """DuckDB mirror of ``similarity.lsh_topk`` (queries = vec_id<5):
+    bucket ids from the shared md5-literal planes, candidate bucket
+    equi-join, exact cosine rerank, per-query row_number rank."""
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, {_lsh_bucket_sql(42 + t, bits, dim)}"
+        f" AS bucket FROM v"
+        for t in range(tables)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS ({bucket_rows}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         floor((list_dot_product(vq.e, vc.e) /
+                (sqrt(list_dot_product(vq.e, vq.e)) *
+                 sqrt(list_dot_product(vc.e, vc.e)))) * 1000000.0 + 0.5)
+           / 1000000.0 AS score
+  FROM cand JOIN v vq ON vq.vec_id = cand.query_id
+            JOIN v vc ON vc.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+@query("q30_lsh_ann", oracle=_lsh_ann_sql())
 def q30_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets + exact
     rerank — the 100 TB scale path (bucket equi-join replaces the
-    full scan). Approximate by construction → no SQL oracle; recall
-    vs q28 is asserted in tests/test_similarity.py."""
+    full scan). FULLY oracle-checked (not rows-only): the planes are
+    md5-derived literals shared with the DuckDB SQL, so buckets,
+    candidates, scores, and ranks hash-match byte-for-byte; recall
+    vs exact q28 is additionally asserted in tests."""
     emb = table(spark, sf_dir, "embeddings")
     out = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -1115,18 +1164,6 @@ def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(cosine("ea", "eb"), 6).alias("score"),
         )
         .filter(F.col("score") >= 0.45)
-    )
-
-
-def _lsh_bucket_sql(seed: int, bits: int = 8, dim: int = 64) -> str:
-    """SQL mirror of ``similarity.hyperplane_sketch``: the SAME
-    md5-derived literal planes, the same left-to-right dot-product
-    fold, the same ``>= 0`` sign rule — bucket ids are bit-identical
-    across engines."""
-    return " + ".join(
-        f"(CASE WHEN list_dot_product(e, {similarity.hyperplane_sql(seed, b, dim)})"
-        f" >= 0 THEN {2**b} ELSE 0 END)"
-        for b in range(bits)
     )
 
 
@@ -1479,13 +1516,95 @@ def q44_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q45_ivf_ann")  # approximate — rows-only check (no SQL oracle)
+def _ivf_cell_sql(vecs: str, cents: str) -> str:
+    """One broadcast-argmin assignment pass as SQL: nearest centroid
+    per vector (cosine; zero-norm pairs sink to -inf; exact ties take
+    the lowest cell — numpy argmax-first-occurrence semantics)."""
+    return f"""(
+  SELECT vec_id, e, cell FROM (
+    SELECT t.vec_id, t.e, c.cell,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY CASE WHEN (sqrt(list_dot_product(t.e, t.e)) *
+                                 sqrt(list_dot_product(c.centroid, c.centroid))) > 0
+                      THEN list_dot_product(t.e, c.centroid) /
+                           (sqrt(list_dot_product(t.e, t.e)) *
+                            sqrt(list_dot_product(c.centroid, c.centroid)))
+                      ELSE CAST('-infinity' AS DOUBLE) END DESC NULLS LAST,
+                      c.cell) AS rn
+    FROM {vecs} t CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+
+def _ivf_index_ctes(n_cells: int, dim: int = 64) -> str:
+    """DuckDB mirror of ``similarity.ivf_index`` (one Lloyd
+    refinement): md5-hash-order seeds → broadcast-argmin assign →
+    scaled-integer per-dimension means (the order-independent form
+    ``ivf_index`` uses, so both engines compute identical centroids)
+    → reassign. Ends with ``a2(vec_id, e, cell)`` and
+    ``c1(cell, centroid)``."""
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+seeds AS (SELECT vec_id, e FROM v
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+              e AS centroid FROM seeds),
+a1 AS {_ivf_cell_sql("v", "c0")},
+ex AS (SELECT cell, i - 1 AS pos, e[CAST(i AS INT)] AS val
+       FROM a1 CROSS JOIN range(1, {dim + 1}) t(i)),
+m AS (SELECT cell, pos,
+             sum(floor(val * 1000000.0 + 0.5)) / 1000000.0 / count(*) AS mv
+      FROM ex GROUP BY cell, pos),
+c1 AS (SELECT cell, list(mv ORDER BY pos) AS centroid FROM m GROUP BY cell),
+a2 AS {_ivf_cell_sql("v", "c1")}"""
+
+
+def _ivf_ann_sql(
+    n_cells: int = 8, nprobe: int = 3, k: int = 10, dim: int = 64
+) -> str:
+    """DuckDB mirror of ``similarity.ivf_topk`` (queries=vec_id<5):
+    deterministic index build (see ``_ivf_index_ctes``), probe the
+    ``nprobe`` best cells per query (1e-6-rounded centroid cosine,
+    ties → lowest cell), exact rerank inside probed cells."""
+    return f"""
+WITH {_ivf_index_ctes(n_cells, dim)},
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
+qc AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY floor((list_dot_product(q.qv, c.centroid) /
+                             (sqrt(list_dot_product(q.qv, q.qv)) *
+                              sqrt(list_dot_product(c.centroid, c.centroid))))
+                            * 1000000.0 + 0.5) / 1000000.0 DESC NULLS LAST,
+                      c.cell) AS rn
+    FROM q CROSS JOIN c1 c) WHERE rn <= {nprobe}),
+scored AS (
+  SELECT qc.query_id, a2.vec_id AS neighbor_id,
+         floor((list_dot_product(qc.qv, a2.e) /
+                (sqrt(list_dot_product(qc.qv, qc.qv)) *
+                 sqrt(list_dot_product(a2.e, a2.e)))) * 1000000.0 + 0.5)
+           / 1000000.0 AS score
+  FROM qc JOIN a2 USING (cell) WHERE qc.query_id <> a2.vec_id),
+r AS (SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC NULLS LAST, neighbor_id)
+               AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+@query("q45_ivf_ann", oracle=_ivf_ann_sql())
 def q45_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: deterministic hash-seeded
     centroids + one Lloyd refinement, probe nprobe nearest cells,
     exact rerank inside probed cells. The clustered scale path where
-    LSH's data-independent planes underperform. Approximate → no SQL
-    oracle; recall vs q28 asserted in tests."""
+    LSH's data-independent planes underperform. FULLY oracle-checked
+    (not rows-only): hash-order seeding + order-independent
+    scaled-integer means make the entire Lloyd build SQL-expressible,
+    so cells, candidates, scores, and ranks hash-match DuckDB
+    byte-for-byte; recall vs exact q28 asserted in tests."""
     emb = table(spark, sf_dir, "embeddings")
     out = similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=3
@@ -2678,13 +2797,40 @@ def q72_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q78_semdedup")
+def _semdedup_sql(
+    n_cells: int = 16, threshold: float = 0.45, cap: int = 2000
+) -> str:
+    """DuckDB mirror of ``similarity.semdedup_pairs``: the shared IVF
+    index chain (``_ivf_index_ctes``), degenerate-cell cap, within-
+    cell pairs, exact 1e-6-rounded cosine ≥ threshold."""
+    return f"""
+WITH {_ivf_index_ctes(n_cells)},
+cells AS (SELECT vec_id, e, cell FROM a2
+          QUALIFY count(*) OVER (PARTITION BY cell) <= {cap}),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         floor((list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) *
+                 sqrt(list_dot_product(b.e, b.e)))) * 1000000.0 + 0.5)
+           / 1000000.0 AS score
+  FROM cells a JOIN cells b USING (cell)
+  WHERE a.vec_id < b.vec_id
+    AND (sqrt(list_dot_product(a.e, a.e)) *
+         sqrt(list_dot_product(b.e, b.e))) > 0)
+SELECT vec_a, vec_b, score FROM p WHERE score >= {threshold}
+"""
+
+
+@query("q78_semdedup", oracle=_semdedup_sql())
 def q78_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-dup pairs from
     k-means-cluster-scoped exact cosine — the published recipe for
-    pruning redundant web-scale training corpora. Rows-only check
-    (the iterative Lloyd build is not SQL-expressible); subset-of-
-    brute-force + recall + determinism are pinned in
+    pruning redundant web-scale training corpora. FULLY oracle-
+    checked: the deterministic Lloyd build (hash-order seeds,
+    order-independent scaled-integer means) renders in SQL, so
+    cluster assignments, candidate pairs, and scores hash-match
+    DuckDB byte-for-byte. Subset-of-brute-force + recall +
+    determinism additionally pinned in
     tests/test_dedup_similarity.py::TestSemDeDup. Scale: quadratic
     term bounded to Σ n_cell² with capped degenerate cells; see
     operators/similarity.semdedup_pairs."""
