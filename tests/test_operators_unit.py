@@ -139,6 +139,60 @@ class TestSketches:
             a = approx[k]
             assert abs(a.approx_customers - e.n_customers) / e.n_customers < 0.1
 
+    def test_kmv_within_error_of_exact(self, spark):
+        """KMV (k=64 → ~12.5% std error) and theta (1/64 sampling)
+        estimates land near the exact count carried in n_exact; with
+        under k distinct values KMV is exact by construction."""
+        from tests.conftest import SF_SMALL
+        from vnavc_spark.queries import all_queries
+
+        rows = all_queries()["q86_kmv_sketch"](spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            if r.n_sample < 64:
+                assert r.kmv_estimate == r.n_exact
+            else:
+                assert abs(r.kmv_estimate - r.n_exact) / r.n_exact < 0.5
+                # theta samples at 1/64: relative std error is
+                # ~sqrt(64/n) — assert a 4-sigma window
+                assert (
+                    abs(r.theta_estimate - r.n_exact) / r.n_exact
+                    < 4.0 * (64.0 / r.n_exact) ** 0.5
+                )
+
+    def test_histogram_median_within_bucket_of_exact(self, spark):
+        """The histogram picks the bucket containing the LOWER median
+        (the rank-⌈n/2⌉ order statistic — the estimator's definition;
+        interpolated medians can fall in a gap between the two
+        central elements), so the midpoint is within half a bucket
+        width of that element."""
+        from pyspark.sql import Window
+
+        from tests.conftest import SF_SMALL
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import all_queries
+
+        approx = {
+            r.o_orderpriority: r.approx_p50
+            for r in all_queries()["q87_histogram_median"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        o = table(spark, SF_SMALL, "orders")
+        w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        wt = Window.partitionBy("o_orderpriority")
+        exact = {
+            r.o_orderpriority: r.o_totalprice
+            for r in o.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wt))
+            .filter(F.col("rn") * 2 >= F.col("n"))
+            .groupBy("o_orderpriority")
+            .agg(F.min("o_totalprice").alias("o_totalprice"))
+            .collect()
+        }
+        for k, med in exact.items():
+            assert abs(approx[k] - med) <= 500
+
 
 class TestRoster:
     def test_read_narrator_roster(self, spark, tmp_path):

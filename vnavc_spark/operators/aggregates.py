@@ -143,3 +143,126 @@ def rollup_cascade(
         )
         out[lvl] = cur
     return out
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Deterministic distinct-count sketches per group: KMV
+    (k-minimum-values, Bar-Yossef et al. 2002) plus a fixed-theta
+    hash-sampling estimate — the ORACLE-CHECKABLE alternative to
+    HyperLogLog (q47): every estimate derives from md5, so any
+    engine reproduces it bit-for-bit, and the sketches stay mergeable
+    (union of k-smallest sets / theta samples) for 100 TB partials.
+
+    Hash: first 13 hex chars of md5(value) as a 52-bit integer —
+    exact in a double, so the (k-1)/normalized-kth estimator is one
+    portable IEEE expression. With fewer than k distinct values the
+    KMV sketch is exact by construction.
+
+    Scale shape: one distinct shuffle on (group, value) — map-side
+    combinable — then a window top-k per group over 16-byte rows and
+    a second tiny aggregate. No value payloads move after the
+    distinct; at 100 TB swap the exact distinct for the staged-
+    signature pattern if values repeat heavily across partitions.
+
+    Returns (group_cols..., n_sample, kth, kmv_estimate,
+    theta_estimate, n_exact)."""
+    from pyspark.sql import Window
+
+    from vnavc_spark.functions.portable import stable_round
+
+    two52 = 4503599627370496.0  # 2^52: hash-space size, exact double
+    theta_cut = 1 << 46  # h < 2^52/64 → sampling rate 1/64
+    dv = df.select(*group_cols, value_col).distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    dv = dv.withColumn("h", h)
+    w = Window.partitionBy(*group_cols).orderBy("h", value_col)
+    ka = (
+        dv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("n_sample"), F.max("h").alias("kth"))
+    )
+    ta = dv.groupBy(*group_cols).agg(
+        (F.sum(F.when(F.col("h") < theta_cut, 1).otherwise(0)) * 64)
+        .cast("long")
+        .alias("theta_estimate"),
+        F.count("*").cast("long").alias("n_exact"),
+    )
+    est = F.when(
+        F.col("n_sample") < k, F.col("n_sample").cast("double")
+    ).otherwise(
+        stable_round(
+            F.lit(float(k - 1)) / (F.col("kth") / F.lit(two52)), 6
+        )
+    )
+    return (
+        ka.join(ta, on=group_cols)
+        .select(
+            *group_cols,
+            F.col("n_sample").cast("long").alias("n_sample"),
+            est.alias("kmv_estimate"),
+            "theta_estimate",
+            "n_exact",
+        )
+    )
+
+
+def histogram_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Deterministic approximate median per group via a fixed-width
+    histogram — the oracle-checkable alternative to quantile sketches
+    (q47's approx_percentile): bucket counts are integers, the median
+    bucket is the first whose doubled cumulative count reaches the
+    total (2·cum ≥ n — pure integer arithmetic, no float anywhere),
+    and the estimate is the bucket midpoint. Error is bounded by
+    bucket_width; histograms merge by adding counts, so partials
+    compose across 100 TB partitions.
+
+    Shape: one groupBy on (group, bucket) — map-side combinable —
+    then a window cumsum over the tiny histogram table.
+
+    Returns (group_cols..., n_rows, p50_bucket, approx_p50)."""
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(value_col) / bucket_width).cast("long")
+    counts = (
+        df.select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_rows", F.sum("cnt").over(wt)
+    )
+    med = (
+        cum.filter(F.col("cum") * 2 >= F.col("n_rows"))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.min("bucket").alias("p50_bucket"),
+        )
+    )
+    return med.select(
+        *group_cols,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("p50_bucket").cast("long").alias("p50_bucket"),
+        (F.col("p50_bucket") * bucket_width + bucket_width // 2)
+        .cast("long")
+        .alias("approx_p50"),
+    )

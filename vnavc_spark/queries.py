@@ -3433,6 +3433,84 @@ def q85_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q86_kmv_sketch",
+    oracle="""
+WITH dv AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
+hv AS (SELECT o_orderpriority, o_custkey,
+              ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))::BIGINT AS h
+       FROM dv),
+topk AS (
+  SELECT o_orderpriority, h FROM (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY h, o_custkey) AS rn
+    FROM hv) WHERE rn <= 64),
+ka AS (SELECT o_orderpriority, count(*) AS n_sample, max(h) AS kth
+       FROM topk GROUP BY o_orderpriority),
+ta AS (SELECT o_orderpriority,
+              CAST(sum(CASE WHEN h < 70368744177664 THEN 1 ELSE 0 END) * 64
+                   AS BIGINT) AS theta_estimate,
+              CAST(count(*) AS BIGINT) AS n_exact
+       FROM hv GROUP BY o_orderpriority)
+SELECT ka.o_orderpriority, CAST(n_sample AS BIGINT) AS n_sample,
+       CASE WHEN n_sample < 64 THEN CAST(n_sample AS DOUBLE)
+            ELSE floor((63.0 / (kth / 4503599627370496.0)) * 1000000.0 + 0.5)
+                 / 1000000.0 END AS kmv_estimate,
+       theta_estimate, n_exact
+FROM ka JOIN ta USING (o_orderpriority)
+""",
+)
+def q86_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distinct-count sketches (KMV + fixed-theta hash
+    sampling) per order priority — the ORACLE-CHECKED sketch path
+    (q47's HyperLogLog is engine-internal → rows-only; these are
+    md5-derived, so DuckDB reproduces every estimate bit-for-bit).
+    Sketches merge across partitions (union of k-smallest / theta
+    samples) — the 100 TB partial-aggregation story. n_exact rides
+    along as the error anchor."""
+    o = table(spark, sf_dir, "orders")
+    return aggregates.kmv_distinct(
+        o, ["o_orderpriority"], "o_custkey", k=64
+    )
+
+
+@query(
+    "q87_histogram_median",
+    oracle="""
+WITH b AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket
+  FROM orders),
+c AS (SELECT o_orderpriority, bucket, count(*) AS cnt
+      FROM b GROUP BY o_orderpriority, bucket),
+cum AS (
+  SELECT o_orderpriority, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderpriority) AS n_rows
+  FROM c)
+SELECT o_orderpriority,
+       CAST(max(n_rows) AS BIGINT) AS n_rows,
+       CAST(min(bucket) AS BIGINT) AS p50_bucket,
+       CAST(min(bucket) * 1000 + 500 AS BIGINT) AS approx_p50
+FROM cum WHERE cum * 2 >= n_rows
+GROUP BY o_orderpriority
+""",
+)
+def q87_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic approximate median via fixed-width integer
+    histogram — the oracle-checked companion to q47's
+    approx_percentile (engine-internal sketch → rows-only). Bucket
+    counts are integers and the median-bucket rule is pure integer
+    arithmetic (2·cum ≥ n), so the estimate is portable to any
+    engine; histograms merge by adding counts at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    return aggregates.histogram_median(
+        o, ["o_orderpriority"], "o_totalprice", bucket_width=1000
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
