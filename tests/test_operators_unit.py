@@ -464,3 +464,61 @@ class TestTrainingDataOps:
         assert ("shuffle", "shuffles") in pairs
         assert ("shuffle", "shuffli") in pairs
         assert not any("spark" in p or "spawn" in p for pair in pairs for p in pair)
+
+
+class TestSlidingChunks:
+    def test_coverage_and_overlap(self, spark):
+        """Every token position lands in ≥1 chunk; consecutive chunks
+        overlap by window-stride; short docs yield exactly one chunk."""
+        from vnavc_spark.operators.ordering import sliding_chunks
+
+        df = spark.createDataFrame(
+            [(1, [f"t{i}" for i in range(100)]), (2, ["a", "b"])],
+            ["doc_id", "x"],
+        )
+        rows = sliding_chunks(df, window=32, stride=24).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 2: single chunk, whole doc
+        assert len(by_doc[2]) == 1 and by_doc[2][0].n_tok == 2
+        # doc 1: starts are 0,24,48,72 — tail token 99 is inside 72+32
+        starts = sorted(r.start_tok for r in by_doc[1])
+        assert starts == [0, 24, 48, 72]
+        covered = set()
+        for r in by_doc[1]:
+            covered.update(range(r.start_tok, r.start_tok + r.n_tok))
+        assert covered == set(range(100))
+        # chunk ids are start/stride
+        assert all(r.chunk_id == r.start_tok // 24 for r in rows)
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_fp_bound(self, spark):
+        """Every build-side key passes the filter (containment), and
+        the measured false-positive rate stays under a loose bound
+        for the 65536-bit/3-hash geometry."""
+        from tests.conftest import SF_SMALL
+        from vnavc_spark.queries import all_queries
+
+        r = all_queries()["q92_bloom_prefilter"](spark, SF_SMALL).first()
+        assert r.n_pass_bloom >= r.n_with_orders  # containment
+        assert r.n_false_positives == r.n_pass_bloom - r.n_with_orders
+        n_without = r.n_customers - r.n_with_orders
+        if n_without:
+            assert r.n_false_positives / n_without < 0.2
+
+
+class TestDomainCap:
+    def test_cap_bounds_and_determinism(self, spark):
+        from vnavc_spark.operators.sampling import domain_cap
+
+        df = spark.createDataFrame(
+            [("d1", i) for i in range(25)] + [("d2", 100 + i) for i in range(3)],
+            ["domain", "doc_id"],
+        )
+        a = {r.domain: r for r in domain_cap(df, "domain", "doc_id", cap=10).collect()}
+        assert a["d1"].n_docs == 25 and a["d1"].n_kept == 10
+        assert a["d2"].n_docs == 3 and a["d2"].n_kept == 3
+        b = {r.domain: r for r in domain_cap(df, "domain", "doc_id", cap=10).collect()}
+        assert a["d1"].first_kept == b["d1"].first_kept  # md5-order, no RNG

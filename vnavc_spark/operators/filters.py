@@ -112,3 +112,62 @@ def valid_url_filter(
     """S5 semantics: HTTP status < 400 ⇒ valid
     (``crawler/utils.py:245-272``)."""
     return df.filter(F.col(status_col) < 400)
+
+
+def bloom_positions(key, n_hashes: int = 3, n_bits: int = 1024):
+    """The ``n_hashes`` md5-derived bit positions of a key in an
+    ``n_bits`` Bloom filter — deterministic (no seed state), so the
+    filter built on one engine validates on any other."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"b{i}|"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_bits
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_prefilter(
+    build: DataFrame,
+    build_key: str,
+    probe: DataFrame,
+    probe_key: str,
+    n_hashes: int = 3,
+    n_bits: int = 1024,
+) -> DataFrame:
+    """Bloom-filter join prefilter: build a bit-set from the build
+    side's keys, pass only probe rows whose every position is set —
+    the classic semi-join reduction that prunes the probe side BEFORE
+    the expensive join/shuffle (Spark's runtime row-group Bloom
+    pushdown, materialized as an explicit, engine-portable operator).
+    No false negatives by construction; false-positive rate ≈
+    (1-e^(-kn/m))^k.
+
+    Scale shape: the bit-set is ≤ n_bits rows (broadcast); the probe
+    explodes to n_hashes position rows, left-joins the set, and keeps
+    keys with all hits — probe payloads never shuffle, only
+    (key, position) pairs."""
+    set_bits = (
+        build.select(
+            F.explode(
+                F.array(*bloom_positions(F.col(build_key), n_hashes, n_bits))
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probed = probe.select(probe_key).distinct()
+    probed = probed.select(
+        probe_key,
+        F.explode(
+            F.array(*bloom_positions(F.col(probe_key), n_hashes, n_bits))
+        ).alias("pos"),
+    )
+    hits = probed.join(F.broadcast(set_bits), on="pos", how="left").groupBy(
+        probe_key
+    ).agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_n_hit"))
+    return hits.filter(F.col("_n_hit") == n_hashes).select(probe_key)

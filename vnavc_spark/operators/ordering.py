@@ -184,3 +184,43 @@ def ewma_per_key(
         .groupBy(key_col)
         .applyInPandas(_fold, schema=schema)
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "x",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style sliding-window chunking with overlap: each document's
+    token array becomes ⌈max(n-window,0)/stride⌉+1 chunks of up to
+    ``window`` tokens starting every ``stride`` tokens (overlap =
+    window - stride), so retrieval context never loses a span to a
+    hard boundary. Complements CDC chunking (content-defined, for
+    dedup) — this is the fixed-geometry variant retrieval indexes
+    want.
+
+    Pure Catalyst: sequence → explode → slice → array_join; no UDF,
+    no extra shuffle (chunking is map-side; the explode multiplies
+    rows ~n/stride, carrying token slices only). chunk_id is the
+    start offset / stride, so ids are stable under re-runs and
+    appends."""
+    n = F.size(F.col(tokens_col))
+    # integer chunk count via a double floor: counts are < 2^53 so
+    # the division is exact — portable to the SQL oracle verbatim
+    nch = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - window + stride - 1) / F.lit(float(stride))) + 1
+    )
+    starts = F.sequence(F.lit(0), (nch.cast("int") - 1) * stride, F.lit(stride))
+    c = df.select(
+        id_col, F.col(tokens_col).alias("_toks"), F.explode(starts).alias("start_tok")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_tok") + 1, window)
+    return c.select(
+        id_col,
+        (F.col("start_tok") / stride).cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -146,3 +146,84 @@ def stratified_split(
         .when(rn <= F.floor(n.cast("double") * F.lit(hi)), "val")
         .otherwise("test"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int = 10,
+) -> DataFrame:
+    """Per-domain document cap — the CommonCrawl-style hygiene rule
+    that stops one boilerplate-heavy domain from dominating a corpus.
+    Keeps a deterministic hash-order sample of ≤ ``cap`` docs per
+    domain (md5 order — no RNG, stable under re-runs/backfills) and
+    reports kept vs seen per domain.
+
+    Scale shape: one exchange on domain shared by the rank window
+    and the count; rows carry (domain, id) only. Skewed domains are
+    exactly the point — the window sort is per-domain top-cap, not a
+    global sort."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    r = df.select(domain_col, id_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    return r.groupBy(domain_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_rn") <= cap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.min(F.when(F.col("_rn") <= cap, F.col(id_col)))
+        .cast("long")
+        .alias("first_kept"),
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    tokens_col: str = "x",
+) -> DataFrame:
+    """DSIR-inspired importance scores for data selection (Xie et al.
+    2023, arXiv:2302.03169 — hashed n-gram importance resampling),
+    in a LOG-FREE integer form so any engine reproduces the scores
+    bit-for-bit: instead of Σ log p_target/p_source over grams, each
+    gram contributes the scaled integer ratio
+    ``floor((df_target+1)·10⁶ / (df_corpus+1))`` (Laplace-smoothed
+    document frequencies) and a document's score is the exact integer
+    sum — monotone in the same direction, portable, and mergeable.
+
+    Scale shape: distinct (doc, gram) explode → two map-side-
+    combinable gram-frequency aggregates → join back on gram (the
+    only shuffle that matters; gram tables are vocabulary-sized, far
+    smaller than the corpus) → per-doc integer sum.
+
+    Returns (id, n_grams, score_scaled, score) where score =
+    score_scaled / (n_grams · 10⁶) — the mean per-gram ratio."""
+    pairs = docs.select(
+        id_col,
+        target_pred.alias("_is_target"),
+        F.explode(F.array_distinct(F.col(tokens_col))).alias("g"),
+    )
+    freqs = pairs.groupBy("g").agg(
+        F.count("*").alias("df_corpus"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("df_target"),
+    )
+    contrib = F.floor(
+        (F.col("df_target") + 1) * 1000000 / (F.col("df_corpus") + 1)
+    )
+    scored = pairs.join(freqs, on="g").groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(contrib).cast("long").alias("score_scaled"),
+    )
+    return scored.withColumn(
+        "score",
+        F.floor(
+            F.col("score_scaled") / (F.col("n_grams") * F.lit(1000000.0)) * 1000000.0
+            + F.lit(0.5)
+        )
+        / 1000000.0,
+    )

@@ -3511,6 +3511,245 @@ def q87_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q88_sliding_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c="text")} AS x FROM documents
+  WHERE text IS NOT NULL),
+c AS (SELECT doc_id, x, len(x) AS n FROM toks),
+st AS (
+  SELECT doc_id, x,
+         unnest(range(0,
+           CAST(((CASE WHEN n <= 32 THEN 1
+                       ELSE floor((n - 32 + 23) / 24.0) + 1 END) - 1) * 24 + 1
+                AS BIGINT),
+           24)) AS start_tok
+  FROM c)
+SELECT doc_id,
+       CAST(floor(start_tok / 24.0) AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(x[start_tok + 1 : start_tok + 32]) AS BIGINT) AS n_tok,
+       array_to_string(x[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
+FROM st
+""",
+)
+def q88_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG sliding-window chunking with overlap (window=32 tokens,
+    stride=24 → 8-token overlap): the fixed-geometry chunker every
+    retrieval index wants, complementing CDC (q68, content-defined,
+    for dedup). Pure Catalyst sequence/explode/slice — map-side, no
+    UDF; chunk ids are start-offset-derived so re-runs and appends
+    produce identical ids."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", Q.tokens(Q.normalized_text("text")).alias("x")
+    )
+    return ordering.sliding_chunks(toks, window=32, stride=24)
+
+
+@query(
+    "q89_domain_caps",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.Example.COM/docs/' ||
+         CAST(doc_id % 7 AS VARCHAR) || '/page?utm_source=feed&id=' ||
+         CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS domain
+  FROM u),
+r AS (
+  SELECT domain, doc_id,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM d)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(min(CASE WHEN rn <= 10 THEN doc_id END) AS BIGINT) AS first_kept
+FROM r GROUP BY domain
+""",
+)
+def q89_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-domain document caps — the
+    CommonCrawl hygiene pass: parse the host out of each doc's URL
+    (synthesized here from source+doc_id; the testdata carries no
+    URL column), lowercase it, and keep a deterministic md5-order
+    sample of ≤10 docs per domain so no boilerplate-heavy domain
+    dominates the corpus. Regex-based host extraction (RE2-safe,
+    identical in both engines) rather than parse_url, which DuckDB
+    lacks. One exchange on domain serves both the rank window and
+    the counts."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/page?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+    )
+    dom = d.select(
+        "doc_id",
+        F.lower(F.regexp_extract(url, "^https?://([^/]+)", 1)).alias("domain"),
+    )
+    return sampling.domain_cap(dom, "domain", "doc_id", cap=10)
+
+
+@query(
+    "q90_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         unnest(list_distinct({TOKS_SQL.format(c="text")})) AS g
+  FROM documents),
+fr AS (
+  SELECT g, count(*) AS df_corpus,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS df_target
+  FROM toks GROUP BY g),
+sc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(floor((df_target + 1) * 1000000 / (df_corpus + 1)))
+              AS BIGINT) AS score_scaled
+  FROM toks t JOIN fr USING (g) GROUP BY t.doc_id)
+SELECT doc_id, n_grams, score_scaled,
+       floor(score_scaled / (n_grams * 1000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS score
+FROM sc
+""",
+)
+def q90_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al.
+    2023: hashed-ngram importance resampling toward a target
+    distribution — here lang='en'), in the LOG-FREE integer form
+    (per-gram scaled Laplace ratio, exact integer sum) so scores are
+    engine-portable and mergeable. The gram-frequency tables are
+    vocabulary-sized — tiny next to the corpus — and every aggregate
+    is map-side combinable."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.col("lang"),
+        Q.tokens(Q.normalized_text("text")).alias("x"),
+    )
+    return sampling.dsir_scores(toks, F.col("lang") == "en")
+
+
+@query(
+    "q91_window_suite",
+    oracle="""
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority,
+         ntile(4) OVER win AS quartile,
+         percent_rank() OVER win AS pr,
+         cume_dist() OVER win AS cd,
+         o_totalprice - lag(o_totalprice) OVER win AS gap
+  FROM orders
+  WINDOW win AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey))
+SELECT o_orderkey, o_orderpriority,
+       CAST(quartile AS BIGINT) AS quartile,
+       floor(pr * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       floor(cd * 1000000.0 + 0.5) / 1000000.0 AS cume,
+       floor(gap * 100.0 + 0.5) / 100.0 AS prev_gap
+FROM w WHERE o_orderkey % 10 = 0
+""",
+)
+def q91_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface in one pass: ntile quartiles,
+    percent_rank, cume_dist, and lag-gap over a single
+    (priority, price, orderkey) sort — every function shares ONE
+    window spec, so the plan has exactly one exchange + one sort.
+    The orderkey tiebreak makes each row its own peer group, which
+    pins percent_rank/cume_dist to exact integer rationals — why the
+    doubles hash-match across engines."""
+    o = table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    out = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(win).cast("long").alias("quartile"),
+        stable_round(F.percent_rank().over(win), 6).alias("pct_rank"),
+        stable_round(F.cume_dist().over(win), 6).alias("cume"),
+        stable_round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(win), 2
+        ).alias("prev_gap"),
+    )
+    return out.filter(F.col("o_orderkey") % 10 == 0)
+
+
+@query(
+    "q92_bloom_prefilter",
+    oracle="""
+WITH bk AS (SELECT unnest([0, 1, 2]) AS i),
+bkeys AS (SELECT DISTINCT o_custkey FROM orders),
+setbits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|' ||
+                              CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % 65536 AS pos
+  FROM bkeys CROSS JOIN bk),
+probe AS (SELECT DISTINCT c_custkey FROM customer),
+ppos AS (
+  SELECT c_custkey,
+         ('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|' ||
+                              CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % 65536 AS pos
+  FROM probe CROSS JOIN bk),
+hits AS (
+  SELECT c_custkey, count(*) AS n_hit
+  FROM ppos JOIN setbits USING (pos) GROUP BY c_custkey),
+pass AS (SELECT c_custkey FROM hits WHERE n_hit = 3)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_customers,
+       (SELECT CAST(count(*) AS BIGINT) FROM pass) AS n_pass_bloom,
+       (SELECT CAST(count(*) AS BIGINT) FROM probe
+        WHERE c_custkey IN (SELECT o_custkey FROM bkeys)) AS n_with_orders,
+       (SELECT CAST(count(*) AS BIGINT) FROM pass) -
+       (SELECT CAST(count(*) AS BIGINT) FROM probe
+        WHERE c_custkey IN (SELECT o_custkey FROM bkeys))
+         AS n_false_positives
+""",
+)
+def q92_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join prefilter: build a 65536-bit, 3-hash filter
+    from orders' customer keys, pass only customers whose every bit
+    is set — the semi-join reduction that prunes a probe side BEFORE
+    the shuffle (Spark's runtime Bloom pushdown, materialized as an
+    explicit engine-portable operator: md5-derived positions, so the
+    filter built here validates anywhere). No false negatives by
+    construction — the oracle counts prove containment; the summary
+    row reports the measured false-positive count."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    passed = filters.bloom_prefilter(
+        o, "o_custkey", c, "c_custkey", n_hashes=3, n_bits=65536
+    )
+    probe = c.select("c_custkey").distinct()
+    truth = probe.join(
+        o.select("o_custkey").distinct(),
+        probe.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    )
+    n_probe = probe.agg(F.count("*").cast("long").alias("n_customers"))
+    n_pass = passed.agg(F.count("*").cast("long").alias("n_pass_bloom"))
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_with_orders"))
+    return (
+        n_probe.crossJoin(n_pass)
+        .crossJoin(n_truth)
+        .withColumn(
+            "n_false_positives",
+            (F.col("n_pass_bloom") - F.col("n_with_orders")).cast("long"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
