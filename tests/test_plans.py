@@ -214,3 +214,42 @@ class TestAnalyticsSuitePlans:
     def test_zscore_single_exchange(self, facts):
         f = facts("q80_outlier_zscore")
         assert f.exchanges == 1 and f.python_nodes == 0
+
+
+class TestSketchAndPrepPlans:
+    def test_kmv_no_python_no_nested_loop(self, facts):
+        f = facts("q86_kmv_sketch")
+        assert f.python_nodes == 0 and f.nested_loop_joins == 0
+
+    def test_histogram_median_bounded_exchanges(self, facts):
+        # groupBy (grp, bucket) → windows on grp → final groupBy:
+        # tiny histogram rows after the first aggregate
+        f = facts("q87_histogram_median")
+        assert f.python_nodes == 0 and f.exchanges <= 3
+
+    def test_sliding_chunks_is_map_only(self, facts):
+        # chunking must be embarrassingly parallel: no exchange at all
+        f = facts("q88_sliding_chunks")
+        assert f.exchanges == 0 and f.python_nodes == 0
+
+    def test_domain_cap_shares_exchange(self, facts):
+        # the rank window and the count aggregate both partition by
+        # domain — one exchange feeds both
+        f = facts("q89_domain_caps")
+        assert f.exchanges <= 2 and f.python_nodes == 0
+
+    def test_dsir_no_nested_loop_no_python(self, facts):
+        f = facts("q90_dsir_weights")
+        assert f.nested_loop_joins == 0 and f.python_nodes == 0
+
+    def test_window_suite_single_exchange_single_sort(self, facts):
+        # every window function shares ONE spec → one exchange
+        f = facts("q91_window_suite")
+        assert f.exchanges == 1 and f.python_nodes == 0
+
+    def test_bloom_bitset_broadcasts(self, facts):
+        # the bit-set side must broadcast (≤ n_bits rows); the only
+        # nested loops are the 1×1-row summary cross joins
+        f = facts("q92_bloom_prefilter")
+        assert f.broadcast_joins >= 1
+        assert f.nested_loop_joins <= 2 and f.python_nodes == 0
