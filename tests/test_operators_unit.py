@@ -522,3 +522,43 @@ class TestDomainCap:
         assert a["d2"].n_docs == 3 and a["d2"].n_kept == 3
         b = {r.domain: r for r in domain_cap(df, "domain", "doc_id", cap=10).collect()}
         assert a["d1"].first_kept == b["d1"].first_kept  # md5-order, no RNG
+
+
+class TestApplyChanges:
+    def test_upsert_delete_untouched(self, spark):
+        from vnavc_spark.operators.joins import apply_changes
+
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+        )
+        changes = spark.createDataFrame(
+            # k=1: update then later delete → gone
+            # k=2: delete then later update → survives with new value
+            # k=4: pure insert; k=3: untouched
+            [(1, "U", "a2", 1), (1, "D", None, 2),
+             (2, "D", None, 1), (2, "U", "b2", 2),
+             (4, "U", "d", 1)],
+            ["k", "op", "v", "ver"],
+        )
+        out = {
+            r.k: r.v
+            for r in apply_changes(
+                base, changes, key="k", order_cols=["ver"]
+            ).collect()
+        }
+        assert out == {2: "b2", 3: "c", 4: "d"}
+
+
+class TestBootstrapCI:
+    def test_interval_brackets_mean(self, spark):
+        from tests.conftest import SF_SMALL
+        from vnavc_spark.queries import all_queries
+
+        rows = all_queries()["q94_bootstrap_ci"](spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert r.ci_lo <= r.ci_hi
+            # 95% CI of the mean over ~300 rows: a few % wide, and it
+            # should bracket the point estimate
+            assert r.ci_lo <= r.mean_val <= r.ci_hi
+            assert (r.ci_hi - r.ci_lo) / r.mean_val < 0.25

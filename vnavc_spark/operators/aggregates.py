@@ -266,3 +266,100 @@ def histogram_median(
         .cast("long")
         .alias("approx_p50"),
     )
+
+
+#: Cumulative Poisson(1) thresholds — literal doubles shared with the
+#: SQL oracle so the deterministic bootstrap weights are portable.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    replicas: int = 200,
+    places: int = 2,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap confidence interval for the
+    per-group mean — uncertainty quantification as a DataFrame op.
+    Each (row, replica) draws a Poisson(1) weight from an md5-derived
+    uniform (inverse-CDF thresholds above): no RNG state, so any
+    engine — and any re-run on any cluster — reproduces the identical
+    interval (the classic online/streaming bootstrap, Oza & Russell
+    2001; Kleiner et al.'s BLB is this plus subsampling).
+
+    Scale shape: the replica explode multiplies rows ×B but every
+    replica aggregate is map-side combinable — the shuffle carries
+    (group, replica) partials only, never ×B data rows. The CI picks
+    rank ⌊0.025·B⌋ / ⌈0.975·B⌉ replica means via one tiny window.
+
+    Returns (group_cols..., n_rows, mean_val, ci_lo, ci_hi)."""
+    from pyspark.sql import Window
+
+    from vnavc_spark.functions.portable import exact_sum, stable_round
+
+    scale = float(10**places)
+    b = F.explode(F.sequence(F.lit(1), F.lit(replicas))).alias("b")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("bs"),
+                    F.col("b").cast("string"),
+                    F.lit("|"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(4503599627370496.0)
+    w_expr = (
+        F.when(u < POISSON1_CDF[0], 0)
+        .when(u < POISSON1_CDF[1], 1)
+        .when(u < POISSON1_CDF[2], 2)
+        .when(u < POISSON1_CDF[3], 3)
+        .when(u < POISSON1_CDF[4], 4)
+        .otherwise(5)
+    )
+    x_scaled = F.floor(F.col(value_col) * scale + F.lit(0.5))
+    rep = (
+        df.select(*group_cols, id_col, value_col, b)
+        .withColumn("_w", w_expr)
+        .groupBy(*group_cols, "b")
+        .agg(
+            F.sum(F.col("_w") * x_scaled).alias("_sw"),
+            F.sum("_w").alias("_nw"),
+        )
+        .filter(F.col("_nw") > 0)
+        .withColumn("_mean_b", F.col("_sw") / scale / F.col("_nw"))
+    )
+    wr = Window.partitionBy(*group_cols).orderBy("_mean_b", "b")
+    lo_rank = max(1, int(0.025 * replicas))
+    hi_rank = min(replicas, int(0.975 * replicas) + (0.975 * replicas != int(0.975 * replicas)))
+    ranked = rep.withColumn("_rn", F.row_number().over(wr))
+    ci = ranked.groupBy(*group_cols).agg(
+        F.count("*").alias("_n_rep"),
+        F.min(F.when(F.col("_rn") == lo_rank, F.col("_mean_b"))).alias("_lo"),
+        F.min(F.when(F.col("_rn") == hi_rank, F.col("_mean_b"))).alias("_hi"),
+    )
+    stats = df.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (exact_sum(F.col(value_col), places) / F.count("*")).alias("_mean"),
+    )
+    return stats.join(ci, on=group_cols).select(
+        *group_cols,
+        "n_rows",
+        stable_round(F.col("_mean"), 6).alias("mean_val"),
+        stable_round(F.col("_lo"), 6).alias("ci_lo"),
+        stable_round(F.col("_hi"), 6).alias("ci_hi"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vnavc_spark.functions.text import file_stem
@@ -202,3 +202,35 @@ def range_join(
         )
         .drop("_b")
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_val: str = "D",
+) -> DataFrame:
+    """CDC changelog apply — the lakehouse MERGE INTO / APPLY CHANGES
+    semantics: reduce the changelog to the LATEST change per key
+    (last-writer-wins by ``order_cols`` version), then upsert it over
+    the base table; keys whose latest op is a delete disappear; base
+    rows never touched by the log pass through. ``base`` and
+    ``changes`` (minus the op column) must share a schema.
+
+    Scale shape: one window shuffle on key over the changelog (the
+    log is the small/medium side; the base table is only read through
+    an anti-join — broadcastable when the day's distinct-key set is
+    small, the standard CDC case), no base rewrite ahead of the sink.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", *order_cols)
+    )
+    upserts = latest.filter(F.col(op_col) != delete_val).drop(op_col)
+    touched = latest.select(key)
+    kept = base.join(touched, on=key, how="left_anti")
+    return kept.unionByName(upserts)

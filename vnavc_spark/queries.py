@@ -3750,6 +3750,120 @@ def q92_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q93_cdc_apply",
+    oracle="""
+WITH base AS (
+  SELECT i AS user_id, 0.0 AS value, 'init' AS last_type
+  FROM range(0, 20) t(i)),
+ch AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value, event_type AS last_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+latest AS (SELECT user_id, op, value, last_type FROM ch WHERE rn = 1),
+merged AS (
+  SELECT b.user_id, b.value, b.last_type FROM base b
+  WHERE b.user_id NOT IN (SELECT user_id FROM latest)
+  UNION ALL
+  SELECT user_id, value, last_type FROM latest WHERE op <> 'D')
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       floor(value * 100.0 + 0.5) / 100.0 AS value,
+       last_type
+FROM merged
+""",
+)
+def q93_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (lakehouse MERGE INTO / APPLY CHANGES):
+    the events stream is read as a change log over per-user state —
+    'error' rows are deletes, everything else upserts — reduced to
+    last-writer-wins by (ts, event_id) and merged over a 20-user base
+    table: untouched base keys pass through, deleted keys vanish.
+    One window shuffle over the log; the base is only anti-joined."""
+    e = table(spark, sf_dir, "events")
+    base = spark.range(20).select(
+        F.col("id").alias("user_id"),
+        F.lit(0.0).alias("value"),
+        F.lit("init").alias("last_type"),
+    )
+    changes = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+        F.col("event_type").alias("last_type"),
+        "ts",
+        "event_id",
+    )
+    out = joins.apply_changes(
+        base, changes, key="user_id", order_cols=["ts", "event_id"]
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        stable_round(F.col("value"), 2).alias("value"),
+        "last_type",
+    )
+
+
+@query(
+    "q94_bootstrap_ci",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         unnest(range(1, 201)) AS b
+  FROM orders),
+ww AS (
+  SELECT o_orderpriority, b,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              ELSE 5 END AS w,
+         floor(o_totalprice * 100.0 + 0.5) AS xs
+  FROM (SELECT *,
+          ('0x' || substr(md5('bs' || CAST(b AS VARCHAR) || '|' ||
+                               CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT
+            / 4503599627370496.0 AS u
+        FROM r)),
+rep AS (SELECT o_orderpriority, b, sum(w * xs) AS sw, sum(w) AS nw
+        FROM ww GROUP BY o_orderpriority, b),
+mb AS (
+  SELECT o_orderpriority, b, sw / 100.0 / nw AS mean_b,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY sw / 100.0 / nw, b) AS rn
+  FROM rep WHERE nw > 0),
+ci AS (SELECT o_orderpriority,
+              min(CASE WHEN rn = 5 THEN mean_b END) AS lo,
+              min(CASE WHEN rn = 195 THEN mean_b END) AS hi
+       FROM mb GROUP BY o_orderpriority),
+st AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+              sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 / count(*)
+                AS mean_v
+       FROM orders GROUP BY o_orderpriority)
+SELECT st.o_orderpriority, n_rows,
+       floor(mean_v * 1000000.0 + 0.5) / 1000000.0 AS mean_val,
+       floor(lo * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+       floor(hi * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+FROM st JOIN ci USING (o_orderpriority)
+""",
+)
+def q94_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for per-priority mean
+    order price (200 replicas): md5-derived Poisson(1) weights — no
+    RNG state, identical intervals on any engine, any cluster, any
+    re-run. Replica aggregates are map-side combinable, so the
+    shuffle carries (group, replica) partials, never ×200 data
+    rows."""
+    o = table(spark, sf_dir, "orders")
+    return aggregates.bootstrap_ci(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", replicas=200
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
