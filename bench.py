@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "q75_scd2_history",
     "q77_trailing_window_avg",
     "q78_semdedup",
+    "q45_ivf_ann",
+    "q88_sliding_chunks",
+    "q90_dsir_weights",
+    "q93_cdc_apply",
+    "q94_bootstrap_ci",
 ]
 
 

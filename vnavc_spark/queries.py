@@ -3808,27 +3808,35 @@ def q93_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bootstrap_weight_case() -> str:
+    """The Poisson(1) draw as lexicographic hex-substring compares —
+    the exact CASE tree ``aggregates.bootstrap_ci`` uses."""
+    thr = aggregates.poisson1_hex_thresholds()
+    return (
+        f"CASE WHEN s < '{thr[0]}' THEN 0 WHEN s < '{thr[1]}' THEN 1 "
+        f"WHEN s < '{thr[2]}' THEN 2 WHEN s < '{thr[3]}' THEN 3 "
+        f"WHEN s < '{thr[4]}' THEN 4 ELSE 5 END"
+    )
+
+
 @query(
     "q94_bootstrap_ci",
-    oracle="""
+    oracle=f"""
 WITH r AS (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
-         unnest(range(1, 201)) AS b
+         unnest(range(1, 41)) AS g
   FROM orders),
+h AS (
+  SELECT *, md5('bs' || CAST(g AS VARCHAR) || '|' ||
+                CAST(o_orderkey AS VARCHAR)) AS hx
+  FROM r),
 ww AS (
-  SELECT o_orderpriority, b,
-         CASE WHEN u < 0.36787944117144233 THEN 0
-              WHEN u < 0.7357588823428847 THEN 1
-              WHEN u < 0.9196986029286058 THEN 2
-              WHEN u < 0.9810118431238462 THEN 3
-              WHEN u < 0.9963401531726563 THEN 4
-              ELSE 5 END AS w,
+  SELECT o_orderpriority, (g - 1) * 5 + j + 1 AS b,
+         {_bootstrap_weight_case()} AS w,
          floor(o_totalprice * 100.0 + 0.5) AS xs
-  FROM (SELECT *,
-          ('0x' || substr(md5('bs' || CAST(b AS VARCHAR) || '|' ||
-                               CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT
-            / 4503599627370496.0 AS u
-        FROM r)),
+  FROM (SELECT o_orderpriority, g, o_totalprice,
+               substr(hx, CAST(6 * j + 1 AS INT), 6) AS s, j
+        FROM h CROSS JOIN range(0, 5) t(j))),
 rep AS (SELECT o_orderpriority, b, sum(w * xs) AS sw, sum(w) AS nw
         FROM ww GROUP BY o_orderpriority, b),
 mb AS (
