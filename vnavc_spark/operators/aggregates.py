@@ -411,3 +411,56 @@ def bootstrap_ci(
         stable_round(F.col("_lo"), 6).alias("ci_lo"),
         stable_round(F.col("_hi"), 6).alias("ci_hi"),
     )
+
+
+def grouped_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    places: int = 2,
+) -> DataFrame:
+    """Per-group OLS linear trend (slope + intercept) computed from
+    EXACT integer moments — engine- and order-portable.
+
+    y is scaled to integers (``floor(y*10^p + 0.5)``), x must be
+    integral; all four moments (n, Σx, Σy, Σxy, Σx²) are then exact
+    BIGINT sums — identical under any aggregation order and on any
+    engine. Only the final slope/intercept division is floating
+    point, and it is a single identical expression tree on both
+    engines:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx) / 10^p
+        intercept = (Σy/10^p − slope·Σx) / n
+
+    Scale shape: one map-side-combinable aggregate — the shuffle
+    carries five BIGINT partials per group, never data rows. (Moment
+    magnitudes must stay < 2^53 for the final double conversion to
+    be exact; callers regress *pre-aggregated* series — e.g. daily
+    sums — so n per group is the grid size, not the corpus size.)
+    """
+    scale = float(10**places)
+    ys = F.floor(F.col(y_col) * scale + F.lit(0.5)).cast("long")
+    xs = F.col(x_col).cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xs).alias("_sx"),
+        F.sum(ys).alias("_sy"),
+        F.sum(xs * ys).alias("_sxy"),
+        F.sum(xs * xs).alias("_sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("_n"), F.col("_sx"), F.col("_sy"), F.col("_sxy"), F.col("_sxx")
+    )
+    slope = (
+        (n * sxy - sx * sy).cast("double")
+        / (n * sxx - sx * sx).cast("double")
+        / scale
+    )
+    agg = agg.withColumn("slope", slope)
+    intercept = (
+        (sy.cast("double") / scale) - F.col("slope") * sx.cast("double")
+    ) / n.cast("double")
+    return agg.withColumn("intercept", intercept).drop(
+        "_sx", "_sy", "_sxy", "_sxx"
+    ).withColumnRenamed("_n", "n_points")

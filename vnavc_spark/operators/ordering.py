@@ -224,3 +224,46 @@ def sliding_chunks(
         F.size(chunk).cast("long").alias("n_tok"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    value_col: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Time-series gap fill over a dense integer grid with
+    last-observation-carried-forward.
+
+    For every key present in ``df``, materializes the full grid
+    ``lo..hi`` of ``idx_col``, left-joins the observations, and fills
+    missing values with the latest preceding observation (NULL before
+    the first one). Adds ``filled`` and a ``was_gap`` flag.
+
+    Scale shape: the grid is generated map-side from the (small)
+    distinct-key set via sequence+explode — no driver loop, no
+    cross join of materialized ranges. The left join and the LOCF
+    window both hash/partition on the key, so AQE can reuse one
+    exchange; per-key state is the window frame only (streaming-safe
+    frame: unbounded preceding → current row on a sorted run).
+    """
+    keys = df.select(key_col).distinct()
+    grid = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(lo), F.lit(hi))).alias(idx_col),
+    )
+    obs = df.select(key_col, idx_col, value_col)
+    j = grid.join(obs, on=[key_col, idx_col], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col(key_col),
+        F.col(idx_col),
+        F.col(value_col).isNull().alias("was_gap"),
+        F.last(value_col, ignorenulls=True).over(w).alias("filled"),
+    )
