@@ -38,21 +38,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (columnar parquet scan;
     Catalyst prunes columns and pushes filters into the scan).
 
-    ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default — read nanos as long and truncate to
-    microsecond timestamps (exactly what DuckDB's reader does, so the
-    correctness oracle sees identical values).
+    ``events.parquet`` has shipped as TIMESTAMP(NANOS) in some driver
+    generations (Spark's parquet reader rejects nanos by default) and
+    TIMESTAMP(MICROS) in others. Handle both: read nanos as long and
+    truncate to microsecond timestamps (exactly what DuckDB's reader
+    does, so the correctness oracle sees identical values); pass
+    native micros through untouched.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer div keeps full precision (nanos exceed 2^53)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer div keeps full precision (nanos exceed 2^53)
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(path)
 
 
