@@ -79,17 +79,38 @@ class TestScanHygiene:
 
 
 class TestEventsTimestampCaveat:
-    def test_events_ts_is_projected_not_scanned(self, spark):
-        # events.parquet carries nanos; ts becomes a projection, so
-        # time predicates CANNOT push to the scan — documented caveat
+    def test_events_ts_type_is_stable(self, spark):
+        # io._read_events normalizes both file generations (nanos-as-
+        # long, native micros) to TIMESTAMP_NTZ so type-sensitive
+        # downstream ops behave identically across driver generations
+        from pyspark.sql.types import TimestampNTZType
+
+        e = table(spark, SF_SMALL, "events")
+        assert isinstance(e.schema["ts"].dataType, TimestampNTZType)
+
+    def test_events_ts_pushdown_matches_file_generation(self, spark):
+        # nanos generation: ts is a projection over an int64 nanos
+        # column, so range predicates CANNOT reach the scan (documented
+        # caveat). native-micros generation: ts is a plain scan column
+        # and the range predicate MUST push into the parquet scan.
+        import os
+
+        from pyspark.sql.types import LongType
+
         e = table(spark, SF_SMALL, "events").filter(
-            F.col("ts") > F.lit("2024-01-15").cast("timestamp")
+            F.col("ts") > F.lit("2024-01-15").cast("timestamp_ntz")
+        )
+        # probe AFTER table() so the nanosAsLong flag is set if needed
+        raw_is_nanos_long = isinstance(
+            spark.read.parquet(
+                os.path.join(SF_SMALL, "events.parquet")
+            ).schema["ts"].dataType,
+            LongType,
         )
         f = plan_facts(e)
-        # IsNotNull pushes through the projection, the range predicate
-        # cannot (parquet column is int64 nanos behind a transform)
-        assert not any("GreaterThan(ts" in p for p in f.pushed_filters)
-        # but event_id/user_id predicates still push
+        pushed = any("GreaterThan(ts" in p for p in f.pushed_filters)
+        assert pushed == (not raw_is_nanos_long)
+        # event_id/user_id predicates push in either generation
         e2 = table(spark, SF_SMALL, "events").filter(F.col("event_id") < 100)
         f2 = plan_facts(e2)
         assert any("event_id" in p for p in f2.pushed_filters)

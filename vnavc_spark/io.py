@@ -37,30 +37,60 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (columnar parquet scan;
     Catalyst prunes columns and pushes filters into the scan).
-
-    ``events.parquet`` has shipped as TIMESTAMP(NANOS) in some driver
-    generations (Spark's parquet reader rejects nanos by default) and
-    TIMESTAMP(MICROS) in others. Handle both: read nanos as long and
-    truncate to microsecond timestamps (exactly what DuckDB's reader
-    does, so the correctness oracle sees identical values); pass
-    native micros through untouched.
+    ``events`` goes through :func:`_read_events` (timestamp handling).
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
 
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read events.parquet with a stable ``ts: timestamp_ntz`` column
+    across driver generations.
+
+    ``events.parquet`` has shipped as TIMESTAMP(NANOS) in some driver
+    generations (Spark's parquet reader rejects nanos by default) and
+    TIMESTAMP(MICROS) in others. Handle both:
+
+    - native micros (isAdjustedToUTC=false + inferTimestampNTZ) read
+      directly as TIMESTAMP_NTZ — ``ts`` stays a plain scan column, so
+      range predicates push into the parquet scan;
+    - nanos files need ``spark.sql.legacy.parquet.nanosAsLong``; the
+      flag is only set when a plain read rejects the file, and then it
+      necessarily stays on for the session (Spark resolves it again at
+      execution time, so a set-then-restore would break the scan).
+      ``ts`` becomes a projection over the int64 nanos column —
+      truncated to micros exactly like DuckDB's reader, so the oracle
+      sees identical values — and range predicates on it cannot reach
+      the scan (documented caveat, pinned in tests/test_plans.py).
+
+    Both branches yield TIMESTAMP_NTZ: the nanos branch casts its
+    timestamp_micros() (session-TZ-aware) result under the pinned UTC
+    session, so downstream type-sensitive ops behave identically
+    regardless of file generation. The cast is a no-op (removed by
+    SimplifyCasts) on the native-micros branch.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution to surface nanos errors
+    except Exception:  # nanos generation: Illegal Parquet type INT64 (TIMESTAMP(NANOS,...))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer div keeps full precision (nanos exceed 2^53)
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
-    return spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer div keeps full precision (nanos exceed 2^53)
+        df = df.withColumn(
+            "ts",
+            F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+        )
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
 
 
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
