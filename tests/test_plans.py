@@ -171,6 +171,24 @@ class TestCertifiedScalePaths:
         assert "lead(" in simple and "transform(" not in simple
         assert f.exchanges <= 3
 
+    def test_gram_dup_decision_is_partial_agg_not_window(self, spark):
+        # the ≥min_count decision must be groupBy(h).count() + semi
+        # join (map-side combinable, AQE-skew-splittable) — a window
+        # partitioned by the gram/chunk hash would serialize every
+        # occurrence of one boilerplate gram into a single partition
+        # (AQE skew splitting does not apply to windows)
+        import re
+
+        from vnavc_spark.plans.audit import explain_string
+
+        for name in ("q61_duplicate_spans", "q65_chunk_dedup", "q68_cdc_chunks"):
+            df = QS[name](spark, SF_SMALL)
+            simple = explain_string(df, "simple")
+            wcols = set(re.findall(r"windowspecdefinition\((\w+)#", simple))
+            assert "h" not in wcols, name
+            # remaining windows are per-doc sequencing only
+            assert wcols <= {"doc_id"}, (name, wcols)
+
     def test_contamination_broadcasts_benchmark(self, facts):
         # the benchmark gram set must broadcast; the corpus gram table
         # joins in place (no shuffle on the hash key, no cross join)

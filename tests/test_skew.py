@@ -63,3 +63,30 @@ class TestSaltedJoin:
         ).first()
         assert (salted.n, salted.s) == (plain.n, plain.s)
         assert plain.n == 6000  # every lineitem matched exactly once
+
+
+class TestPostingShards:
+    def test_universal_token_postings_are_bounded(self, spark):
+        # degenerate corpus: one token in EVERY doc. Without sharding
+        # this is one row holding every doc_id; with ceil(n/1000)
+        # shards no row may exceed ~1000 ids (md5-balanced).
+        from vnavc_spark.operators.retrieval import inverted_index
+
+        n = 3000
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit("common").alias("tok")
+        )
+        n_docs = docs.agg(F.count("*").alias("n_docs"))
+        idx = inverted_index(
+            docs, n_docs, postings_per_shard=1000, df_high_pct=100
+        )
+        rows = idx.select(
+            "tok", "shard", "doc_freq", F.size("postings").alias("sz")
+        ).collect()
+        # K = ceil(3000/1000) = 3 shards, all present
+        assert len(rows) == 3
+        assert {r.shard for r in rows} == {0, 1, 2}
+        assert all(r.doc_freq == n for r in rows)
+        assert sum(r.sz for r in rows) == n
+        # md5 spreads uniformly: no shard beyond 1.5x the target
+        assert max(r.sz for r in rows) < 1500

@@ -855,9 +855,15 @@ def duplicate_spans(
       and no text re-shuffle: the window exchange on ``doc`` is the
       only place token strings move, and it is REUSED by the final
       island merge, which partitions on the same key.
-    - the duplicate count shuffles (doc, pos, md5) rows only (~50 B);
-      a window count on the gram hash replaces agg + self-join (one
-      exchange instead of two over the same data).
+    - the duplicate decision is a partial-aggregable
+      ``groupBy(h).count()`` (map-side combine collapses repeats of a
+      hot gram BEFORE the shuffle) followed by a LEFT SEMI join of the
+      gram rows against the ≥min_count hashes. A window count
+      partitioned by ``h`` would put every occurrence of one
+      boilerplate gram in a single window partition — AQE skew
+      handling does not apply to windows, but it DOES split the semi
+      join's skewed partitions. The gram subplan is identical on both
+      sides, so ReuseExchange executes it once.
     - suffix arrays (the paper's exact-substring structure) don't
       distribute; fixed-n gram fingerprints are the standard
       shuffle-friendly approximation (n = 8 words here).
@@ -865,9 +871,13 @@ def duplicate_spans(
     grams = ngram_hashes(
         toks, n=n, doc_col=doc_col, pos_col=pos_col, tok_col=tok_col
     )
-    dup = grams.withColumn(
-        "cnt", F.count("*").over(Window.partitionBy("h"))
-    ).filter(F.col("cnt") >= min_count)
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    dup = grams.join(dup_h, on="h", how="left_semi")
     wd = Window.partitionBy(doc_col).orderBy(pos_col)
     brk = F.when(
         F.col(pos_col) - F.lag(pos_col).over(wd) > n, F.lit(1)
@@ -914,10 +924,15 @@ def chunk_dedup_reassemble(
     executor-side; only fingerprints reach the result.
 
     Scale shape: ONE shuffle of token rows onto (doc, chunk_id) builds
-    chunks; the keep-first decision shuffles (doc, chunk_id, md5)
-    rows only — chunk text never rides the second exchange since the
-    window carries just the 32-B hash; reassembly reuses the chunk
-    build's doc partitioning. The per-chunk sort_array/transform
+    chunks; the keep-first decision is a partial-aggregable
+    ``groupBy(h).min(struct(doc, chunk_id))`` (map-side combine
+    collapses repeats of a hot chunk before the shuffle) joined back
+    on the full (h, doc, chunk_id) key — an inner equi-join AQE can
+    skew-split, where a row_number window partitioned by ``h`` would
+    serialize every copy of one boilerplate chunk into a single
+    partition. Only (doc, chunk_id, md5) rows ride these exchanges;
+    chunk text stays on the chunk-build side, whose identical subplan
+    ReuseExchange executes once. The per-chunk sort_array/transform
     lambdas run over SMALL aggregated arrays (≤ chunk tokens), not
     captured row-level expressions — no interpreted-HOF blowup.
     """
@@ -940,12 +955,23 @@ def chunk_dedup_reassemble(
         )
         .withColumn("h", F.md5("chunk_text"))
     )
-    w = Window.partitionBy("h").orderBy(doc_col, "chunk_id")
-    k = chunks.withColumn("rn", F.row_number().over(w))
+    winner = chunks.groupBy("h").agg(
+        F.min(
+            F.struct(
+                F.col(doc_col).alias("_d"), F.col("chunk_id").alias("_c")
+            )
+        ).alias("_w")
+    )
+    k = chunks.join(
+        winner,
+        (chunks["h"] == winner["h"])
+        & (chunks[doc_col] == winner["_w._d"])
+        & (chunks["chunk_id"] == winner["_w._c"]),
+        "inner",
+    ).select(chunks[doc_col], chunks["chunk_id"], chunks["chunk_text"])
     tot = chunks.groupBy(doc_col).agg(F.count("*").alias("n_chunks"))
     kept = (
-        k.filter(F.col("rn") == 1)
-        .groupBy(doc_col)
+        k.groupBy(doc_col)
         .agg(
             F.count("*").alias("n_kept"),
             F.md5(
@@ -996,7 +1022,10 @@ def cdc_chunk_stats(
       → 1/16 cut rate), sidestepping hex→int conversion (Spark
       ``conv`` returns strings and differs from DuckDB's casts);
     - only (doc, chunk_id, md5) rows reach the duplicate-count
-      shuffle.
+      shuffle, and the dup decision is a partial-aggregable
+      ``groupBy(h).count()`` + LEFT SEMI join (AQE-skew-splittable)
+      rather than a window partitioned by the chunk hash, so a
+      corpus-wide boilerplate chunk cannot pin one partition.
     """
     w = Window.partitionBy(doc_col).orderBy(pos_col)
     lags = [F.lag(tok_col, i).over(w) for i in range(window - 1, 0, -1)]
@@ -1029,10 +1058,22 @@ def cdc_chunk_stats(
             )
         ).alias("h")
     )
-    d = ch.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
-    return d.groupBy(doc_col).agg(
-        F.count("*").alias("n_chunks"),
-        F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+    dup_h = (
+        ch.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    n_dup = (
+        ch.join(dup_h, on="h", how="left_semi")
+        .groupBy(doc_col)
+        .agg(F.count("*").alias("n_dup_chunks"))
+    )
+    tot = ch.groupBy(doc_col).agg(F.count("*").alias("n_chunks"))
+    return tot.join(n_dup, on=doc_col, how="left").select(
+        doc_col,
+        "n_chunks",
+        F.coalesce(F.col("n_dup_chunks"), F.lit(0))
         .cast("long")
         .alias("n_dup_chunks"),
     )

@@ -99,3 +99,64 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "doc_id", "score", "rnk")
     )
+
+
+def inverted_index(
+    toks: DataFrame,
+    n_docs: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    tok_col: str = "tok",
+    postings_per_shard: int = 1000,
+    df_low_pct: int = 1,
+    df_high_pct: int = 90,
+) -> DataFrame:
+    """token → sharded sorted posting lists, df-band filtered.
+
+    Posting lists are sharded by document so NO ROW ever holds an
+    unbounded array: ``shard = md5(doc) % K`` with
+    ``K = ceil(n_docs / postings_per_shard)``, giving ~
+    ``postings_per_shard`` ids per (tok, shard) row at ANY corpus
+    size — a common token at 100 TB lands in many bounded rows, not
+    one multi-GB array (Spark's 2 GB row/array limits). The shard
+    count derives from the corpus count, so the bound is absolute,
+    not relative.
+
+    Shape: one shuffle on (tok, shard) — partial-agg combinable;
+    token-level totals (n_postings, doc_freq) come from a window over
+    ``tok`` whose partitions hold at most K aggregated rows (bounded,
+    skew-irrelevant). The md5 shard key is engine-portable (DuckDB
+    reproduces it bit-for-bit).
+
+    Parameters
+    ----------
+    toks : DataFrame(doc_col, tok_col) — exploded token view.
+    n_docs : one-row DataFrame(n_docs) — corpus size (broadcast).
+    """
+    md5int = F.conv(
+        F.substring(F.md5(F.col(doc_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    k_shards = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n_docs") / F.lit(float(postings_per_shard))).cast(
+            "long"
+        ),
+    )
+    sharded = (
+        toks.crossJoin(F.broadcast(n_docs))
+        .withColumn("shard", F.pmod(md5int, k_shards))
+    )
+    ps = sharded.groupBy(tok_col, "shard").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.count("*").alias("n_in_shard"),
+        F.countDistinct(doc_col).alias("df_shard"),
+        F.sort_array(F.collect_set(doc_col)).alias("postings"),
+    )
+    w = Window.partitionBy(tok_col)
+    p = ps.withColumn(
+        "n_postings", F.sum("n_in_shard").over(w).cast("long")
+    ).withColumn("doc_freq", F.sum("df_shard").over(w).cast("long"))
+    return p.filter(
+        (F.col("doc_freq") * 100 >= F.col("n_docs") * df_low_pct)
+        & (F.col("doc_freq") * 10 <= F.col("n_docs") * (df_high_pct // 10))
+    ).select(tok_col, "shard", "n_postings", "doc_freq", "postings")

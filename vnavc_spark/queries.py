@@ -29,6 +29,7 @@ from vnavc_spark.operators import (
     joins,
     ordering,
     restructure,
+    retrieval,
     sampling,
     similarity,
 )
@@ -3223,46 +3224,49 @@ def q81_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q82_inverted_index",
     oracle=f"""
-WITH toks AS (
+WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+toks AS (
   SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
-p AS (
-  SELECT tok,
-         CAST(count(*) AS BIGINT) AS n_postings,
-         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+sh AS (
+  SELECT doc_id, tok, n_docs,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % greatest(1, CAST(ceil(n_docs / 1000.0) AS BIGINT)) AS shard
+  FROM toks CROSS JOIN nd),
+ps AS (
+  SELECT tok, shard, min(n_docs) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_in_shard,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df_shard,
          list_sort(list_distinct(list(doc_id))) AS postings
-  FROM toks GROUP BY tok)
-SELECT tok, n_postings, doc_freq, postings
+  FROM sh GROUP BY tok, shard),
+p AS (
+  SELECT tok, shard, postings, n_docs,
+         CAST(sum(n_in_shard) OVER (PARTITION BY tok) AS BIGINT)
+           AS n_postings,
+         CAST(sum(df_shard) OVER (PARTITION BY tok) AS BIGINT) AS doc_freq
+  FROM ps)
+SELECT tok, shard, n_postings, doc_freq, postings
 FROM p
-WHERE doc_freq * 100 >= (SELECT count(*) FROM documents)
-  AND doc_freq * 10 <= (SELECT count(*) FROM documents) * 9
+WHERE doc_freq * 100 >= n_docs
+  AND doc_freq * 10 <= n_docs * 9
 """,
 )
 def q82_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (the IR/search primitive behind BM25
-    retrieval, q60): token → sorted posting list + frequencies, for
-    the useful band defined RELATIVE to corpus size (1% ≤ df ≤ 90% —
-    boilerplate-universal and hapax terms are filtered, at any SF).
-    One tokenize pass, one shuffle on the term; the corpus count is a
-    broadcast one-row scalar. At 100 TB, postings for a hot term are
-    bounded by the df ceiling — shard longer lists by doc_id range."""
+    retrieval, q60): token → SHARDED sorted posting lists + token
+    totals, for the useful band defined RELATIVE to corpus size
+    (1% ≤ df ≤ 90% — boilerplate-universal and hapax terms filtered,
+    at any SF). Posting lists are doc-sharded (md5(doc) % K,
+    K = ceil(n_docs/1000)) so no row ever holds more than ~1000 doc
+    ids — a universal token at 100 TB becomes many bounded rows, not
+    one multi-GB array. One tokenize pass, one (tok, shard) shuffle;
+    token totals via a window whose partitions hold ≤K aggregated
+    rows. See operators/retrieval.inverted_index."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
     )
-    p = toks.groupBy("tok").agg(
-        F.count("*").alias("n_postings"),
-        F.countDistinct("doc_id").alias("doc_freq"),
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
-    )
-    total = F.broadcast(d.agg(F.count("*").alias("n_docs")))
-    return (
-        p.crossJoin(total)
-        .filter(
-            (F.col("doc_freq") * 100 >= F.col("n_docs"))
-            & (F.col("doc_freq") * 10 <= F.col("n_docs") * 9)
-        )
-        .select("tok", "n_postings", "doc_freq", "postings")
-    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    return retrieval.inverted_index(toks, n, postings_per_shard=1000)
 
 
 _STOPS = ["the", "a", "of", "and", "to"]
