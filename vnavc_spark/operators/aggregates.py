@@ -279,14 +279,21 @@ POISSON1_CDF = (
 )
 
 
-def poisson1_hex_thresholds() -> list[str]:
-    """The CDF thresholds as 6-hex-digit strings: a 24-bit uniform
-    drawn as an md5 substring compares LEXICOGRAPHICALLY against
-    these (lowercase fixed-width hex orders like the integer it
-    encodes), so the Poisson draw needs no base conversion at all —
-    string compare is ~3× cheaper than conv() per draw and renders
-    identically in DuckDB."""
-    return [format(int(t * (1 << 24)), "06x") for t in POISSON1_CDF]
+def poisson1_hex_thresholds(hex_digits: int = 3) -> list[str]:
+    """The CDF thresholds as fixed-width hex strings: a uniform drawn
+    as an md5 substring compares LEXICOGRAPHICALLY against these
+    (lowercase fixed-width hex orders like the integer it encodes),
+    so the Poisson draw needs no base conversion at all — string
+    compare is ~3× cheaper than conv() per draw and renders
+    identically in DuckDB. 3 hex digits = a 12-bit uniform: the CDF
+    quantization error is < 2^-12 per threshold (≪ bootstrap noise at
+    any replica count) and one 32-hex digest yields TEN draws, so the
+    md5 count — the dominant cost, measured ~45% of q94 at sf0.1 —
+    halves versus 24-bit draws."""
+    return [
+        format(int(t * (1 << (4 * hex_digits))), f"0{hex_digits}x")
+        for t in POISSON1_CDF
+    ]
 
 
 def bootstrap_ci(
@@ -305,28 +312,32 @@ def bootstrap_ci(
     interval (the classic online/streaming bootstrap, Oza & Russell
     2001; Kleiner et al.'s BLB is this plus subsampling).
 
-    Scale shape: the replica fan-out multiplies rows ×B/5 (not ×B —
-    one md5 per FIVE replicas: the 32-hex digest yields five 24-bit
+    Scale shape: the replica fan-out multiplies rows ×B/10 (not ×B —
+    one md5 per TEN replicas: the 32-hex digest yields ten 12-bit
     uniforms, read as substrings and compared lexicographically
-    against hex thresholds, no base conversion), the five replica
-    lanes aggregate as SEPARATE COLUMNS of one codegen'd map-side
-    pass, and only the tiny (group, g) aggregate is exploded into
-    (group, b) rows. The generator-per-draw form this replaces
-    re-evaluated the md5 inside a Generate node (no codegen, no
-    subexpression reuse) — measured 5× slower at sf0.1. The shuffle
-    carries (group, replica) partials only, never data rows. The CI
-    picks rank ⌊0.025·B⌋ / ⌈0.975·B⌉ replica means via one tiny
-    window.
+    against hex thresholds, no base conversion; 12-bit CDF
+    quantization is ≪ bootstrap noise), the ten replica lanes
+    aggregate as SEPARATE COLUMNS of one codegen'd map-side pass, and
+    only the tiny (group, g) aggregate is exploded into (group, b)
+    rows. The generator-per-draw form this replaces re-evaluated the
+    md5 inside a Generate node (no codegen, no subexpression reuse) —
+    measured 5× slower at sf0.1; the 5-lane 24-bit form cost 2× the
+    md5 calls for no statistical gain. The shuffle carries (group,
+    replica) partials only, never data rows. The CI picks rank
+    ⌊0.025·B⌋ / ⌈0.975·B⌉ replica means via one tiny window.
 
     Returns (group_cols..., n_rows, mean_val, ci_lo, ci_hi)."""
     from pyspark.sql import Window
 
     from vnavc_spark.functions.portable import exact_sum, stable_round
 
-    assert replicas % 5 == 0, "replicas must be a multiple of 5"
+    lanes_n = 10
+    assert replicas % lanes_n == 0, "replicas must be a multiple of 10"
     scale = float(10**places)
     thr = poisson1_hex_thresholds()
-    g = F.explode(F.sequence(F.lit(1), F.lit(replicas // 5))).alias("g")
+    g = F.explode(
+        F.sequence(F.lit(1), F.lit(replicas // lanes_n))
+    ).alias("g")
     hx = F.md5(
         F.concat(
             F.lit("bs"),
@@ -347,19 +358,27 @@ def bootstrap_ci(
         )
 
     x_scaled = F.floor(F.col(value_col) * scale + F.lit(0.5))
-    lanes = df.select(*group_cols, id_col, value_col, g).select(
+    # materialize the digest in its own projection: substring/compare
+    # lanes then reference a bound column, so the md5 is provably
+    # evaluated once per row — inlining it relied on codegen CSE,
+    # which left repeated evaluations behind (measured ~28% slower at
+    # sf0.1)
+    base = df.select(*group_cols, id_col, value_col, g).select(
+        *group_cols, value_col, "g", hx.alias("_hx")
+    )
+    lanes = base.select(
         *group_cols,
         value_col,
         "g",
         *[
-            w_from(F.substring(hx, 6 * j + 1, 6)).alias(f"_w{j}")
-            for j in range(5)
+            w_from(F.substring(F.col("_hx"), 3 * j + 1, 3)).alias(f"_w{j}")
+            for j in range(lanes_n)
         ],
     )
     wide = lanes.groupBy(*group_cols, "g").agg(
         *[
             a
-            for j in range(5)
+            for j in range(lanes_n)
             for a in (
                 F.sum(F.col(f"_w{j}") * x_scaled).alias(f"_sw{j}"),
                 F.sum(f"_w{j}").alias(f"_nw{j}"),
@@ -377,14 +396,14 @@ def bootstrap_ci(
                             F.col(f"_sw{j}").alias("sw"),
                             F.col(f"_nw{j}").alias("nw"),
                         )
-                        for j in range(5)
+                        for j in range(lanes_n)
                     ]
                 )
             ).alias("j", "_p"),
         )
         .select(
             *group_cols,
-            ((F.col("g") - 1) * 5 + F.col("j") + 1).alias("b"),
+            ((F.col("g") - 1) * lanes_n + F.col("j") + 1).alias("b"),
             F.col("_p.sw").alias("_sw"),
             F.col("_p.nw").alias("_nw"),
         )

@@ -3828,19 +3828,19 @@ def _bootstrap_weight_case() -> str:
     oracle=f"""
 WITH r AS (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
-         unnest(range(1, 41)) AS g
+         unnest(range(1, 21)) AS g
   FROM orders),
 h AS (
   SELECT *, md5('bs' || CAST(g AS VARCHAR) || '|' ||
                 CAST(o_orderkey AS VARCHAR)) AS hx
   FROM r),
 ww AS (
-  SELECT o_orderpriority, (g - 1) * 5 + j + 1 AS b,
+  SELECT o_orderpriority, (g - 1) * 10 + j + 1 AS b,
          {_bootstrap_weight_case()} AS w,
          floor(o_totalprice * 100.0 + 0.5) AS xs
   FROM (SELECT o_orderpriority, g, o_totalprice,
-               substr(hx, CAST(6 * j + 1 AS INT), 6) AS s, j
-        FROM h CROSS JOIN range(0, 5) t(j))),
+               substr(hx, CAST(3 * j + 1 AS INT), 3) AS s, j
+        FROM h CROSS JOIN range(0, 10) t(j))),
 rep AS (SELECT o_orderpriority, b, sum(w * xs) AS sw, sum(w) AS nw
         FROM ww GROUP BY o_orderpriority, b),
 mb AS (
