@@ -109,3 +109,54 @@ class TestSparkProbe:
             .collect()
         )
         assert [r.path for r in kept] == ["a.mp3"]
+
+
+class TestCodecSeamCloseout:
+    """S11 close-out: the documented decode seam + the probe-driven
+    qualification path (F8/G7) on multi-frame mp3 fixtures — the
+    supported no-codec route for mp3 corpora (the reference's parts
+    are mp3: crawler/download.py:141-145)."""
+
+    def test_decode_audio_raises_documented_seam_error(self):
+        from vnavc_spark.pipeline import audio as A
+
+        mp3 = _frame_v1_stereo_128_44100() * 4
+        try:
+            A.decode_audio(mp3, "mp3")
+        except NotImplementedError as e:
+            msg = str(e)
+            # the error must point at the supported metadata path
+            assert "probe_mp3" in msg or "with_mp3_info" in msg
+            assert "soundfile" in msg or "librosa" in msg
+        else:  # pragma: no cover — only if a codec appears
+            import importlib.util
+
+            assert importlib.util.find_spec("soundfile") is not None
+
+    def test_f8_g7_end_to_end_on_multiframe_mp3_parts(self, spark):
+        # two books, mp3 parts of mixed sample rates: G7 takes the
+        # min sr over parts, F8 gates at 22.05 kHz — all driven by
+        # the native probe, no codec anywhere
+        from pyspark.sql import functions as F
+
+        from vnavc_spark.operators.aggregates import min_sample_rate
+        from vnavc_spark.operators.filters import sample_rate_gate
+
+        hi = _frame_v1_stereo_128_44100() * 30   # 44100 Hz
+        lo = _frame_v2_mono_64_16000() * 30      # 16000 Hz
+        df = spark.createDataFrame(
+            [
+                ("bk1", "bk1_1.mp3", hi),
+                ("bk1", "bk1_2.mp3", hi),
+                ("bk2", "bk2_1.mp3", hi),
+                ("bk2", "bk2_2.mp3", lo),   # one low-rate part sinks bk2
+            ],
+            "book_id string, path string, content binary",
+        )
+        probed = M.with_mp3_info(df).select(
+            "book_id", "path", F.col("info.sample_rate").alias("sample_rate")
+        )
+        per_book = min_sample_rate(probed)  # G7
+        gated = sample_rate_gate(per_book, sr_col="min_sr", min_sr=22050)  # F8
+        rows = {r.book_id: (r.min_sr, r.qualified) for r in gated.collect()}
+        assert rows == {"bk1": (44100, True), "bk2": (16000, False)}

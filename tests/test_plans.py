@@ -214,19 +214,34 @@ class TestAnalyticsSuitePlans:
         # events scan prunes to the 3 needed cols
         assert all("props" not in s and "value" not in s for s in f.read_schemas)
 
-    def test_scd2_single_sort_pipeline(self, facts):
+    def test_scd2_single_sort_pipeline(self, spark, facts):
         f = facts("q75_scd2_history")
         # lag + filter + lead share one user_id exchange
         assert f.exchanges == 1 and f.python_nodes == 0
+        # ... and ONE sort: at 100× a second sort over the event table
+        # costs as much as the exchange it shares — the lag and lead
+        # window specs must stay order-compatible
+        from vnavc_spark.plans.audit import explain_string
+
+        simple = explain_string(QS["q75_scd2_history"](spark, SF_SMALL), "simple")
+        assert simple.count("Sort ") == 1, simple
 
     def test_unpivot_is_shuffle_free_after_agg(self, facts):
         f = facts("q76_unpivot_measures")
         # one partial+final agg exchange; Expand adds nothing
         assert f.exchanges <= 1 and f.python_nodes == 0
 
-    def test_trailing_window_single_exchange(self, facts):
+    def test_trailing_window_single_exchange(self, spark, facts):
         f = facts("q77_trailing_window_avg")
         assert f.exchanges == 1 and f.python_nodes == 0
+        # RANGE and ROWS frames over the same (key, order) must share
+        # one sort as well as one exchange
+        from vnavc_spark.plans.audit import explain_string
+
+        simple = explain_string(
+            QS["q77_trailing_window_avg"](spark, SF_SMALL), "simple"
+        )
+        assert simple.count("Sort ") == 1, simple
 
     def test_semdedup_shuffles_ids_not_vectors(self, spark):
         from vnavc_spark.operators import similarity
@@ -281,10 +296,14 @@ class TestSketchAndPrepPlans:
         f = facts("q90_dsir_weights")
         assert f.nested_loop_joins == 0 and f.python_nodes == 0
 
-    def test_window_suite_single_exchange_single_sort(self, facts):
-        # every window function shares ONE spec → one exchange
+    def test_window_suite_single_exchange_single_sort(self, spark, facts):
+        # every window function shares ONE spec → one exchange, one sort
         f = facts("q91_window_suite")
         assert f.exchanges == 1 and f.python_nodes == 0
+        from vnavc_spark.plans.audit import explain_string
+
+        simple = explain_string(QS["q91_window_suite"](spark, SF_SMALL), "simple")
+        assert simple.count("Sort ") == 1, simple
 
     def test_bloom_bitset_broadcasts(self, facts):
         # the bit-set side must broadcast (≤ n_bits rows); the only

@@ -227,3 +227,76 @@ class TestStreamStreamJoin:
         q.awaitTermination(120)
         out = spark.read.parquet(str(tmp_path / "out")).collect()
         assert [(x.user_id, x.lag_seconds) for x in out] == [(7, 1800)]
+
+
+class TestSignatureCompaction:
+    def test_two_restart_stable_state_and_compaction(self, spark, tmp_path):
+        import glob
+        import json as _json
+
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from vnavc_spark.operators.dedup import compact_signature_table
+        from vnavc_spark.streaming import ingest
+
+        src = tmp_path / "src"
+        src.mkdir()
+        sig = str(tmp_path / "sig")
+        pairs_out = str(tmp_path / "pairs")
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+
+        def write_batch(name, rows):
+            (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+        def run(ck):
+            stream = ingest.read_json_stream(spark, str(src), schema)
+            q = ingest.start_incremental_neardup(
+                stream, sig, pairs_out, str(tmp_path / ck)
+            )
+            q.awaitTermination(120)
+
+        base = "mot hai ba bon nam sau bay tam chin muoi"
+        write_batch("b1.json", [
+            {"doc_id": 1, "text": base + " mot"},
+            {"doc_id": 2, "text": "noi dung khac hoan toan doc lap rieng biet"},
+        ])
+        run("ck1")
+        # restart with a re-delivery plus one new doc
+        write_batch("b2.json", [
+            {"doc_id": 2, "text": "noi dung khac hoan toan doc lap rieng biet"},
+            {"doc_id": 3, "text": base + " hai"},
+        ])
+        run("ck2")
+
+        # state tables hold ONE row per id despite the re-delivery
+        assert spark.read.parquet(sig).count() == 3
+        docs_tbl = spark.read.parquet(f"{sig}_docs")
+        assert docs_tbl.count() == 3
+        assert docs_tbl.select("doc_id").distinct().count() == 3
+
+        # compaction: logical content identical, file count bounded
+        before_sig = spark.read.parquet(sig).orderBy("doc_id").collect()
+        rep = compact_signature_table(spark, sig, target_partitions=1)
+        assert rep[sig]["rows"] == 3
+        assert rep[f"{sig}_docs"]["rows"] == 3
+        assert rep[sig]["files_after"] <= rep[sig]["files_before"]
+        assert len(glob.glob(f"{sig}/*.parquet")) == 1
+        assert spark.read.parquet(sig).orderBy("doc_id").collect() == before_sig
+
+        # a third restart after compaction: new doc still dedups
+        # against the compacted corpus
+        write_batch("b3.json", [{"doc_id": 4, "text": base + " bon"}])
+        run("ck3")
+        assert spark.read.parquet(sig).count() == 4
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(pairs_out).collect()
+        }
+        assert (1, 4) in got or (3, 4) in got

@@ -117,6 +117,18 @@ def cmd_dedup(args) -> int:
 
     spark = _spark(args)
     spark.sparkContext.setLogLevel("ERROR")
+    if args.compact:
+        if not args.sig_dir:
+            print("--compact requires --sig-dir", file=sys.stderr)
+            return 2
+        from vnavc_spark.operators.dedup import compact_signature_table
+
+        for path, r in compact_signature_table(spark, args.sig_dir).items():
+            print(
+                f"compacted {path}: {r['rows']} rows, "
+                f"{r['files_before']} -> {r['files_after']} files"
+            )
+        return 0
     docs = table(spark, args.sf_dir, "documents")
     if args.incremental:
         if not args.sig_dir:
@@ -175,6 +187,11 @@ def main(argv: list[str] | None = None) -> int:
         help="stage signatures in --sig-dir; dedup only new docs",
     )
     d.add_argument("--sig-dir", default=None, help="signature table path")
+    d.add_argument(
+        "--compact",
+        action="store_true",
+        help="compact the --sig-dir state tables (one row/id, few files)",
+    )
 
     args = p.parse_args(argv)
     return {

@@ -683,6 +683,58 @@ def incremental_dedup_pairs(
     return jaccard_verify_pairs(cands, subset, id_col, text_col, n, threshold)
 
 
+def compact_signature_table(
+    spark,
+    sig_path: str,
+    id_col: str = "doc_id",
+    include_docs: bool = True,
+    target_partitions: int = 8,
+) -> dict:
+    """Compact the append-only incremental-dedup state tables back to
+    one row per id and a bounded file count.
+
+    ``stage_minhash_signatures`` appends one small parquet file per
+    micro-batch forever; after thousands of batches the table is
+    thousands of files (slow listing/footers) even though its LOGICAL
+    size is stable. Signatures are deterministic, so compaction is a
+    pure rewrite: ``dropDuplicates(id)`` + coalesce to
+    ``target_partitions`` files, written to a temp dir and swapped in
+    with directory renames (posix/local semantics; on an object store
+    run this as a table-format operation — Delta OPTIMIZE / Iceberg
+    rewrite_data_files — instead of dir swaps). Run it out-of-band,
+    between streaming restarts: the checkpoint only tracks the SOURCE,
+    so a restart sees the compacted table transparently.
+
+    Returns {path: {"rows": n, "files_before": a, "files_after": b}}.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    paths = [sig_path] + ([f"{sig_path}_docs"] if include_docs else [])
+    report: dict = {}
+    for path in paths:
+        if not os.path.isdir(path):
+            continue
+        files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+        df = spark.read.parquet(path).dropDuplicates([id_col])
+        tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+        df.coalesce(target_partitions).write.mode("overwrite").parquet(tmp)
+        rows = spark.read.parquet(tmp).count()
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        files_after = len(glob.glob(os.path.join(path, "*.parquet")))
+        report[path] = {
+            "rows": rows,
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+    return report
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering (connected components) + keep-one
 # ---------------------------------------------------------------------------

@@ -180,10 +180,13 @@ def start_incremental_neardup(
             return
         # verify needs candidate docs' text: the batch carries the new
         # side; previously-staged docs' text comes from the docs table
-        # materialized alongside the signatures
-        batch_df.select(id_col, text_col).write.mode("append").parquet(
-            f"{sig_path}_docs"
-        )
+        # materialized alongside the signatures. Only NEW docs append —
+        # re-deliveries would otherwise duplicate rows forever (the
+        # companion table must mirror the signature table's one-row-
+        # per-id invariant; compact_signature_table restores both).
+        batch_df.select(id_col, text_col).join(
+            new_ids, on=id_col, how="left_semi"
+        ).write.mode("append").parquet(f"{sig_path}_docs")
         docs = spark.read.parquet(f"{sig_path}_docs")
         pairs = incremental_dedup_pairs(
             docs, sig_path, new_ids, id_col, text_col, threshold=threshold
