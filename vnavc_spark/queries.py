@@ -3876,6 +3876,255 @@ def q94_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Round-3 additions: fingerprinting, grouping sets, set ops, argmax,
+# table checksums, certified salted aggregation
+# ===========================================================================
+
+@query(
+    "q95_rolling_fingerprint",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL.format(c="text")} AS x FROM documents)
+SELECT doc_id,
+       CAST(len(x) AS BIGINT) AS n_toks,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(x, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+         (acc, t) -> (acc * 131 + t) % 1000000007) AS fp
+FROM toks
+""",
+)
+def q95_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via a polynomial rolling hash over the
+    token stream (Rabin-Karp family): fp = fold((acc*131 + h(tok)) mod
+    1e9+7) — order-SENSITIVE, unlike the bag-of-shingles minhash
+    family, so it distinguishes permuted near-copies. Per-token ints
+    are md5-derived (engine-portable); arithmetic stays < 2^38 so no
+    overflow on any engine. Map-only (zero shuffle): the fold is a
+    per-row HOF whose lambda touches only (acc, element) — none of
+    the captured-outer-expression re-evaluation that bit q25."""
+    d = table(spark, sf_dir, "documents")
+    toks = Q.tokens(Q.normalized_text("text"))
+    ints = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    fp = F.aggregate(
+        ints,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(131) + t) % F.lit(1000000007),
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        fp.alias("fp"),
+    )
+
+
+@query(
+    "q96_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+            AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+)
+def q96_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond q10 rollup / q43 cube): three
+    disjoint aggregation lattice cells in ONE scan via Expand — the
+    gid is composed from per-column grouping() bits explicitly so the
+    encoding is engine-defined, not convention-defined. Map-side
+    partials apply to the expanded rows; no joins, no windows."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        (
+            F.grouping("o_orderpriority").cast("long") * 2
+            + F.grouping("o_orderstatus").cast("long")
+        ).alias("gid"),
+        F.count("*").alias("n"),
+        exact_sum(F.col("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q97_set_ops",
+    oracle="""
+WITH hi AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+lo AS (SELECT DISTINCT o_custkey FROM orders
+       WHERE o_orderpriority = '5-LOW')
+SELECT 'both' AS segment, o_custkey
+FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM lo)
+UNION ALL
+SELECT 'urgent_only' AS segment, o_custkey
+FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM lo)
+""",
+)
+def q97_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (SURVEY §2.6 notes the
+    reference has none; Spark gives them free): customer segments by
+    order-priority membership. Both set ops plan as aggregations over
+    a union-like shape — distinct partials are map-side combinable,
+    and the two branches share the orders scan."""
+    o = table(spark, sf_dir, "orders")
+    hi = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    lo = (
+        o.filter(F.col("o_orderpriority") == "5-LOW")
+        .select("o_custkey")
+        .distinct()
+    )
+    both = hi.intersect(lo).select(
+        F.lit("both").alias("segment"), "o_custkey"
+    )
+    only = hi.subtract(lo).select(
+        F.lit("urgent_only").alias("segment"), "o_custkey"
+    )
+    return both.unionByName(only)
+
+
+@query(
+    "q98_argmax_customer",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority, o_custkey,
+         CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS spend_c
+  FROM orders GROUP BY o_orderpriority, o_custkey),
+m AS (SELECT o_orderpriority, max(spend_c) AS top_spend_c
+      FROM s GROUP BY o_orderpriority)
+SELECT s.o_orderpriority,
+       CAST(min(s.o_custkey) AS BIGINT) AS top_custkey,
+       max(s.spend_c) / 100.0 AS top_spend
+FROM s JOIN m ON s.o_orderpriority = m.o_orderpriority
+             AND s.spend_c = m.top_spend_c
+GROUP BY s.o_orderpriority
+""",
+)
+def q98_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax per group (top-spending customer per
+    priority): two partial-aggregable groupBys + an equi-join on the
+    (group, max) pair, with ties resolved to min customer key.
+    Spark's native ``max_by`` is the one-pass form but leaves ties
+    engine/partitioning-dependent — unacceptable under hash
+    certification; this shape is deterministic on ANY engine and
+    every stage is map-side combinable (no windows, no skew
+    pinning)."""
+    o = table(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("spend_c")
+    )
+    m = s.groupBy("o_orderpriority").agg(
+        F.max("spend_c").alias("top_spend_c")
+    )
+    return (
+        s.join(m, on="o_orderpriority")
+        .filter(F.col("spend_c") == F.col("top_spend_c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_custkey").cast("long").alias("top_custkey"),
+            (F.max("spend_c") / 100.0).alias("top_spend"),
+        )
+    )
+
+
+@query(
+    "q99_table_checksum",
+    oracle="""
+WITH h AS (
+  SELECT o_orderpriority,
+         ('0x' || substr(md5(concat_ws('|',
+             CAST(o_orderkey AS VARCHAR),
+             CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  AS VARCHAR),
+             strftime(o_orderdate, '%Y-%m-%d'),
+             o_orderstatus)), 1, 13))::BIGINT AS h
+  FROM orders)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS checksum
+FROM h GROUP BY o_orderpriority
+""",
+)
+def q99_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant per-group table checksum — the migration /
+    replication validation primitive (compare a 100 TB table across
+    engines or clusters without moving it): each row hashes its
+    canonicalized business columns (integer cents, explicit date
+    format — no float/format drift) to a 52-bit md5 int, combined
+    with ``bit_xor``. XOR is commutative, associative, and
+    overflow-free, so the aggregate is map-side combinable, merges
+    across any partitioning, and never outgrows a BIGINT at any row
+    count (a sum-based checksum overflows past ~1e6 rows/group)."""
+    o = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")
+                    .cast("string"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd"),
+                    F.col("o_orderstatus"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(h).alias("checksum"),
+    )
+
+
+@query(
+    "q100_salted_agg",
+    oracle="""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       sum(floor(l_quantity * 100.0 + 0.5)) / 100.0 AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q100_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation, HASH-CERTIFIED against the
+    plain GROUP BY oracle: groupBy(key, salt) partials → groupBy(key)
+    finals. l_returnflag has ~3 values at any SF — the classic
+    hot-key reduce — so the salted rewrite is the shape you ship at
+    100×; this query pins that the rewrite is result-identical, not
+    just faster (operators/skew.salted_agg; unit-tested equality in
+    test_skew, certified end-to-end here)."""
+    from vnavc_spark.operators import skew
+
+    li = table(spark, sf_dir, "lineitem")
+    q_scaled = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+    return skew.salted_agg(
+        li,
+        "l_returnflag",
+        aggs={"n_p": F.count("*"), "s_p": F.sum(q_scaled)},
+        finals={
+            "n_items": F.sum("n_p"),
+            "sum_qty": F.sum("s_p") / 100.0,
+        },
+        n_salts=16,
+    ).select("l_returnflag", "n_items", "sum_qty")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
