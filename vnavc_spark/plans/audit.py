@@ -95,10 +95,41 @@ def audit_report(spark, sf_dir: str, names: list[str] | None = None) -> dict:
     return out
 
 
+def scale_facts(spark, sf_dir: str, names: list[str] | None = None) -> dict:
+    """JSON-serializable plan-fact snapshot for round-stamped scale
+    artifacts (docs/SCALE_FACTS_r{N}.json): the measured numbers the
+    100 TB claims in docs/SCALE.md cite, re-generated per round so
+    the claims stay tied to the code as it evolves."""
+    from dataclasses import asdict
+
+    out = {}
+    for name, facts in audit_report(spark, sf_dir, names).items():
+        if isinstance(facts, PlanFacts):
+            d = asdict(facts)
+            d["n_pushed_filters"] = len(d.pop("pushed_filters"))
+            d["n_scans"] = len(d.pop("read_schemas"))
+            out[name] = d
+        else:
+            out[name] = {"error": str(facts)}
+    return out
+
+
 if __name__ == "__main__":
+    import json as _json
+    import sys as _sys
+
     from vnavc_spark.session import get_spark
 
     spark = get_spark(master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    for name, facts in audit_report(spark, "/root/testdata/sf0.001").items():
-        print(f"== {name}\n   {facts}")
+    if "--json" in _sys.argv:
+        path = _sys.argv[_sys.argv.index("--json") + 1]
+        facts = scale_facts(spark, "/root/testdata/sf0.001")
+        with open(path, "w") as fh:
+            _json.dump(facts, fh, indent=1, sort_keys=True)
+        print(f"wrote {path} ({len(facts)} queries)")
+    else:
+        for name, facts in audit_report(
+            spark, "/root/testdata/sf0.001"
+        ).items():
+            print(f"== {name}\n   {facts}")
