@@ -4125,6 +4125,349 @@ def q100_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_returnflag", "n_items", "sum_qty")
 
 
+_EXACT_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         floor(({_COSINE_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id FROM r WHERE rank <= 10
+"""
+
+
+@query(
+    "q101_ann_recall",
+    oracle=f"""
+WITH ex AS ({_EXACT_TOPK_SQL}),
+lsh AS ({_lsh_ann_sql()}),
+hit AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM ex JOIN lsh ON ex.query_id = lsh.query_id
+                        AND ex.neighbor_id = lsh.neighbor_id
+        GROUP BY ex.query_id),
+base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         FROM ex GROUP BY query_id)
+SELECT base.query_id, n_exact,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       coalesce(n_hit, 0) / CAST(n_exact AS DOUBLE) AS recall
+FROM base LEFT JOIN hit ON base.query_id = hit.query_id
+""",
+)
+def q101_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality self-validation: recall@10 of the LSH path (q30)
+    against the exact brute-force top-10 (q28), per query — the
+    metric you track when tuning tables/bits for a 100 TB index.
+    Both branches are certified plans; the recall join touches only
+    (query, neighbor) id pairs. On a cluster the exact side runs on a
+    SAMPLE of queries (recall estimation), never the full query
+    log — here the query set is 5 vectors by construction."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs_df = emb.filter(F.col("vec_id") < 5)
+    ex = similarity.cosine_topk(emb, qs_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ap = similarity.lsh_topk(emb, qs_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hit = (
+        ex.join(ap, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return base.join(hit, on="query_id", how="left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )
+
+
+@query(
+    "q102_embedding_quantization",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ex AS (SELECT vec_id, CAST(i AS BIGINT) - 1 AS dim, e[CAST(i AS INT)] AS x
+       FROM v CROSS JOIN range(1, 65) t(i)),
+sc AS (SELECT dim, max(abs(x)) AS s FROM ex GROUP BY dim),
+qe AS (SELECT ex.dim, s,
+              abs(x - floor(x * 127.0 / s + 0.5) * s / 127.0) AS err
+       FROM ex JOIN sc ON ex.dim = sc.dim WHERE s > 0)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       floor(max(s) * 1000000.0 + 0.5) / 1000000.0 AS scale,
+       floor(max(err) * 100000000.0 + 0.5) / 100000000.0 AS max_err,
+       sum(floor(err * 100000000.0 + 0.5)) / 100000000.0 / count(*)
+         AS avg_err
+FROM qe GROUP BY dim
+""",
+)
+def q102_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit — the storage decision at
+    100 TB (float32→int8 quarters the embedding footprint): per-dim
+    absmax scale, round-half-up to the 127-step grid, and the exact
+    reconstruction-error profile per dimension. Two shuffles of
+    (dim, value) pairs only; the scale table (= dim count rows)
+    broadcasts back onto the exploded view. Error math uses one
+    shared expression tree → bit-identical across engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    sc = ex.groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("s"))
+    err = F.abs(
+        F.col("x")
+        - F.floor(F.col("x") * 127.0 / F.col("s") + F.lit(0.5))
+        * F.col("s")
+        / 127.0
+    )
+    qe = (
+        ex.join(F.broadcast(sc), on="dim")
+        .filter(F.col("s") > 0)
+        .select("dim", "s", err.alias("err"))
+    )
+    return qe.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        stable_round(F.max("s"), 6).alias("scale"),
+        stable_round(F.max("err"), 8).alias("max_err"),
+        (exact_sum(F.col("err"), 8) / F.count("*")).alias("avg_err"),
+    )
+
+
+@query(
+    "q103_cluster_representatives",
+    oracle=f"""
+WITH RECURSIVE
+{_shingle_cte()},
+{_minhash_bands_sql(cap=1000)},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_c a JOIN bands_c b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id),
+p AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b),
+verified AS (
+  SELECT doc_a, doc_b FROM p
+  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION SELECT doc_b, doc_a FROM verified),
+reach AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+cl AS (SELECT node AS doc_id, min(root) AS cluster_id
+       FROM reach GROUP BY node),
+sized AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+          FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+mx AS (SELECT cluster_id, max(n_chars) AS top_chars
+       FROM sized GROUP BY cluster_id)
+SELECT sized.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(CASE WHEN n_chars = top_chars THEN sized.doc_id END)
+            AS BIGINT) AS rep_doc,
+       CAST(count(*) - 1 AS BIGINT) AS n_removed
+FROM sized JOIN mx ON sized.cluster_id = mx.cluster_id
+GROUP BY sized.cluster_id
+""",
+)
+def q103_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation step AFTER clustering (q56): pick each near-dup
+    cluster's representative by CONTENT (longest document, ties to
+    min id) instead of min-id — the real keep-the-best-copy policy —
+    and report how many docs the cluster removes. Same deterministic
+    argmax shape as q98 (max + equi-match + min-id tiebreak), no
+    windows; the recursive-CTE oracle re-derives the clustering so
+    hash equality certifies the whole pipeline, not just the last
+    join."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
+    cl = dedup.dedup_clusters(pairs)
+    sized = cl.join(d.select("doc_id", "n_chars"), on="doc_id")
+    mx = sized.groupBy("cluster_id").agg(
+        F.max("n_chars").alias("top_chars")
+    )
+    return (
+        sized.join(mx, on="cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(
+                F.when(
+                    F.col("n_chars") == F.col("top_chars"), F.col("doc_id")
+                )
+            )
+            .cast("long")
+            .alias("rep_doc"),
+            (F.count("*") - 1).cast("long").alias("n_removed"),
+        )
+    )
+
+
+@query(
+    "q104_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k,
+         md5(concat_ws('|',
+             CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  AS VARCHAR),
+             o_orderstatus, o_orderpriority)) AS rh,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % 10 AS b
+  FROM orders),
+new AS (
+  SELECT k,
+         CASE WHEN b = 1 THEN md5('changed|' || rh) ELSE rh END AS rh
+  FROM old WHERE b <> 0
+  UNION ALL
+  SELECT k + 10000000 AS k, rh FROM old WHERE b = 2)
+SELECT coalesce(o.k, n.k) AS o_orderkey,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL OR o.rh <> n.rh
+""",
+)
+def q104_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the table-migration companion to q99's
+    checksum: classify every key as added / removed / changed between
+    two table states by comparing md5 row-hashes on a full-outer
+    join of the KEYS + HASHES only (never the payloads). The second
+    snapshot is derived deterministically from the first (md5 bucket:
+    0→deleted, 1→changed, 2→also-inserted-as-new-key) so the diff is
+    oracle-checkable; on a real migration both sides are real tables.
+    One shuffle per side on the key; hashes computed map-side."""
+    o = table(spark, sf_dir, "orders")
+    rh = F.md5(
+        F.concat_ws(
+            "|",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+    )
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    old = o.select(
+        F.col("o_orderkey").alias("k"), rh.alias("rh"), b.alias("b")
+    )
+    new = (
+        old.filter(F.col("b") != 0)
+        .select(
+            "k",
+            F.when(
+                F.col("b") == 1, F.md5(F.concat(F.lit("changed|"), F.col("rh")))
+            )
+            .otherwise(F.col("rh"))
+            .alias("rh"),
+        )
+        .unionByName(
+            old.filter(F.col("b") == 2).select(
+                (F.col("k") + 10000000).alias("k"), "rh"
+            )
+        )
+    )
+    j = old.select("k", "rh").alias("o").join(
+        new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    )
+    return j.filter(
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.rh") != F.col("n.rh"))
+    ).select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("o_orderkey"),
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+    )
+
+
+@query(
+    "q105_gini_balance",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, CAST(len({{toks}}) AS BIGINT) AS n_toks
+  FROM documents),
+s AS (SELECT source, sum(n_toks) AS x FROM toks GROUP BY source),
+r AS (SELECT source, x,
+             row_number() OVER (ORDER BY x, source) AS i,
+             count(*) OVER () AS n, sum(x) OVER () AS tot
+      FROM s)
+SELECT CAST(max(n) AS BIGINT) AS n_sources,
+       CAST(max(tot) AS BIGINT) AS total_tokens,
+       floor((2.0 * sum(i * x) / (max(n) * max(tot))
+              - (max(n) + 1.0) / max(n)) * 1000000.0 + 0.5)
+         / 1000000.0 AS gini
+FROM r
+""".format(toks=TOKS_SQL.format(c="text")),
+)
+def q105_gini_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance audit: Gini coefficient of token mass across
+    sources — the one-number skew alarm for training-mixture drift
+    (0 = perfectly balanced corpus, →1 = one source dominates).
+    Token counts aggregate map-side to a SOURCE-cardinality table;
+    the rank/total windows run over those few rows, so the global
+    window is over an aggregate, never the corpus. Integer sums with
+    a single terminal division → engine-exact."""
+    d = table(spark, sf_dir, "documents")
+    per_src = (
+        d.select(
+            "source",
+            F.size(Q.tokens(Q.normalized_text("text")))
+            .cast("long")
+            .alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("x"))
+    )
+    w_rank = Window.orderBy("x", "source")
+    w_all = Window.partitionBy()
+    r = per_src.select(
+        "source",
+        "x",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("tot").cast("long").alias("total_tokens"),
+        stable_round(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
