@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "q90_dsir_weights",
     "q93_cdc_apply",
     "q94_bootstrap_ci",
+    # round 3 additions
+    "q82_inverted_index",
+    "q96_grouping_sets",
+    "q99_table_checksum",
+    "q101_ann_recall",
+    "q104_snapshot_diff",
 ]
 
 
@@ -83,6 +89,16 @@ def main() -> None:
     # it the first timed query absorbs ~0.5 s of JVM startup noise
     # and round-over-round comparisons of the flagship drift
     queries[BENCH_QUERIES[0]](spark, sf_dir).count()
+    # ... and one tiny Arrow roundtrip per core forks the Python
+    # daemon workers, so the first pandas-UDF query (minhash
+    # signatures) measures the operator, not worker spin-up
+    # (measured: 3.1 s -> 1.4 s for the signature pass at sf0.1)
+    def _ident(batches):
+        yield from batches
+
+    spark.range(10 * int(cpus), numPartitions=int(cpus)).mapInPandas(
+        _ident, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0
