@@ -4472,13 +4472,37 @@ def q105_gini_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry accessors
 # ---------------------------------------------------------------------------
 
-# Queries already hash-certified by the driver in rounds 1-2
-# (CORRECTNESS_r01/r02 rows). The driver certifies only the FIRST 50
-# registered queries per round, so the accessors order the registry
-# with not-yet-certified queries first; the certified set below keeps
-# its regression net in tests/test_queries_oracle.py (all oracles,
-# every round, sf0.001).
-_DRIVER_CERTIFIED: frozenset[str] = frozenset({
+# The driver certifies only the FIRST 50 registered queries per
+# round, so the accessors order the registry with not-yet-certified
+# queries first. The certified set is read from the driver's own
+# CORRECTNESS_r*.json artifacts at the repo root (hash-green rows, or
+# rows-only queries that have no oracle by design), so the rotation
+# maintains itself round over round; the literal set below is the
+# round-1/2 fallback for when those files aren't present. Every
+# certified query keeps its regression net in
+# tests/test_queries_oracle.py (all oracles, every round, sf0.001).
+def _certified_from_artifacts() -> frozenset[str]:
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        for k, v in data.items():
+            if isinstance(v, dict) and (
+                v.get("hash_match") is True or v.get("err") == "no_oracle"
+            ):
+                names.add(k)
+    return frozenset(names)
+
+
+_R2_CERTIFIED: frozenset[str] = frozenset({
     "q01_region_revenue", "q02_substring_query", "q03_pricing_summary",
     "q04_anti_join", "q05_semi_join", "q06_merge_upsert",
     "q07_group_collect", "q08_weighted_ratio", "q09_flag_ratio",
@@ -4497,6 +4521,8 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "q48_embedding_neardup_lsh", "q49_simhash_neardup",
     "q50_repetition_stats",
 })
+
+_DRIVER_CERTIFIED: frozenset[str] = _certified_from_artifacts() | _R2_CERTIFIED
 
 
 def _certification_order(names) -> list[str]:
