@@ -4468,6 +4468,89 @@ def q105_gini_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q106_dedup_apply",
+    oracle=f"""
+WITH RECURSIVE
+{_shingle_cte()},
+{_minhash_bands_sql(cap=1000)},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_c a JOIN bands_c b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id),
+p AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b),
+verified AS (
+  SELECT doc_a, doc_b FROM p
+  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION SELECT doc_b, doc_a FROM verified),
+reach AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+cl AS (SELECT node AS doc_id, min(root) AS cluster_id
+       FROM reach GROUP BY node),
+sized AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+          FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+mx AS (SELECT cluster_id, max(n_chars) AS top_chars
+       FROM sized GROUP BY cluster_id),
+reps AS (
+  SELECT sized.cluster_id,
+         min(CASE WHEN n_chars = top_chars THEN sized.doc_id END) AS rep_doc
+  FROM sized JOIN mx ON sized.cluster_id = mx.cluster_id
+  GROUP BY sized.cluster_id),
+drop_ids AS (
+  SELECT doc_id FROM cl
+  WHERE doc_id NOT IN (SELECT rep_doc FROM reps))
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+""",
+)
+def q106_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's terminal step — MATERIALIZE the deduped
+    corpus: pairs (q33) → clusters (q56) → best-copy representatives
+    (q103) → anti-join the corpus against every non-representative
+    cluster member. Output is the kept (doc_id, source) rows — the
+    table a training run would actually read. The anti-join's build
+    side is cluster-members-minus-reps (tiny relative to the corpus:
+    dup clusters only), so the corpus streams through one broadcast
+    anti-join and never reshuffles."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
+    cl = dedup.dedup_clusters(pairs)
+    sized = cl.join(d.select("doc_id", "n_chars"), on="doc_id")
+    mx = sized.groupBy("cluster_id").agg(
+        F.max("n_chars").alias("top_chars")
+    )
+    reps = (
+        sized.join(mx, on="cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("n_chars") == F.col("top_chars"), F.col("doc_id")
+                )
+            ).alias("rep_doc")
+        )
+    )
+    drop_ids = cl.join(
+        reps.select(F.col("rep_doc").alias("doc_id")),
+        on="doc_id",
+        how="left_anti",
+    ).select("doc_id")
+    return d.join(F.broadcast(drop_ids), on="doc_id", how="left_anti").select(
+        "doc_id", "source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
