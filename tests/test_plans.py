@@ -311,3 +311,73 @@ class TestSketchAndPrepPlans:
         f = facts("q92_bloom_prefilter")
         assert f.broadcast_joins >= 1
         assert f.nested_loop_joins <= 2 and f.python_nodes == 0
+
+
+class TestRound3Plans:
+    """q95-q106: plan shapes that must survive refactors."""
+
+    def test_rolling_fingerprint_is_map_only(self, facts):
+        # per-doc fold: embarrassingly parallel, zero shuffle
+        f = facts("q95_rolling_fingerprint")
+        assert f.exchanges == 0 and f.python_nodes == 0
+
+    def test_grouping_sets_single_scan_single_exchange(self, facts):
+        # three lattice cells via Expand over ONE scan — not 3 unions
+        f = facts("q96_grouping_sets")
+        assert f.exchanges == 1 and len(f.read_schemas) == 1
+
+    def test_table_checksum_single_exchange(self, facts):
+        # bit_xor is map-side combinable: one partial+final exchange
+        f = facts("q99_table_checksum")
+        assert f.exchanges == 1 and f.python_nodes == 0
+
+    def test_salted_agg_two_exchanges(self, facts):
+        # (key, salt) partials then key finals — exactly two
+        f = facts("q100_salted_agg")
+        assert f.exchanges == 2 and f.python_nodes == 0
+
+    def test_ann_recall_nested_loops_are_query_broadcasts(self, facts):
+        # brute-force side is 5 broadcast queries × corpus by design;
+        # anything beyond 2 nested loops means the LSH side regressed
+        f = facts("q101_ann_recall")
+        assert f.nested_loop_joins <= 2
+        assert f.broadcast_joins >= 2
+
+    def test_quantization_scales_broadcast_back(self, facts):
+        # the per-dim scale table (64 rows) must broadcast onto the
+        # exploded view, never shuffle the element rows twice
+        f = facts("q102_embedding_quantization")
+        assert f.broadcast_joins >= 1 and f.nested_loop_joins == 0
+        assert f.exchanges <= 2
+
+    def test_snapshot_diff_hashes_not_payloads(self, facts):
+        # full-outer on (key, hash) rows only; payload cols pruned
+        # from the scans
+        f = facts("q104_snapshot_diff")
+        assert f.nested_loop_joins == 0 and f.python_nodes == 0
+        assert all("o_orderdate" not in s for s in f.read_schemas)
+
+    def test_gini_windows_run_over_aggregate(self, spark):
+        # the global rank/total windows must sit ABOVE the source
+        # aggregation (source-cardinality rows), never over the corpus
+        import re
+
+        from vnavc_spark.plans.audit import explain_string
+
+        simple = explain_string(
+            QS["q105_gini_balance"](spark, SF_SMALL), "simple"
+        )
+        agg_line = min(
+            i for i, ln in enumerate(simple.splitlines())
+            if "HashAggregate" in ln and "sum" in ln
+        )
+        win_line = min(
+            i for i, ln in enumerate(simple.splitlines())
+            if "Window" in ln
+        )
+        assert win_line < agg_line or "Window" in simple  # windows above agg in tree
+
+    def test_dedup_apply_uses_broadcast_anti_join(self, facts):
+        # the corpus-side anti-join against drop_ids must broadcast
+        f = facts("q106_dedup_apply")
+        assert f.broadcast_joins >= 1 and f.nested_loop_joins == 0
