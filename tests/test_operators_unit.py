@@ -562,3 +562,117 @@ class TestBootstrapCI:
             # should bracket the point estimate
             assert r.ci_lo <= r.mean_val <= r.ci_hi
             assert (r.ci_hi - r.ci_lo) / r.mean_val < 0.25
+
+
+class TestRound3QueryProperties:
+    def test_rolling_fingerprint_is_order_sensitive(self, spark):
+        # the rolling hash must distinguish permuted near-copies —
+        # exactly what bag-of-shingles minhash cannot do
+        from vnavc_spark.queries import QUERIES
+
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],
+            "doc_id long, text string",
+        )
+        df.createOrReplaceTempView("_rf_docs")
+        from pyspark.sql import functions as F
+
+        from vnavc_spark.functions import quality as Q
+
+        toks = Q.tokens(Q.normalized_text("text"))
+        ints = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        )
+        fp = F.aggregate(
+            ints,
+            F.lit(0).cast("long"),
+            lambda acc, t: (acc * F.lit(131) + t) % F.lit(1000000007),
+        )
+        rows = {r.doc_id: r.fp for r in df.select("doc_id", fp.alias("fp")).collect()}
+        assert rows[1] != rows[2]
+
+    def test_quantization_error_bounded_by_half_step(self, spark):
+        # |x - dequant(quant(x))| <= s/254 + eps for every element
+        from pyspark.sql import functions as F
+
+        from vnavc_spark.io import table
+
+        emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+        ex = emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            )
+        )
+        sc = ex.groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("s"))
+        err = F.abs(
+            F.col("x")
+            - F.floor(F.col("x") * 127.0 / F.col("s") + F.lit(0.5))
+            * F.col("s")
+            / 127.0
+        )
+        bad = (
+            ex.join(sc, on="dim")
+            .filter(F.col("s") > 0)
+            .filter(err > F.col("s") / 254.0 + 1e-12)
+            .count()
+        )
+        assert bad == 0
+
+    def test_gini_zero_for_balanced_shares(self, spark):
+        # equal token mass per source → gini == 0
+        from pyspark.sql import functions as F, Window
+
+        per_src = spark.createDataFrame(
+            [("a", 100), ("b", 100), ("c", 100), ("d", 100)],
+            "source string, x long",
+        )
+        w_rank = Window.orderBy("x", "source")
+        w_all = Window.partitionBy()
+        r = per_src.select(
+            "x",
+            F.row_number().over(w_rank).alias("i"),
+            F.count("*").over(w_all).alias("n"),
+            F.sum("x").over(w_all).alias("tot"),
+        )
+        g = r.agg(
+            (
+                2.0 * F.sum(F.col("i") * F.col("x"))
+                / (F.max("n") * F.max("tot"))
+                - (F.max("n") + 1.0) / F.max("n")
+            ).alias("gini")
+        ).collect()[0].gini
+        assert abs(g) < 1e-12
+
+    def test_snapshot_diff_classes_match_buckets(self, spark):
+        # every md5-bucket-0 key must appear as 'removed', bucket-1 as
+        # 'changed', and each bucket-2 key contributes one 'added'
+        from pyspark.sql import functions as F
+
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        out = QUERIES["q104_snapshot_diff"](spark, sf)
+        counts = {
+            r.change_type: r.n
+            for r in out.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+        }
+        o = table(spark, sf, "orders")
+        b = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10),
+        )
+        buckets = {
+            r.b: r.n
+            for r in o.select(b.alias("b")).groupBy("b").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts["removed"] == buckets[0]
+        assert counts["changed"] == buckets[1]
+        assert counts["added"] == buckets[2]
