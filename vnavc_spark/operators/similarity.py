@@ -250,8 +250,15 @@ def ivf_assign(
     from pyspark.sql import types as T
 
     rows = centroids.select("cell", "centroid").collect()
-    if not rows or len(rows) > 4096:
-        raise ValueError(f"centroid set must be 1..4096 rows, got {len(rows)}")
+    if len(rows) > 4096:
+        raise ValueError(f"centroid set must be <= 4096 rows, got {len(rows)}")
+    if not rows:
+        # empty corpus → no centroids → no assignments (not an error:
+        # incremental/batch pipelines legitimately see empty inputs)
+        src = vectors.select(id_col, vec_col)
+        return src.withColumn(
+            out_col, F.lit(None).cast("int")
+        ).limit(0)
     rows.sort(key=lambda r: r.cell)
     cells_np = np.array([r.cell for r in rows], dtype=np.int64)
     cmat = np.array([list(r.centroid) for r in rows], dtype=np.float64)
