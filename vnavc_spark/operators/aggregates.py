@@ -410,14 +410,38 @@ def bootstrap_ci(
         .filter(F.col("_nw") > 0)
         .withColumn("_mean_b", F.col("_sw") / scale / F.col("_nw"))
     )
-    wr = Window.partitionBy(*group_cols).orderBy("_mean_b", "b")
     lo_rank = max(1, int(0.025 * replicas))
     hi_rank = min(replicas, int(0.975 * replicas) + (0.975 * replicas != int(0.975 * replicas)))
-    ranked = rep.withColumn("_rn", F.row_number().over(wr))
-    ci = ranked.groupBy(*group_cols).agg(
-        F.count("*").alias("_n_rep"),
-        F.min(F.when(F.col("_rn") == lo_rank, F.col("_mean_b"))).alias("_lo"),
-        F.min(F.when(F.col("_rn") == hi_rank, F.col("_mean_b"))).alias("_hi"),
+    # rank selection over ≤ replicas rows per group: a sorted collect
+    # inside ONE aggregate replaces the row_number window + second
+    # groupBy — two fewer stages; the (mean, b) sort key matches the
+    # window ordering it replaces, and per-group state is bounded by
+    # the replica count, never the data
+    def _pick(rank: int):
+        # size-guarded (ANSI-safe): null when fewer surviving
+        # replicas than the rank, matching the window form's
+        # min(when(rn == rank)) semantics
+        return F.when(
+            F.size(F.col("_arr")) >= rank,
+            F.element_at(F.col("_arr"), rank).getField("m"),
+        )
+
+    ci = (
+        rep.groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("_n_rep"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_mean_b").alias("m"), F.col("b"))
+                )
+            ).alias("_arr"),
+        )
+        .select(
+            *group_cols,
+            "_n_rep",
+            _pick(lo_rank).alias("_lo"),
+            _pick(hi_rank).alias("_hi"),
+        )
     )
     stats = df.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_rows"),
