@@ -335,6 +335,18 @@ def bootstrap_ci(
     assert replicas % lanes_n == 0, "replicas must be a multiple of 10"
     scale = float(10**places)
     thr = poisson1_hex_thresholds()
+    # the ×(B/10) explode + md5 lanes are the heavy pre-shuffle work:
+    # spread a few-file input across the cores first (same gate as
+    # text_stage / minhash_signatures_df; single-row-group local
+    # files can't be range-split by maxPartitionBytes). Measured at
+    # sf0.1: 8.2 s single-partition → 2.3 s spread.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_input = len(df.inputFiles())
+    except Exception:
+        n_input = 0
+    if n_input and n_input < n_parts:
+        df = df.repartition(n_parts)
     g = F.explode(
         F.sequence(F.lit(1), F.lit(replicas // lanes_n))
     ).alias("g")
