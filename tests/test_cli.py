@@ -81,3 +81,26 @@ class TestExplainCli:
 
     def test_explain_unknown(self, spark, capsys):
         assert main(["explain", "nope"]) == 2
+
+
+class TestVerifyCli:
+    def test_verify_single_query(self, spark, capsys):
+        from tests.conftest import SF_SMALL
+        from vnavc_spark.__main__ import main
+
+        assert main(["verify", "q01_region_revenue", "--sf-dir", SF_SMALL]) == 0
+        out = capsys.readouterr().out
+        assert "OK   q01_region_revenue" in out
+        assert "0 failures" in out
+
+    def test_verify_skips_oracle_free(self, spark, capsys):
+        from tests.conftest import SF_SMALL
+        from vnavc_spark.__main__ import main
+
+        assert main(["verify", "q47_approx_sketches", "--sf-dir", SF_SMALL]) == 0
+        assert "SKIP" in capsys.readouterr().out
+
+    def test_verify_unknown(self, spark, capsys):
+        from vnavc_spark.__main__ import main
+
+        assert main(["verify", "nope"]) == 2

@@ -149,6 +149,36 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    from vnavc_spark.oracle import compare, duckdb_connect
+    from vnavc_spark.queries import all_oracles, all_queries
+
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = all_queries(), all_oracles()
+    names = list(qs) if args.name == "all" else [args.name]
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    con = duckdb_connect(args.sf_dir)
+    n_fail = 0
+    for name in names:
+        if name not in oracles:
+            print(f"SKIP {name} (no SQL-expressible oracle)")
+            continue
+        r = compare(spark, con, qs[name], oracles[name], args.sf_dir)
+        status = "OK  " if r["ok"] else "FAIL"
+        print(
+            f"{status} {name}: {r['rows_spark']} rows, "
+            f"hash_match={r['hash_match']}"
+        )
+        if not r["ok"]:
+            n_fail += 1
+    print(f"verified {len(names)} queries, {n_fail} failures")
+    return 1 if n_fail else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     from vnavc_spark.io import DEFAULT_SF_DIR
 
@@ -193,6 +223,12 @@ def main(argv: list[str] | None = None) -> int:
         help="compact the --sig-dir state tables (one row/id, few files)",
     )
 
+    v = sub.add_parser(
+        "verify", help="hash-compare a query (or all) vs its DuckDB oracle"
+    )
+    v.add_argument("name", help="registry query name, or 'all'")
+    v.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     args = p.parse_args(argv)
     return {
         "list": cmd_list,
@@ -201,6 +237,7 @@ def main(argv: list[str] | None = None) -> int:
         "explain": cmd_explain,
         "text-stage": cmd_text_stage,
         "dedup": cmd_dedup,
+        "verify": cmd_verify,
     }[args.cmd](args)
 
 
