@@ -4551,6 +4551,146 @@ def q106_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q107_revenue_trend",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS rev
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(day) AS BIGINT) AS sx,
+         CAST(sum(CAST(floor(rev * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sy,
+         CAST(sum(day * CAST(floor(rev * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sxy,
+         CAST(sum(day * day) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1),
+t AS (
+  SELECT o_orderpriority, n_points,
+         CAST(n_points * sxy - sx * sy AS DOUBLE)
+           / CAST(n_points * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_f,
+         sx, sy
+  FROM m)
+SELECT o_orderpriority, n_points,
+       floor(slope_f * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       floor(((CAST(sy AS DOUBLE) / 100.0 - slope_f * CAST(sx AS DOUBLE))
+              / CAST(n_points AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS intercept
+FROM t
+""",
+)
+def q107_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (operators/aggregates.grouped_trend):
+    daily revenue regressed on the day index per order priority —
+    drift detection as one map-side-combinable aggregate of five
+    exact BIGINT moments per group (never data rows on the shuffle).
+    The regression runs over the PRE-AGGREGATED daily series, so
+    per-group n is the date-grid size regardless of corpus size; at
+    very large SF normalize y (e.g. revenue in millions) to keep the
+    Σxy moment inside int64."""
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    daily = (
+        o.groupBy("o_orderpriority", day.alias("day"))
+        .agg(exact_sum(F.col("o_totalprice"), 2).alias("rev"))
+    )
+    out = aggregates.grouped_trend(
+        daily, ["o_orderpriority"], "day", "rev", places=2
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("n_points").cast("long").alias("n_points"),
+        stable_round(F.col("slope"), 6).alias("slope"),
+        stable_round(F.col("intercept"), 6).alias("intercept"),
+    )
+
+
+@query(
+    "q108_attribution",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id AS click_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS csec,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS cb
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, event_id AS buy_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS psec,
+         floor(value * 100.0 + 0.5) AS v
+  FROM events WHERE event_type = 'purchase'),
+pb AS (
+  SELECT *, psec // 3600 + d AS cb
+  FROM p CROSS JOIN (SELECT unnest([-1, 0]) AS d)),
+j AS (
+  SELECT c.user_id, c.click_id, p.buy_id, p.psec - c.csec AS lag_s, p.v,
+         row_number() OVER (PARTITION BY p.buy_id
+                            ORDER BY c.csec DESC, c.click_id) AS rn
+  FROM c JOIN pb p ON c.user_id = p.user_id AND c.cb = p.cb
+  WHERE p.psec > c.csec AND p.psec - c.csec <= 3600)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_attributed,
+       CAST(sum(lag_s) AS BIGINT) AS total_lag_s,
+       sum(v) / 100.0 AS attributed_value
+FROM j WHERE rn = 1 GROUP BY user_id
+""",
+)
+def q108_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributes to its most
+    recent same-user click within the preceding hour — the batch
+    analog of the streaming interval join (streaming/ingest.
+    interval_join). The time window is BUCKETIZED (hour buckets,
+    purchase probes buckets b-1 and b) so the join is an EQUI-join
+    on (user, bucket) — a raw inequality join would plan as a
+    nested loop; this is the q54 range-join technique applied to
+    event attribution. Last-touch pick is a per-purchase window over
+    candidate clicks (bounded by per-user-per-hour click counts)."""
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        sec.alias("csec"),
+        F.floor(sec / 3600).cast("long").alias("cb"),
+    )
+    pr = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("buy_id"),
+        sec.alias("psec"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("v"),
+    )
+    pb = pr.withColumn("d", F.explode(F.array(F.lit(-1), F.lit(0)))).select(
+        "user_id",
+        "buy_id",
+        "psec",
+        "v",
+        (F.floor(F.col("psec") / 3600).cast("long") + F.col("d")).alias("cb"),
+    )
+    j = (
+        c.join(pb, on=["user_id", "cb"])
+        .filter(
+            (F.col("psec") > F.col("csec"))
+            & (F.col("psec") - F.col("csec") <= 3600)
+        )
+    )
+    w = Window.partitionBy("buy_id").orderBy(
+        F.desc("csec"), F.asc("click_id")
+    )
+    last = j.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return last.groupBy("user_id").agg(
+        F.count("*").alias("n_attributed"),
+        F.sum(F.col("psec") - F.col("csec")).cast("long").alias("total_lag_s"),
+        (F.sum("v") / 100.0).alias("attributed_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
