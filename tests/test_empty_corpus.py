@@ -29,3 +29,53 @@ def test_every_query_survives_empty_corpus(spark, empty_dir):
         except Exception as e:  # noqa: BLE001
             fails.append((name, str(e).splitlines()[0][:120]))
     assert not fails, fails
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(spark, tmp_path_factory):
+    """sf0.001 with ~10% nulls injected into nullable payload columns
+    (keys stay non-null) — the 100 TB fact of life every operator
+    must tolerate."""
+    from pyspark.sql import functions as F
+
+    dst = tmp_path_factory.mktemp("sf_nulls")
+    mod = {
+        "documents": ("text", "lang", "source"),
+        "events": ("value", "event_type"),
+        "orders": ("o_orderstatus",),
+        "embeddings": ("label",),
+    }
+    for t in TESTDATA_TABLES:
+        df = table(spark, SF_SMALL, t)
+        for col in mod.get(t, ()):
+            bucket = F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(col), F.col(df.columns[0]).cast("string")
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(100),
+            )
+            df = df.withColumn(
+                col, F.when(bucket < 10, F.lit(None)).otherwise(F.col(col))
+            )
+        df.write.mode("overwrite").parquet(str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def test_every_query_survives_null_payloads(spark, nulls_dir):
+    fails = []
+    for name, fn in all_queries().items():
+        try:
+            fn(spark, nulls_dir).count()
+        except Exception as e:  # noqa: BLE001
+            fails.append((name, str(e).splitlines()[0][:120]))
+    assert not fails, fails

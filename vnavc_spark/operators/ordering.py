@@ -90,9 +90,13 @@ def pack_greedy(
     embarrassingly parallel ACROSS shards — the standard production
     layout (pack per language/domain/hash shard); a single global
     order would serialize. One shuffle on the shard key; state per
-    group is two integers."""
+    group is two integers.
+
+    Rows with a NULL token count (e.g. null-text documents upstream)
+    are dropped before packing — an unknown length cannot reserve
+    budget in a fixed-capacity pack."""
     import pandas as pd
-    from pyspark.sql import functions as F  # noqa: F401 (API symmetry)
+    from pyspark.sql import functions as F
 
     schema = (
         f"{group_col} string, {order_col} long, {token_col} long, "
@@ -117,9 +121,12 @@ def pack_greedy(
         out["pack_pos"] = positions
         return out
 
-    return df.select(group_col, order_col, token_col).groupBy(
-        group_col
-    ).applyInPandas(_pack, schema=schema)
+    return (
+        df.select(group_col, order_col, token_col)
+        .filter(F.col(token_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .applyInPandas(_pack, schema=schema)
+    )
 
 
 def morton_z16(x: Column, y: Column) -> Column:
