@@ -106,10 +106,16 @@ def main() -> None:
         fn = queries[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()  # full materialization of the plan
+        # noop sink: evaluates EVERY column of the full plan without
+        # driver transfer. count() is NOT full materialization —
+        # Catalyst prunes aggregate expressions nobody reads (measured
+        # 10x under-reporting on md5-heavy aggregates like the table
+        # checksum), so counting would bench the grouping skeleton.
+        df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        n = df.count()  # sanity row count, outside the timing
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

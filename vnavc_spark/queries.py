@@ -846,9 +846,12 @@ def _simhash_sql() -> str:
 @query("q27_simhash", oracle=_simhash_sql())
 def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit, md5-hex-parity derivation — portable to the
-    SQL oracle): pure per-row expression, zero shuffle."""
+    SQL oracle): explode → one md5 per token → 32 codegen'd parity
+    sums, one map-side-combined shuffle on the doc id (the oracle's
+    own unnest/GROUP BY shape; the 32-fold pure-expression form
+    re-evaluated md5 interpreted 32× per token — 9× slower)."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash32("text").alias("sh"))
+    return dedup.simhash32_df(d)
 
 
 @query(
