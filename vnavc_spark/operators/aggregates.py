@@ -505,13 +505,17 @@ def grouped_trend(
         F.sum(xs * xs).alias("_sxx"),
     )
     n, sx, sy, sxy, sxx = (
-        F.col("_n"), F.col("_sx"), F.col("_sy"), F.col("_sxy"), F.col("_sxx")
+        F.col("_n").cast("double"),
+        F.col("_sx").cast("double"),
+        F.col("_sy").cast("double"),
+        F.col("_sxy").cast("double"),
+        F.col("_sxx").cast("double"),
     )
-    slope = (
-        (n * sxy - sx * sy).cast("double")
-        / (n * sxx - sx * sx).cast("double")
-        / scale
-    )
+    # combine moments in DOUBLE: the moments themselves are exact
+    # BIGINTs (and converting the same int64 to double is identical
+    # on every engine), but n·Σxy as an int64 PRODUCT overflows ~100×
+    # sooner than the sums do — measured at the 100× scaling run
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / scale
     agg = agg.withColumn("slope", slope)
     intercept = (
         (sy.cast("double") / scale) - F.col("slope") * sx.cast("double")

@@ -4575,8 +4575,11 @@ m AS (
   FROM daily GROUP BY 1),
 t AS (
   SELECT o_orderpriority, n_points,
-         CAST(n_points * sxy - sx * sy AS DOUBLE)
-           / CAST(n_points * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_f,
+         (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0
+           AS slope_f,
          sx, sy
   FROM m)
 SELECT o_orderpriority, n_points,
