@@ -4697,6 +4697,222 @@ def q108_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q109_ngram_novelty",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c="text")} AS x FROM documents),
+pos AS (
+  SELECT doc_id, unnest(x) AS tok,
+         generate_subscripts(x, 1) AS pos
+  FROM toks),
+g AS (
+  SELECT doc_id,
+         md5(tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+             lead(tok, 2) OVER w) AS h,
+         lead(tok, 2) OVER w AS _last
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+gd AS (SELECT DISTINCT doc_id, h FROM g WHERE _last IS NOT NULL),
+df AS (SELECT h, count(*) AS n_docs FROM gd GROUP BY h),
+j AS (
+  SELECT gd.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM gd JOIN df ON gd.h = df.h GROUP BY gd.doc_id)
+SELECT doc_id, n_grams, n_novel,
+       n_novel / CAST(n_grams AS DOUBLE) AS novelty
+FROM j
+""",
+)
+def q109_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the inverse of contamination
+    (q62): the fraction of a doc's distinct 3-gram hashes appearing
+    in NO other document. High-novelty docs carry unique information;
+    near-zero novelty flags boilerplate. Shape: lead-window gram
+    build (one doc exchange), distinct (doc, gram) rows, a
+    partial-aggregable df count per gram, and a semi-join-shaped
+    count join — gram hashes only on every shuffle, never text."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(Q.tokens(Q.normalized_text("text"))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = toks.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+            )
+        ).alias("h"),
+        F.lead("tok", 2).over(w).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    gd = g.select("doc_id", "h").distinct()
+    df_cnt = gd.groupBy("h").agg(F.count("*").alias("n_docs"))
+    j = (
+        gd.join(df_cnt, on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_grams").cast("double")).alias("novelty"),
+    )
+
+
+@query(
+    "q110_source_overlap",
+    oracle=f"""
+WITH {_shingle_cte()},
+{_minhash_bands_sql(cap=1000)},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_c a JOIN bands_c b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id),
+p AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+           AS n_inter,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b),
+verified AS (
+  SELECT doc_a, doc_b FROM p
+  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM verified
+JOIN documents da ON da.doc_id = verified.doc_a
+JOIN documents db ON db.doc_id = verified.doc_b
+GROUP BY 1, 2
+""",
+)
+def q110_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance audit: near-dup pair counts per (source, source)
+    bucket — which feeds mirror each other (cross-source mass) and
+    which self-duplicate (diagonal). The near-dup pipeline output
+    (id pairs) joins to the doc→source map, so only ids and short
+    source strings shuffle; the matrix itself is source²-sized."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
+    srcs = d.select("doc_id", "source")
+    sa = srcs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+    )
+    sb = srcs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q111_token_spectrum",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks
+       GROUP BY tok)
+SELECT freq, CAST(count(*) AS BIGINT) AS n_tokens
+FROM tf GROUP BY freq
+""",
+)
+def q111_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies (the Zipf / Good-Turing
+    spectrum): how many distinct tokens occur exactly k times —
+    the vocabulary-sizing and tokenizer-budget audit. Two cascaded
+    partial-aggregable groupBys; the second runs over the
+    vocab-sized table."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    return tf.groupBy("freq").agg(F.count("*").alias("n_tokens"))
+
+
+@query(
+    "q112_embedding_dim_stats",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+ex AS (SELECT vec_id, CAST(i AS BIGINT) - 1 AS dim,
+              e[CAST(i AS INT)] AS x
+       FROM v CROSS JOIN range(1, 65) t(i)),
+s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sx,
+             CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
+                      * CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sxx
+      FROM ex GROUP BY dim)
+SELECT dim, n,
+       floor((sx / 1000000.0 / n) * 100000000.0 + 0.5) / 100000000.0
+         AS mean_v,
+       floor(((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / 1000000000000.0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             * 100000000.0 + 0.5) / 100000000.0 AS var_v
+FROM s
+""",
+)
+def q112_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding mean/variance — the whitening /
+    normalization-layer audit that decides whether a corpus of
+    vectors needs centering before ANN indexing (complements q102's
+    quantization scales). Values scale to exact 1e6 integers so the
+    two moments are exact BIGINT sums (any aggregation order, any
+    engine); the moment combination runs in double (same int64→
+    double conversion both sides — the q107 overflow lesson)."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    xi = F.floor(F.col("x") * 1000000.0 + F.lit(0.5)).cast("long")
+    s = ex.select(F.col("dim").cast("long").alias("dim"), xi.alias("xi")).groupBy(
+        "dim"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    mean_v = F.col("sx") / 1000000.0 / F.col("n")
+    var_v = (
+        (n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / 1000000000000.0
+        / (n_d * n_d)
+    )
+    return s.select(
+        "dim",
+        "n",
+        stable_round(mean_v, 8).alias("mean_v"),
+        stable_round(var_v, 8).alias("var_v"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
