@@ -79,3 +79,58 @@ def test_every_query_survives_null_payloads(spark, nulls_dir):
         except Exception as e:  # noqa: BLE001
             fails.append((name, str(e).splitlines()[0][:120]))
     assert not fails, fails
+
+
+@pytest.fixture(scope="module")
+def degen_dir(spark, tmp_path_factory):
+    """1000 IDENTICAL documents — worst-case boilerplate. Bucket caps
+    and posting shards must keep every dedup-family query bounded."""
+    from pyspark.sql import functions as F
+
+    dst = tmp_path_factory.mktemp("sf_degen")
+    base = "mot hai ba bon nam sau bay tam chin muoi " * 20
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(base).alias("text"),
+        F.lit("vi").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.lit(len(base)).cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(str(dst / "documents.parquet"))
+    for t in TESTDATA_TABLES:
+        if t == "documents":
+            continue
+        table(spark, SF_SMALL, t).write.mode("overwrite").parquet(
+            str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+DEGEN_QUERIES = (
+    "q20_union_dedup",
+    "q33_minhash_dedup",
+    "q56_dedup_clusters",
+    "q61_duplicate_spans",
+    "q65_chunk_dedup",
+    "q68_cdc_chunks",
+    "q82_inverted_index",
+    "q106_dedup_apply",
+)
+
+
+def test_dedup_suite_survives_identical_corpus(spark, degen_dir):
+    # all-identical docs: every query completes (caps drop the
+    # degenerate LSH bucket — exact dedup q20 owns identical copies)
+    qs = all_queries()
+    fails = []
+    for name in DEGEN_QUERIES:
+        try:
+            qs[name](spark, degen_dir).count()
+        except Exception as e:  # noqa: BLE001
+            fails.append((name, str(e).splitlines()[0][:120]))
+    assert not fails, fails
+    # the exact-dup path collapses the corpus to ONE representative
+    from vnavc_spark.io import table as T
+    from vnavc_spark.operators.dedup import drop_exact_dups
+
+    kept = drop_exact_dups(T(spark, degen_dir, "documents")).count()
+    assert kept == 1
