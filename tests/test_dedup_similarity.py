@@ -430,3 +430,36 @@ class TestSemDeDup:
         total = {r.vec_id for r in emb.select("vec_id").collect()}
         assert kept == total - dropped
         assert kept  # never drops everything
+
+
+class TestSimhashFormsAgree:
+    def test_df_form_equals_expression_form(self, spark):
+        # simhash32 (expression, semantic definition) and simhash32_df
+        # (explode + codegen parity sums, the batch path) must agree
+        # bit-for-bit on every doc — including null/empty text
+        from pyspark.sql import functions as F
+
+        from vnavc_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mot hai ba bon nam"),
+                (2, "mot hai ba bon nam"),
+                (3, "hoan toan khac biet"),
+                (4, ""),
+                (5, None),
+                (6, "MOT, hai; BA!"),
+            ],
+            "doc_id long, text string",
+        )
+        expr = {
+            r.doc_id: r.sh
+            for r in docs.select(
+                "doc_id", dedup.simhash32("text").alias("sh")
+            ).collect()
+        }
+        dff = {
+            r.doc_id: r.sh
+            for r in dedup.simhash32_df(docs).collect()
+        }
+        assert dff == expr
