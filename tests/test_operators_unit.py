@@ -676,3 +676,51 @@ class TestRound3QueryProperties:
         assert counts["removed"] == buckets[0]
         assert counts["changed"] == buckets[1]
         assert counts["added"] == buckets[2]
+
+
+class TestExactRankSelect:
+    def test_known_medians_odd_and_even_groups(self, spark):
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        df = spark.createDataFrame(
+            [("a", v) for v in [5.0, 1.0, 3.0, 2.0, 4.0]]
+            + [("b", v) for v in [10.0, 20.0, 30.0, 40.0]],
+            "g string, x double",
+        )
+        rows = {
+            r.g: (r.n_rows, r.median)
+            for r in exact_rank_select(df, ["g"], "x").collect()
+        }
+        # odd group: rank 3 of 5 → 3.0; even group: lower median
+        # rank 2 of 4 → 20.0
+        assert rows == {"a": (5, 3.0), "b": (4, 20.0)}
+
+    def test_matches_buffering_percentile_on_real_data(self, spark):
+        # the iterative selection must agree with a brute-force rank
+        # computation on the real table
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from vnavc_spark.io import table
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        li = table(spark, "/root/testdata/sf0.001", "lineitem")
+        got = {
+            r.l_returnflag: r.median
+            for r in exact_rank_select(
+                li, ["l_returnflag"], "l_extendedprice"
+            ).collect()
+        }
+        vi = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        w = Window.partitionBy("l_returnflag").orderBy("vi")
+        ref = (
+            li.select("l_returnflag", vi.alias("vi"))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "n", F.count("*").over(Window.partitionBy("l_returnflag"))
+            )
+            .filter(F.col("rn") == (F.col("n") + 1) / 2)
+            .select("l_returnflag", (F.col("vi") / 100.0).alias("m"))
+            .collect()
+        )
+        assert got == {r.l_returnflag: r.m for r in ref}

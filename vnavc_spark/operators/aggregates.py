@@ -523,3 +523,120 @@ def grouped_trend(
     return agg.withColumn("intercept", intercept).drop(
         "_sx", "_sy", "_sxy", "_sxx"
     ).withColumnRenamed("_n", "n_points")
+
+
+def exact_rank_select(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    places: int = 2,
+    rank_of: str = "lower_median",
+    n_buckets: int = 256,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """EXACT per-group order statistic at unbounded scale — the
+    scale-safe answer to ``percentile()``'s per-group value
+    buffering (q42's documented caveat: Spark's exact percentile
+    aggregate holds every group value in the aggregation buffer,
+    which OOMs once one group exceeds executor memory).
+
+    Iterative range narrowing (distributed selection): values scale
+    to exact integers; each round buckets every group's remaining
+    candidate range into ``n_buckets`` equal-width bins with ONE
+    map-side-combinable count aggregate, the driver keeps (lo, hi,
+    rank) per group — group-count-sized state, never data — and
+    descends into the bin containing the target rank. Rounds needed:
+    log_{n_buckets}(value range), ≤ 5 for 64-bit cents; each round
+    scans with a broadcast per-group range filter, so TOTAL work is
+    O(rounds · corpus) with zero large state anywhere.
+
+    ``rank_of``: 'lower_median' → rank ⌈n/2⌉ (deterministic discrete
+    median, no interpolation ambiguity).
+
+    Returns (group_cols..., n_rows, median) with ``median`` descaled.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    scale = 10**places
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    vi = F.floor(F.col(value_col) * float(scale) + F.lit(0.5)).cast("long")
+    base = df.select(
+        key.alias("_k"), *group_cols, vi.alias("_v")
+    ).filter(F.col("_v").isNotNull())
+
+    first = base.groupBy("_k", *group_cols).agg(
+        F.count("*").alias("n"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+    )
+    rows = first.collect()
+    # driver state: one (lo, hi, rank) triple per GROUP — group-
+    # cardinality-sized by contract (grouping keys are categorical)
+    state = {
+        r["_k"]: {
+            "lo": r["lo"],
+            "hi": r["hi"],
+            "rank": (r["n"] + 1) // 2 if rank_of == "lower_median" else 1,
+            "n": r["n"],
+            "group": tuple(r[c] for c in group_cols),
+        }
+        for r in rows
+    }
+    spark = df.sparkSession
+
+    for _ in range(max_rounds):
+        open_keys = {k: s for k, s in state.items() if s["lo"] < s["hi"]}
+        if not open_keys:
+            break
+        bounds = spark.createDataFrame(
+            [
+                (k, s["lo"], max(1, (s["hi"] - s["lo"] + 1) // n_buckets))
+                for k, s in open_keys.items()
+            ],
+            "_k string, _blo long, _bw long",
+        )
+        b = (
+            base.join(F.broadcast(bounds), on="_k")
+            .filter(
+                (F.col("_v") >= F.col("_blo"))
+                & (
+                    F.col("_v")
+                    <= F.col("_blo") + F.col("_bw") * n_buckets - 1
+                )
+            )
+            .withColumn(
+                "_bin",
+                F.floor((F.col("_v") - F.col("_blo")) / F.col("_bw")).cast(
+                    "long"
+                ),
+            )
+            .groupBy("_k", "_bin")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        counts: dict[str, dict[int, int]] = {}
+        for r in b:
+            counts.setdefault(r["_k"], {})[r["_bin"]] = r["c"]
+        for k, s in open_keys.items():
+            width = max(1, (s["hi"] - s["lo"] + 1) // n_buckets)
+            run = 0
+            for i in range(n_buckets + 1):
+                c = counts.get(k, {}).get(i, 0)
+                if run + c >= s["rank"]:
+                    s["rank"] -= run
+                    new_lo = s["lo"] + i * width
+                    new_hi = min(s["hi"], new_lo + width - 1)
+                    # values above the bucketed span (hi clipping)
+                    if i == n_buckets:
+                        new_hi = s["hi"]
+                    s["lo"], s["hi"] = new_lo, new_hi
+                    break
+                run += c
+
+    out_rows = [
+        (*s["group"], s["n"], s["lo"] / scale) for s in state.values()
+    ]
+    schema_groups = ", ".join(f"{c} string" for c in group_cols)
+    return spark.createDataFrame(
+        out_rows, f"{schema_groups}, n_rows long, median double"
+    )

@@ -4913,6 +4913,37 @@ def q112_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q113_exact_median_scalable",
+    oracle="""
+WITH v AS (SELECT l_returnflag, floor(l_extendedprice * 100.0 + 0.5) AS vi
+           FROM lineitem),
+r AS (SELECT l_returnflag, vi,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY vi)
+               AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v)
+SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+       min(CASE WHEN rn = (n + 1) // 2 THEN vi END) / 100.0 AS median
+FROM r GROUP BY l_returnflag
+""",
+)
+def q113_exact_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median with NO per-group value buffering — the
+    scale-safe answer to q42's documented caveat (Spark's exact
+    ``percentile`` buffers every group value in the aggregation
+    buffer; a billion-row group OOMs). Distributed selection by
+    iterative range narrowing (operators/aggregates.exact_rank_select):
+    ≤5 rounds of one map-side-combinable bucket-count aggregate each,
+    driver state = (lo, hi, rank) per GROUP. The oracle computes the
+    same rank-⌈n/2⌉ statistic by brute force — hash equality proves
+    the iterative algorithm lands on the exact order statistic."""
+    li = table(spark, sf_dir, "lineitem")
+    return aggregates.exact_rank_select(
+        li, ["l_returnflag"], "l_extendedprice", places=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
