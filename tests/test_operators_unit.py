@@ -719,7 +719,7 @@ class TestExactRankSelect:
             .withColumn(
                 "n", F.count("*").over(Window.partitionBy("l_returnflag"))
             )
-            .filter(F.col("rn") == (F.col("n") + 1) / 2)
+            .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
             .select("l_returnflag", (F.col("vi") / 100.0).alias("m"))
             .collect()
         )
