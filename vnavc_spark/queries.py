@@ -4944,6 +4944,53 @@ def q113_exact_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q114_nucleus_vocab",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks
+       GROUP BY tok),
+r AS (SELECT tok, freq,
+             sum(freq) OVER (ORDER BY freq DESC, tok
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(freq) OVER () AS total
+      FROM tf)
+SELECT tok, freq, CAST(cum AS BIGINT) AS cum_freq
+FROM r
+WHERE (cum - freq) * 10 < total * 9
+""",
+)
+def q114_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) vocabulary truncation: the SMALLEST
+    frequency-ranked token set covering ≥90% of corpus token mass —
+    the tokenizer-budget / domain-cap primitive (keep a token iff the
+    mass BEFORE it is < p·total, so the set crosses the threshold and
+    stops). Corpus collapses to the vocab table first (map-side
+    combinable); the ranked cumsum window runs over vocab-sized rows.
+    Integer mass arithmetic (``(cum-freq)·10 < total·9``) — no float
+    threshold to diverge across engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    w_cum = (
+        Window.orderBy(F.desc("freq"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    r = tf.select(
+        "tok",
+        "freq",
+        F.sum("freq").over(w_cum).alias("cum"),
+        F.sum("freq").over(w_all).alias("total"),
+    )
+    return r.filter(
+        (F.col("cum") - F.col("freq")) * 10 < F.col("total") * 9
+    ).select("tok", "freq", F.col("cum").cast("long").alias("cum_freq"))
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
