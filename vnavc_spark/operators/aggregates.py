@@ -640,3 +640,112 @@ def exact_rank_select(
     return spark.createDataFrame(
         out_rows, f"{schema_groups}, n_rows long, median double"
     )
+
+
+def exact_rank_multi(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    targets: dict,
+    places: int = 2,
+    n_buckets: int = 256,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Multi-target generalization of :func:`exact_rank_select`: find
+    the exact value at SEVERAL ranks per group in ONE shared sequence
+    of narrowing rounds (every (group, target) pair keeps its own
+    (lo, hi, rank) driver state, but each round is a single
+    map-side-combinable bucket-count aggregate over the corpus —
+    work is O(rounds · corpus) regardless of how many ranks are
+    requested).
+
+    ``targets``: {name: rank_fn} where ``rank_fn(n) -> int`` maps the
+    group row count to a 1-based rank (e.g. percentile bracket
+    positions).
+
+    Returns (group_cols..., target string, n_rows, value double).
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    scale = 10**places
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    vi = F.floor(F.col(value_col) * float(scale) + F.lit(0.5)).cast("long")
+    base = df.select(key.alias("_k"), *group_cols, vi.alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    first = base.groupBy("_k", *group_cols).agg(
+        F.count("*").alias("n"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+    )
+    state = {}
+    for r in first.collect():
+        for tname, rank_fn in targets.items():
+            rk = max(1, min(r["n"], int(rank_fn(r["n"]))))
+            state[(r["_k"], tname)] = {
+                "lo": r["lo"],
+                "hi": r["hi"],
+                "rank": rk,
+                "n": r["n"],
+                "group": tuple(r[c] for c in group_cols),
+            }
+    spark = df.sparkSession
+
+    for _ in range(max_rounds):
+        open_t = {kt: s for kt, s in state.items() if s["lo"] < s["hi"]}
+        if not open_t:
+            break
+        bounds = spark.createDataFrame(
+            [
+                (
+                    k,
+                    t,
+                    s["lo"],
+                    max(1, (s["hi"] - s["lo"] + 1) // n_buckets),
+                )
+                for (k, t), s in open_t.items()
+            ],
+            "_k string, _t string, _blo long, _bw long",
+        )
+        b = (
+            base.join(F.broadcast(bounds), on="_k")
+            .filter(
+                (F.col("_v") >= F.col("_blo"))
+                & (F.col("_v") <= F.col("_blo") + F.col("_bw") * n_buckets - 1)
+            )
+            .withColumn(
+                "_bin",
+                F.floor((F.col("_v") - F.col("_blo")) / F.col("_bw")).cast(
+                    "long"
+                ),
+            )
+            .groupBy("_k", "_t", "_bin")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        counts: dict = {}
+        for r in b:
+            counts.setdefault((r["_k"], r["_t"]), {})[r["_bin"]] = r["c"]
+        for kt, s in open_t.items():
+            width = max(1, (s["hi"] - s["lo"] + 1) // n_buckets)
+            run = 0
+            for i in range(n_buckets + 1):
+                c = counts.get(kt, {}).get(i, 0)
+                if run + c >= s["rank"]:
+                    s["rank"] -= run
+                    new_lo = s["lo"] + i * width
+                    new_hi = min(s["hi"], new_lo + width - 1)
+                    if i == n_buckets:
+                        new_hi = s["hi"]
+                    s["lo"], s["hi"] = new_lo, new_hi
+                    break
+                run += c
+
+    rows = [
+        (*s["group"], t, s["n"], s["lo"] / scale)
+        for (k, t), s in state.items()
+    ]
+    schema_groups = ", ".join(f"{c} string" for c in group_cols)
+    return spark.createDataFrame(
+        rows, f"{schema_groups}, target string, n_rows long, value double"
+    )

@@ -4991,6 +4991,89 @@ def q114_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("tok", "freq", F.col("cum").cast("long").alias("cum_freq"))
 
 
+@query(
+    "q115_exact_percentiles_scalable",
+    oracle="""
+WITH v AS (SELECT l_returnflag,
+                  floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS x
+           FROM lineitem),
+r AS (SELECT l_returnflag, x,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v),
+b AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        min(CASE WHEN rn = CAST(floor(1 + (n - 1) * 0.5) AS BIGINT)
+                 THEN x END) AS p50_lo,
+        min(CASE WHEN rn = least(n,
+                 CAST(floor(1 + (n - 1) * 0.5) AS BIGINT) + 1)
+                 THEN x END) AS p50_hi,
+        min(CASE WHEN rn = CAST(floor(1 + (n - 1) * 0.9) AS BIGINT)
+                 THEN x END) AS p90_lo,
+        min(CASE WHEN rn = least(n,
+                 CAST(floor(1 + (n - 1) * 0.9) AS BIGINT) + 1)
+                 THEN x END) AS p90_hi
+      FROM r GROUP BY l_returnflag)
+SELECT l_returnflag, n_rows,
+       floor((p50_lo + ((1 + (CAST(n_rows AS DOUBLE) - 1) * 0.5)
+              - floor(1 + (CAST(n_rows AS DOUBLE) - 1) * 0.5))
+              * (p50_hi - p50_lo)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       floor((p90_lo + ((1 + (CAST(n_rows AS DOUBLE) - 1) * 0.9)
+              - floor(1 + (CAST(n_rows AS DOUBLE) - 1) * 0.9))
+              * (p90_hi - p90_lo)) * 1000000.0 + 0.5) / 1000000.0 AS p90
+FROM b
+""",
+)
+def q115_exact_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated p50/p90 per group with NO value buffering —
+    q42's semantics on q113's machinery: all four bracket ranks
+    (floor/ceil positions of both percentiles) resolve in ONE shared
+    sequence of narrowing rounds (operators/aggregates.
+    exact_rank_multi), then the standard linear interpolation runs as
+    an identical expression tree on both engines. This fully
+    supersedes the buffering ``percentile()`` at scale: rounds ≤ 5,
+    driver state = (lo, hi, rank) per (group, bracket)."""
+    import math
+
+    li = table(spark, sf_dir, "lineitem")
+
+    def lo_rank(p):
+        return lambda n: math.floor(1 + (n - 1) * p)
+
+    def hi_rank(p):
+        return lambda n: min(n, math.floor(1 + (n - 1) * p) + 1)
+
+    res = aggregates.exact_rank_multi(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {
+            "p50_lo": lo_rank(0.5),
+            "p50_hi": hi_rank(0.5),
+            "p90_lo": lo_rank(0.9),
+            "p90_hi": hi_rank(0.9),
+        },
+        places=2,
+    )
+    piv = (
+        res.groupBy("l_returnflag", "n_rows")
+        .pivot("target", ["p50_lo", "p50_hi", "p90_lo", "p90_hi"])
+        .agg(F.first("value"))
+    )
+    n_d = F.col("n_rows").cast("double")
+
+    def interp(p, lo, hi):
+        pos = F.lit(1.0) + (n_d - 1) * F.lit(p)
+        frac = pos - F.floor(pos)
+        return F.col(lo) + frac * (F.col(hi) - F.col(lo))
+
+    return piv.select(
+        "l_returnflag",
+        "n_rows",
+        stable_round(interp(0.5, "p50_lo", "p50_hi"), 6).alias("p50"),
+        stable_round(interp(0.9, "p90_lo", "p90_hi"), 6).alias("p90"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
