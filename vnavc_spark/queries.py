@@ -1455,10 +1455,10 @@ FROM lineitem GROUP BY l_returnflag
 def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles — Spark ``percentile`` and
     DuckDB ``quantile_cont`` share the linear-interpolation
-    definition, so values match bit-for-bit (verified; the
-    approximate sketch alternative is ``approx_percentile`` at
-    scale — deliberately NOT used here because sketches aren't
-    oracle-comparable)."""
+    definition, so values match bit-for-bit. CAVEAT: this aggregate
+    buffers every group value; at scale use q113/q115's iterative
+    selection (exact, zero buffering) or ``approx_percentile``
+    (sketch — not oracle-comparable)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
