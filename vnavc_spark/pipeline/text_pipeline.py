@@ -299,7 +299,17 @@ def process_text_stage(
         n_input = 0
     if n_input < n_parts:
         books = books.repartition(n_parts)
-    sents = sentences_from_books(books, book_col, text_col, min_words=min_words)
+    # persist the sentence table: it feeds TWO consumers (the metrics
+    # aggregate and the grouping stage) and sits above the Python
+    # island, which would otherwise re-run the tokenizer/normalizer
+    # once per branch (no exchange between them for ReuseExchange to
+    # dedup — measured ~2× the island cost at sf0.1). This is the
+    # in-memory analog of the production posture: sentences ARE a
+    # staging table between stages (staging.stage_partitioned);
+    # MEMORY_AND_DISK persists spill at scale.
+    sents = sentences_from_books(
+        books, book_col, text_col, min_words=min_words
+    ).persist()
     groups = group_sentences_df(sents, book_col, threshold=threshold)
     metrics = text_metrics(sents, groups, book_col)
     return sents, groups, metrics
