@@ -134,3 +134,57 @@ def test_dedup_suite_survives_identical_corpus(spark, degen_dir):
 
     kept = drop_exact_dups(T(spark, degen_dir, "documents")).count()
     assert kept == 1
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(spark, tmp_path_factory):
+    """sf0.001 plus documents in scripts with pathological case
+    foldings (Turkish İ, Greek Σ, CJK, RTL, emoji) — engines disagree
+    on full-vs-simple Unicode lowering, so every text operator must
+    normalize in an engine-identical order."""
+    dst = tmp_path_factory.mktemp("sf_unicode")
+    uni = [
+        (900001, "Xin chào thế giới — đây là tiếng Việt có dấu", "vi", "web", 44),
+        (900002, "日本語のテキストと漢字が含まれています", "ja", "web", 19),
+        (900003, "emoji 😀🎉 mixed with ASCII tokens and tabs\there", "en", "web", 45),
+        (900004, "العربية نص من اليمين إلى اليسار", "ar", "web", 31),
+        (900005, "Ωμέγα ΔΕΛΤΑ ΚΕΦΑΛΑΙΑΣ greek CASE folding", "el", "web", 41),
+        (900006, "ß SHARP-S and İstanbul dotted-I TURKISH edge", "tr", "web", 44),
+    ]
+    for t in TESTDATA_TABLES:
+        df = table(spark, SF_SMALL, t)
+        if t == "documents":
+            extra = spark.createDataFrame(
+                uni,
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            )
+            df = df.unionByName(extra)
+        df.write.mode("overwrite").parquet(str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+UNICODE_SENSITIVE = (
+    "q27_simhash",
+    "q33_minhash_dedup",
+    "q46_text_stage",
+    "q50_repetition_stats",
+    "q57_vocabulary",
+    "q95_rolling_fingerprint",
+    "q109_ngram_novelty",
+    "q114_nucleus_vocab",
+)
+
+
+def test_text_queries_hash_match_on_unicode_corpus(spark, unicode_dir):
+    from vnavc_spark.oracle import compare, duckdb_connect
+    from vnavc_spark.queries import all_oracles
+
+    con = duckdb_connect(unicode_dir)
+    qs, oracles = all_queries(), all_oracles()
+    fails = []
+    for name in UNICODE_SENSITIVE:
+        r = compare(spark, con, qs[name], oracles[name], unicode_dir)
+        if not r["ok"]:
+            fails.append((name, r["rows_spark"], r["rows_duck"]))
+    assert not fails, fails

@@ -119,11 +119,18 @@ def lang_id(col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 def normalized_text(col: Column | str) -> Column:
-    """Canonical form for dedup: lower, strip punctuation, collapse
-    whitespace."""
+    """Canonical form for dedup: strip to ASCII alphanumerics FIRST,
+    then lower, then collapse whitespace.
+
+    The non-alnum strip runs BEFORE lower() because engines disagree
+    on pathological case foldings — Java lower('İ') is 'i' + a
+    combining dot (U+0307), splitting 'İstanbul' into 'i stanbul'
+    where DuckDB keeps 'istanbul'. Stripping first leaves only ASCII
+    for lower(), which is engine-identical everywhere; results on
+    pure-ASCII corpora are unchanged."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[^A-Za-z0-9\s]", " ")
     c = F.lower(c)
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 

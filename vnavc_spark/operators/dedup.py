@@ -93,14 +93,16 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
 # Python mirror of the shingle pipeline (used by the Arrow-batched
 # signature pass below — must stay semantically identical to
 # normalized_text → tokens → n-grams → distinct).
-_NON_ALNUM = re.compile(r"[^a-z0-9\s]")
+_NON_ALNUM = re.compile(r"[^A-Za-z0-9\s]")
 _WS = re.compile(r"\s+")
 
 
 def _py_shingles(text: str | None, n: int = 3) -> list[str]:
     if not text:
         return []
-    norm = _WS.sub(" ", _NON_ALNUM.sub(" ", text.lower())).strip()
+    # strip BEFORE lower — mirrors quality.normalized_text (engines
+    # disagree on pathological case foldings like lower('İ'))
+    norm = _WS.sub(" ", _NON_ALNUM.sub(" ", text).lower()).strip()
     toks = norm.split(" ") if norm else []
     if len(toks) < n:
         return []

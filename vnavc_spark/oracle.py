@@ -15,13 +15,17 @@ from vnavc_spark.io import TESTDATA_TABLES
 
 
 def duckdb_connect(sf_dir: str):
+    import os
+
     import duckdb  # optional dependency — only the verify path needs it
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships flat files; Spark-written tables are
+        # DIRECTORIES of part files — glob those for DuckDB
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 

@@ -133,6 +133,13 @@ def normalize_vi(text: str | None) -> str:
     text = _RE_DATE.sub(_date_words, text)
     text = _RE_NUMBER.sub(_number_words, text)
     text = _RE_WS.sub(" ", text.strip())
+    # pre-fold the two codepoints where Python's full Unicode
+    # lowercase diverges from simple (utf8proc/SQL) folding: İ
+    # (U+0130 → 'i' + combining dot in Python, bare 'i' in DuckDB)
+    # and Σ (context-sensitive final sigma in Python, always 'σ' in
+    # DuckDB) — keeps the normalizer hash-certifiable on
+    # out-of-language text without touching Vietnamese behavior
+    text = text.replace("İ", "i").replace("Σ", "σ")
     return text.lower()
 
 

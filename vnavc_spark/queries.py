@@ -52,10 +52,11 @@ def query(name: str, oracle: str | None = None):
 # shared SQL fragments (mirror the Spark expression trees exactly)
 # ---------------------------------------------------------------------------
 
-# quality.normalized_text: lower → non-alnum→space → collapse ws → trim
+# quality.normalized_text: non-alnum→space → lower → collapse ws →
+# trim (strip BEFORE lower: engines disagree on e.g. lower('İ'))
 NORM_SQL = (
-    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
-    " '\\s+', ' ', 'g'))"
+    "trim(regexp_replace(lower(regexp_replace({c}, '[^A-Za-z0-9\\s]', ' ',"
+    " 'g')), '\\s+', ' ', 'g'))"
 )
 # quality.tokens over normalized text
 TOKS_SQL = "regexp_split_to_array(" + NORM_SQL + ", '\\s+')"
@@ -1648,9 +1649,9 @@ raw_sents AS (
 normed AS (
   SELECT book_id, pos,
          translate(
-           lower(regexp_replace(trim(
+           lower(replace(replace(regexp_replace(trim(
              regexp_replace(raw, 'https?://[^\\s]+', '', 'g')),
-             '\\s+', ' ', 'g')),
+             '\\s+', ' ', 'g'), 'İ', 'i'), 'Σ', 'σ')),
            '{punct}', '') AS norm
   FROM raw_sents WHERE raw <> ''),
 kept AS (
