@@ -724,3 +724,82 @@ class TestExactRankSelect:
             .collect()
         )
         assert got == {r.l_returnflag: r.m for r in ref}
+
+    def test_mass_at_maximum_top_band(self, spark):
+        # regression (ADVICE r03 high): floor bucket width left the
+        # top (range mod n_buckets) band uncounted — a group massed
+        # at its MAXIMUM silently returned the group minimum. With
+        # ceil widths the narrowing must land on the true median.
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        df = spark.createDataFrame(
+            [("a", 0.0)] * 10 + [("a", 100.01)] * 50,
+            "g string, x double",
+        )
+        rows = exact_rank_select(df, ["g"], "x").collect()
+        assert rows[0].n_rows == 60
+        assert rows[0].median == 100.01
+
+    def test_mass_at_maximum_multi(self, spark):
+        from vnavc_spark.operators.aggregates import exact_rank_multi
+
+        df = spark.createDataFrame(
+            [("a", 0.0)] * 10 + [("a", 100.01)] * 50,
+            "g string, x double",
+        )
+        got = {
+            r.target: r.value
+            for r in exact_rank_multi(
+                df, ["g"], "x",
+                {"p10": lambda n: max(1, n // 10), "max": lambda n: n},
+            ).collect()
+        }
+        assert got == {"p10": 0.0, "max": 100.01}
+
+    def test_null_and_separator_group_keys_stay_distinct(self, spark):
+        # regression (ADVICE r03 medium): concat_ws SKIPS nulls, so
+        # ('a', NULL) / (NULL, 'a') — and embedded-separator values
+        # like ('a\x1fvb', 'c') vs ('a', 'b\x1fvc') — collided to one
+        # driver-state key, silently dropping groups.
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        data = [
+            ("a", None, 1.0), ("a", None, 3.0),
+            (None, "a", 10.0),
+            ("a\x1fvb", "c", 5.0),
+            ("a", "b\x1fvc", 7.0),
+        ]
+        df = spark.createDataFrame(data, "g1 string, g2 string, x double")
+        rows = {
+            (r.g1, r.g2): (r.n_rows, r.median)
+            for r in exact_rank_select(df, ["g1", "g2"], "x").collect()
+        }
+        assert rows == {
+            ("a", None): (2, 1.0),
+            (None, "a"): (1, 10.0),
+            ("a\x1fvb", "c"): (1, 5.0),
+            ("a", "b\x1fvc"): (1, 7.0),
+        }
+
+    def test_group_columns_keep_input_types(self, spark):
+        from pyspark.sql.types import LongType
+
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (1, 4.0), (2, 9.0)], "g long, x double"
+        )
+        out = exact_rank_select(df, ["g"], "x")
+        assert isinstance(out.schema["g"].dataType, LongType)
+        assert {r.g: r.median for r in out.collect()} == {1: 2.0, 2: 9.0}
+
+    def test_group_cardinality_cap_fails_fast(self, spark):
+        import pytest
+
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        df = spark.createDataFrame(
+            [(str(i), float(i)) for i in range(5)], "g string, x double"
+        )
+        with pytest.raises(ValueError, match="group cardinality"):
+            exact_rank_select(df, ["g"], "x", max_groups=3)

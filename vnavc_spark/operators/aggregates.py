@@ -525,150 +525,63 @@ def grouped_trend(
     ).withColumnRenamed("_n", "n_points")
 
 
-def exact_rank_select(
-    df: DataFrame,
-    group_cols: list[str],
-    value_col: str,
-    places: int = 2,
-    rank_of: str = "lower_median",
-    n_buckets: int = 256,
-    max_rounds: int = 12,
-) -> DataFrame:
-    """EXACT per-group order statistic at unbounded scale — the
-    scale-safe answer to ``percentile()``'s per-group value
-    buffering (q42's documented caveat: Spark's exact percentile
-    aggregate holds every group value in the aggregation buffer,
-    which OOMs once one group exceeds executor memory).
+# exact_rank_select / exact_rank_multi keep (lo, hi, rank) DRIVER
+# state per group: group-cardinality-sized by contract (grouping
+# keys are categorical). The cap makes the contract fail-fast
+# instead of silently building unbounded driver state.
+RANK_MAX_GROUPS = 1_000_000
 
-    Iterative range narrowing (distributed selection): values scale
-    to exact integers; each round buckets every group's remaining
-    candidate range into ``n_buckets`` equal-width bins with ONE
-    map-side-combinable count aggregate, the driver keeps (lo, hi,
-    rank) per group — group-count-sized state, never data — and
-    descends into the bin containing the target rank. Rounds needed:
-    log_{n_buckets}(value range), ≤ 5 for 64-bit cents; each round
-    scans with a broadcast per-group range filter, so TOTAL work is
-    O(rounds · corpus) with zero large state anywhere.
 
-    ``rank_of``: 'lower_median' → rank ⌈n/2⌉ (deterministic discrete
-    median, no interpolation ambiguity).
-
-    Returns (group_cols..., n_rows, median) with ``median`` descaled.
-    """
-    from pyspark.sql import functions as F  # noqa: F811
-
-    scale = 10**places
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
-    vi = F.floor(F.col(value_col) * float(scale) + F.lit(0.5)).cast("long")
-    base = df.select(
-        key.alias("_k"), *group_cols, vi.alias("_v")
-    ).filter(F.col("_v").isNotNull())
-
-    first = base.groupBy("_k", *group_cols).agg(
-        F.count("*").alias("n"),
-        F.min("_v").alias("lo"),
-        F.max("_v").alias("hi"),
-    )
-    rows = first.collect()
-    # driver state: one (lo, hi, rank) triple per GROUP — group-
-    # cardinality-sized by contract (grouping keys are categorical)
-    state = {
-        r["_k"]: {
-            "lo": r["lo"],
-            "hi": r["hi"],
-            "rank": (r["n"] + 1) // 2 if rank_of == "lower_median" else 1,
-            "n": r["n"],
-            "group": tuple(r[c] for c in group_cols),
-        }
-        for r in rows
-    }
-    spark = df.sparkSession
-
-    for _ in range(max_rounds):
-        open_keys = {k: s for k, s in state.items() if s["lo"] < s["hi"]}
-        if not open_keys:
-            break
-        bounds = spark.createDataFrame(
-            [
-                (k, s["lo"], max(1, (s["hi"] - s["lo"] + 1) // n_buckets))
-                for k, s in open_keys.items()
-            ],
-            "_k string, _blo long, _bw long",
+def _nullsafe_group_key(group_cols: list[str]) -> Column:
+    """Collision-free string key over the group columns: each value
+    is base64-encoded (alphabet disjoint from the separators), NULL
+    gets its own sentinel token — so ('a', NULL) / (NULL, 'a') /
+    ('a\\x1fb', ...) all stay distinct (``concat_ws`` alone SKIPS
+    nulls and lets embedded separators collide keys)."""
+    toks = [
+        F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+            F.base64(F.encode(F.col(c).cast("string"), "UTF-8"))
         )
-        b = (
-            base.join(F.broadcast(bounds), on="_k")
-            .filter(
-                (F.col("_v") >= F.col("_blo"))
-                & (
-                    F.col("_v")
-                    <= F.col("_blo") + F.col("_bw") * n_buckets - 1
-                )
-            )
-            .withColumn(
-                "_bin",
-                F.floor((F.col("_v") - F.col("_blo")) / F.col("_bw")).cast(
-                    "long"
-                ),
-            )
-            .groupBy("_k", "_bin")
-            .agg(F.count("*").alias("c"))
-            .collect()
-        )
-        counts: dict[str, dict[int, int]] = {}
-        for r in b:
-            counts.setdefault(r["_k"], {})[r["_bin"]] = r["c"]
-        for k, s in open_keys.items():
-            width = max(1, (s["hi"] - s["lo"] + 1) // n_buckets)
-            run = 0
-            for i in range(n_buckets + 1):
-                c = counts.get(k, {}).get(i, 0)
-                if run + c >= s["rank"]:
-                    s["rank"] -= run
-                    new_lo = s["lo"] + i * width
-                    new_hi = min(s["hi"], new_lo + width - 1)
-                    # values above the bucketed span (hi clipping)
-                    if i == n_buckets:
-                        new_hi = s["hi"]
-                    s["lo"], s["hi"] = new_lo, new_hi
-                    break
-                run += c
-
-    out_rows = [
-        (*s["group"], s["n"], s["lo"] / scale) for s in state.values()
+        for c in group_cols
     ]
-    schema_groups = ", ".join(f"{c} string" for c in group_cols)
-    return spark.createDataFrame(
-        out_rows, f"{schema_groups}, n_rows long, median double"
-    )
+    return F.concat_ws("\x1f", *toks)
 
 
-def exact_rank_multi(
+def _exact_ranks_core(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     targets: dict,
-    places: int = 2,
-    n_buckets: int = 256,
-    max_rounds: int = 12,
-) -> DataFrame:
-    """Multi-target generalization of :func:`exact_rank_select`: find
-    the exact value at SEVERAL ranks per group in ONE shared sequence
-    of narrowing rounds (every (group, target) pair keeps its own
-    (lo, hi, rank) driver state, but each round is a single
-    map-side-combinable bucket-count aggregate over the corpus —
-    work is O(rounds · corpus) regardless of how many ranks are
-    requested).
+    places: int,
+    n_buckets: int,
+    max_rounds: int,
+    max_groups: int,
+):
+    """Shared narrowing loop behind :func:`exact_rank_select` and
+    :func:`exact_rank_multi`.
 
-    ``targets``: {name: rank_fn} where ``rank_fn(n) -> int`` maps the
-    group row count to a 1-based rank (e.g. percentile bracket
-    positions).
+    Iterative range narrowing (distributed selection): values scale
+    to exact integers; each round buckets every (group, target)'s
+    remaining candidate range into ``n_buckets`` CEIL-width bins with
+    ONE map-side-combinable count aggregate; the driver keeps
+    (lo, hi, rank) per (group, target) — group-count-sized state,
+    never data — and descends into the bin containing the target
+    rank. Bucket width is ``ceil(range / n_buckets)`` so the bins
+    cover the ENTIRE [lo, hi] range (a floor width leaves the top
+    ``range mod n_buckets`` band uncounted and the narrowing loop
+    stalls — e.g. a group massed at its maximum would silently
+    return the group MINIMUM), and the scan filter is the broadcast
+    per-group [lo, hi] itself, so every remaining value lands in a
+    bin 0..n_buckets-1. Range shrinks ≥ n_buckets× per round →
+    ≤ ceil(log_{n_buckets}(range)) rounds (8 for full 64-bit cents,
+    3-4 for realistic ranges); total work O(rounds · corpus).
 
-    Returns (group_cols..., target string, n_rows, value double).
+    Returns ``(state, scale, spark)`` — state values carry the
+    original-typed group tuple, target name, n and the resolved
+    scaled-integer value.
     """
-    from pyspark.sql import functions as F  # noqa: F811
-
     scale = 10**places
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    key = _nullsafe_group_key(group_cols)
     vi = F.floor(F.col(value_col) * float(scale) + F.lit(0.5)).cast("long")
     base = df.select(key.alias("_k"), *group_cols, vi.alias("_v")).filter(
         F.col("_v").isNotNull()
@@ -678,8 +591,16 @@ def exact_rank_multi(
         F.min("_v").alias("lo"),
         F.max("_v").alias("hi"),
     )
+    rows = first.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"exact_rank: group cardinality exceeds {max_groups}; the "
+            "narrowing algorithm keeps (lo, hi, rank) per group on the "
+            "driver, which requires categorical grouping keys. Reduce "
+            "key cardinality or raise max_groups explicitly."
+        )
     state = {}
-    for r in first.collect():
+    for r in rows:
         for tname, rank_fn in targets.items():
             rk = max(1, min(r["n"], int(rank_fn(r["n"]))))
             state[(r["_k"], tname)] = {
@@ -691,27 +612,26 @@ def exact_rank_multi(
             }
     spark = df.sparkSession
 
+    def ceil_width(s) -> int:
+        # ceil((hi - lo + 1) / n_buckets), always ≥ 1
+        return max(1, (s["hi"] - s["lo"] + n_buckets) // n_buckets)
+
     for _ in range(max_rounds):
         open_t = {kt: s for kt, s in state.items() if s["lo"] < s["hi"]}
         if not open_t:
             break
         bounds = spark.createDataFrame(
             [
-                (
-                    k,
-                    t,
-                    s["lo"],
-                    max(1, (s["hi"] - s["lo"] + 1) // n_buckets),
-                )
+                (k, t, s["lo"], s["hi"], ceil_width(s))
                 for (k, t), s in open_t.items()
             ],
-            "_k string, _t string, _blo long, _bw long",
+            "_k string, _t string, _blo long, _bhi long, _bw long",
         )
         b = (
             base.join(F.broadcast(bounds), on="_k")
             .filter(
                 (F.col("_v") >= F.col("_blo"))
-                & (F.col("_v") <= F.col("_blo") + F.col("_bw") * n_buckets - 1)
+                & (F.col("_v") <= F.col("_bhi"))
             )
             .withColumn(
                 "_bin",
@@ -727,25 +647,120 @@ def exact_rank_multi(
         for r in b:
             counts.setdefault((r["_k"], r["_t"]), {})[r["_bin"]] = r["c"]
         for kt, s in open_t.items():
-            width = max(1, (s["hi"] - s["lo"] + 1) // n_buckets)
+            width = ceil_width(s)
             run = 0
-            for i in range(n_buckets + 1):
+            for i in range(n_buckets):
                 c = counts.get(kt, {}).get(i, 0)
                 if run + c >= s["rank"]:
                     s["rank"] -= run
-                    new_lo = s["lo"] + i * width
-                    new_hi = min(s["hi"], new_lo + width - 1)
-                    if i == n_buckets:
-                        new_hi = s["hi"]
-                    s["lo"], s["hi"] = new_lo, new_hi
+                    s["lo"] = s["lo"] + i * width
+                    s["hi"] = min(s["hi"], s["lo"] + width - 1)
                     break
                 run += c
+            else:  # pragma: no cover — bins cover [lo, hi] entirely
+                raise RuntimeError(
+                    "exact_rank: rank not found in any bucket (invariant "
+                    "violation)"
+                )
 
+    return state, scale, spark
+
+
+def _group_fields(df: DataFrame, group_cols: list[str]):
+    """Result-schema group fields carry the INPUT column types (a
+    hard cast to string would corrupt downstream type semantics)."""
+    return [df.schema[c] for c in group_cols]
+
+
+def exact_rank_select(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    places: int = 2,
+    rank_of: str = "lower_median",
+    n_buckets: int = 256,
+    max_rounds: int = 12,
+    max_groups: int = RANK_MAX_GROUPS,
+) -> DataFrame:
+    """EXACT per-group order statistic at unbounded scale — the
+    scale-safe answer to ``percentile()``'s per-group value
+    buffering (q42's documented caveat: Spark's exact percentile
+    aggregate holds every group value in the aggregation buffer,
+    which OOMs once one group exceeds executor memory). See
+    :func:`_exact_ranks_core` for the narrowing algorithm and its
+    scale shape.
+
+    ``rank_of``: 'lower_median' → rank ⌈n/2⌉ (deterministic discrete
+    median, no interpolation ambiguity).
+
+    Returns (group_cols..., n_rows, median) with ``median`` descaled
+    and group columns keeping their input types.
+    """
+    from pyspark.sql import types as T
+
+    rank_fn = (
+        (lambda n: (n + 1) // 2)
+        if rank_of == "lower_median"
+        else (lambda n: 1)
+    )
+    state, scale, spark = _exact_ranks_core(
+        df, group_cols, value_col, {"_r": rank_fn},
+        places, n_buckets, max_rounds, max_groups,
+    )
+    out_rows = [
+        (*s["group"], s["n"], s["lo"] / scale) for s in state.values()
+    ]
+    schema = T.StructType(
+        _group_fields(df, group_cols)
+        + [
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("median", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
+def exact_rank_multi(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    targets: dict,
+    places: int = 2,
+    n_buckets: int = 256,
+    max_rounds: int = 12,
+    max_groups: int = RANK_MAX_GROUPS,
+) -> DataFrame:
+    """Multi-target generalization of :func:`exact_rank_select`: find
+    the exact value at SEVERAL ranks per group in ONE shared sequence
+    of narrowing rounds (every (group, target) pair keeps its own
+    (lo, hi, rank) driver state, but each round is a single
+    map-side-combinable bucket-count aggregate over the corpus —
+    work is O(rounds · corpus) regardless of how many ranks are
+    requested). See :func:`_exact_ranks_core`.
+
+    ``targets``: {name: rank_fn} where ``rank_fn(n) -> int`` maps the
+    group row count to a 1-based rank (e.g. percentile bracket
+    positions).
+
+    Returns (group_cols..., target string, n_rows, value double) with
+    group columns keeping their input types.
+    """
+    from pyspark.sql import types as T
+
+    state, scale, spark = _exact_ranks_core(
+        df, group_cols, value_col, targets,
+        places, n_buckets, max_rounds, max_groups,
+    )
     rows = [
         (*s["group"], t, s["n"], s["lo"] / scale)
         for (k, t), s in state.items()
     ]
-    schema_groups = ", ".join(f"{c} string" for c in group_cols)
-    return spark.createDataFrame(
-        rows, f"{schema_groups}, target string, n_rows long, value double"
+    schema = T.StructType(
+        _group_fields(df, group_cols)
+        + [
+            T.StructField("target", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
     )
+    return spark.createDataFrame(rows, schema)
