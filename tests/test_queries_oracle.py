@@ -30,7 +30,10 @@ def test_oracle_match(spark, duck, name):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_no_oracle_runs(spark, name):
+    from vnavc_spark.oracle import assert_canonicalizable
+
     df = QUERIES[name](spark, SF_SMALL)
+    assert_canonicalizable(df, name)
     assert df.count() >= 0
 
 

@@ -158,5 +158,5 @@ def inverted_index(
     ).withColumn("doc_freq", F.sum("df_shard").over(w).cast("long"))
     return p.filter(
         (F.col("doc_freq") * 100 >= F.col("n_docs") * df_low_pct)
-        & (F.col("doc_freq") * 10 <= F.col("n_docs") * (df_high_pct // 10))
+        & (F.col("doc_freq") * 100 <= F.col("n_docs") * df_high_pct)
     ).select(tok_col, "shard", "n_postings", "doc_freq", "postings")

@@ -54,8 +54,26 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     return h.hexdigest()
 
 
+def assert_canonicalizable(sdf, name: str = "query") -> None:
+    """Registered queries must emit only scalar columns: the external
+    driver canonicalizes results with pandas sort_values/factorize,
+    which crashes on list/dict cells (array, map, struct types) —
+    q82's array<bigint> postings column was round 3's one red row.
+    Render arrays with ``array_join``/``array_to_string`` instead."""
+    from pyspark.sql import types as T
+
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            raise AssertionError(
+                f"{name}: column '{f.name}' has complex type "
+                f"{f.dataType.simpleString()} — the driver canonicalizer "
+                "cannot hash it; flatten to a scalar (e.g. array_join)"
+            )
+
+
 def compare(spark, con, fn, sql: str, sf_dir: str) -> dict:
     sdf = fn(spark, sf_dir)
+    assert_canonicalizable(sdf)
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
     res = con.execute(sql)

@@ -3240,7 +3240,8 @@ ps AS (
   SELECT tok, shard, min(n_docs) AS n_docs,
          CAST(count(*) AS BIGINT) AS n_in_shard,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS df_shard,
-         list_sort(list_distinct(list(doc_id))) AS postings
+         array_to_string(list_sort(list_distinct(list(doc_id))), ',')
+           AS postings
   FROM sh GROUP BY tok, shard),
 p AS (
   SELECT tok, shard, postings, n_docs,
@@ -3251,7 +3252,7 @@ p AS (
 SELECT tok, shard, n_postings, doc_freq, postings
 FROM p
 WHERE doc_freq * 100 >= n_docs
-  AND doc_freq * 10 <= n_docs * 9
+  AND doc_freq * 100 <= n_docs * 90
 """,
 )
 def q82_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3264,13 +3265,20 @@ def q82_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids — a universal token at 100 TB becomes many bounded rows, not
     one multi-GB array. One tokenize pass, one (tok, shard) shuffle;
     token totals via a window whose partitions hold ≤K aggregated
-    rows. See operators/retrieval.inverted_index."""
+    rows. See operators/retrieval.inverted_index. The registered
+    output renders the (already sorted) posting array as a
+    comma-joined string: registered queries emit only scalar columns
+    (the certification harness canonicalizes with pandas sort/
+    factorize, which cannot hash list cells)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
     )
     n = d.agg(F.count("*").alias("n_docs"))
-    return retrieval.inverted_index(toks, n, postings_per_shard=1000)
+    idx = retrieval.inverted_index(toks, n, postings_per_shard=1000)
+    return idx.withColumn(
+        "postings", F.array_join(F.col("postings").cast("array<string>"), ",")
+    )
 
 
 _STOPS = ["the", "a", "of", "and", "to"]
