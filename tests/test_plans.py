@@ -381,3 +381,27 @@ class TestRound3Plans:
         # the corpus-side anti-join against drop_ids must broadcast
         f = facts("q106_dedup_apply")
         assert f.broadcast_joins >= 1 and f.nested_loop_joins == 0
+
+
+class TestRound4Plans:
+    def test_percentile_surface_is_narrowing_not_buffering(self, spark):
+        # q42 is re-registered on the exact_rank_multi narrowing
+        # machinery: Spark's buffering `percentile` aggregate (which
+        # holds every group value in the aggregation buffer — one hot
+        # group at 100x OOMs an executor) must appear in NO registered
+        # query. q42's plan is pivot/join over group-count-sized rows.
+        from vnavc_spark.plans.audit import explain_string
+
+        plan = explain_string(QS["q42_percentiles"](spark, SF_SMALL), "simple")
+        assert "percentile(" not in plan
+
+        # registry-wide, at the source level: the only percentile
+        # callable in the query registry is the fixed-size
+        # approx_percentile sketch (q47)
+        import inspect
+
+        import vnavc_spark.queries as qmod
+
+        src = inspect.getsource(qmod)
+        assert 'F.expr("percentile(' not in src
+        assert "F.expr('percentile(" not in src

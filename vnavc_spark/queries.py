@@ -1445,27 +1445,95 @@ def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q42_percentiles",
     oracle="""
+WITH v AS (SELECT l_returnflag,
+                  floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS x
+           FROM lineitem),
+r AS (SELECT l_returnflag, x,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v),
+b AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        min(x) AS min_price, max(x) AS max_price,
+        min(CASE WHEN rn = CAST(floor(1 + (n - 1) * 0.5) AS BIGINT)
+                 THEN x END) AS p50_lo,
+        min(CASE WHEN rn = least(n,
+                 CAST(floor(1 + (n - 1) * 0.5) AS BIGINT) + 1)
+                 THEN x END) AS p50_hi,
+        min(CASE WHEN rn = CAST(floor(1 + (n - 1) * 0.9) AS BIGINT)
+                 THEN x END) AS p90_lo,
+        min(CASE WHEN rn = least(n,
+                 CAST(floor(1 + (n - 1) * 0.9) AS BIGINT) + 1)
+                 THEN x END) AS p90_hi
+      FROM r GROUP BY l_returnflag)
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.5) AS p50,
-       quantile_cont(l_extendedprice, 0.9) AS p90,
-       min(l_extendedprice) AS min_price,
-       max(l_extendedprice) AS max_price
-FROM lineitem GROUP BY l_returnflag
+       floor((p50_lo + ((1 + (CAST(n_rows AS DOUBLE) - 1) * 0.5)
+              - floor(1 + (CAST(n_rows AS DOUBLE) - 1) * 0.5))
+              * (p50_hi - p50_lo)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       floor((p90_lo + ((1 + (CAST(n_rows AS DOUBLE) - 1) * 0.9)
+              - floor(1 + (CAST(n_rows AS DOUBLE) - 1) * 0.9))
+              * (p90_hi - p90_lo)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+       min_price, max_price
+FROM b
 """,
 )
 def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles — Spark ``percentile`` and
-    DuckDB ``quantile_cont`` share the linear-interpolation
-    definition, so values match bit-for-bit. CAVEAT: this aggregate
-    buffers every group value; at scale use q113/q115's iterative
-    selection (exact, zero buffering) or ``approx_percentile``
-    (sketch — not oracle-comparable)."""
+    """Exact interpolated percentiles + min/max per group — since
+    round 4 on the SAME zero-buffering narrowing machinery as
+    q113/q115 (operators/aggregates.exact_rank_multi): the engine's
+    entire percentile surface is scale-safe. Spark's built-in exact
+    ``percentile`` aggregate buffers every group value (one hot
+    group at 100× OOMs an executor) and is no longer used by any
+    registered query (pinned in tests/test_plans.py). All four
+    bracket ranks resolve in one shared sequence of bucket-count
+    rounds; min/max ride an ordinary map-side-combinable aggregate,
+    broadcast-joined back onto the group-count-sized result."""
+    import math
+
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
+
+    def lo_rank(p):
+        return lambda n: math.floor(1 + (n - 1) * p)
+
+    def hi_rank(p):
+        return lambda n: min(n, math.floor(1 + (n - 1) * p) + 1)
+
+    res = aggregates.exact_rank_multi(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {
+            "p50_lo": lo_rank(0.5),
+            "p50_hi": hi_rank(0.5),
+            "p90_lo": lo_rank(0.9),
+            "p90_hi": hi_rank(0.9),
+        },
+        places=2,
+    )
+    piv = (
+        res.groupBy("l_returnflag", "n_rows")
+        .pivot("target", ["p50_lo", "p50_hi", "p90_lo", "p90_hi"])
+        .agg(F.first("value"))
+    )
+    n_d = F.col("n_rows").cast("double")
+
+    def interp(p, lo, hi):
+        pos = F.lit(1.0) + (n_d - 1) * F.lit(p)
+        frac = pos - F.floor(pos)
+        return F.col(lo) + frac * (F.col(hi) - F.col(lo))
+
+    # same cent-rounding transform as the narrowing scale and the
+    # oracle's v CTE, so min/max agree bit-for-bit with the brackets
+    xr = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)) / 100.0
+    mm = li.groupBy("l_returnflag").agg(
+        F.min(xr).alias("min_price"),
+        F.max(xr).alias("max_price"),
+    )
+    return piv.join(F.broadcast(mm), "l_returnflag").select(
+        "l_returnflag",
+        stable_round(interp(0.5, "p50_lo", "p50_hi"), 6).alias("p50"),
+        stable_round(interp(0.9, "p90_lo", "p90_hi"), 6).alias("p90"),
+        "min_price",
+        "max_price",
     )
 
 
