@@ -243,6 +243,47 @@ class TestSimhashBlocks:
         }
         assert got == brute
 
+    def test_xxhash64_production_path_equivalent_detection(self, spark, docs):
+        # the xxhash64 backend (JVM-native, ~half md5's per-token
+        # cost) must DETECT the same planted near-dup structure as the
+        # certified md5 backend: for each backend the block join's
+        # verified pair set must equal that backend's own brute-force
+        # hamming pairs (exact recall), and both must contain the
+        # planted near-identical pairs.
+        sub = docs.filter(F.col("doc_id") < 200)
+        planted = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.jaccard_pairs(sub, threshold=0.97).collect()
+        }
+        for backend in ("md5", "xxhash64"):
+            sh = {
+                r.doc_id: r.sh
+                for r in dedup.simhash32_df(sub, hash_fn=backend).collect()
+            }
+            ids = sorted(sh)
+            brute = {
+                (a, b)
+                for i, a in enumerate(ids)
+                for b in ids[i + 1 :]
+                if bin(sh[a] ^ sh[b]).count("1") <= 3
+            }
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in dedup.simhash_near_dups(
+                    sub, max_hamming=3, max_block_size=None,
+                    hash_fn=backend,
+                ).collect()
+            }
+            assert got == brute, backend
+            assert planted <= got, backend
+
+    def test_simhash32_df_rejects_unknown_backend(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="hash_fn"):
+            dedup.simhash32_df(df, hash_fn="sha1").collect()
+
 
 class TestIncrementalDedup:
     def test_signature_staging_is_incremental(self, spark, docs, tmp_path):

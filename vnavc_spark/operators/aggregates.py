@@ -591,21 +591,34 @@ def _exact_ranks_core(
         F.min("_v").alias("lo"),
         F.max("_v").alias("hi"),
     )
-    rows = first.limit(max_groups + 1).collect()
-    if len(rows) > max_groups:
+    # cardinality guard BEFORE collecting driver state (a count over
+    # the aggregate is distributed and costs ~nothing next to the
+    # aggregate itself; a limit() would add a global-limit stage to
+    # the collect — measured +0.4 s per call)
+    if first.count() > max_groups:
         raise ValueError(
             f"exact_rank: group cardinality exceeds {max_groups}; the "
             "narrowing algorithm keeps (lo, hi, rank) per group on the "
             "driver, which requires categorical grouping keys. Reduce "
             "key cardinality or raise max_groups explicitly."
         )
+    rows = first.collect()
     state = {}
     for r in rows:
         for tname, rank_fn in targets.items():
             rk = max(1, min(r["n"], int(rank_fn(r["n"]))))
+            # rank 1 / rank n resolve directly from the first
+            # aggregate's min/max — close them immediately so
+            # min/max-style targets cost ZERO narrowing rounds
+            if rk == 1:
+                lo = hi = r["lo"]
+            elif rk == r["n"]:
+                lo = hi = r["hi"]
+            else:
+                lo, hi = r["lo"], r["hi"]
             state[(r["_k"], tname)] = {
-                "lo": r["lo"],
-                "hi": r["hi"],
+                "lo": lo,
+                "hi": hi,
                 "rank": rk,
                 "n": r["n"],
                 "group": tuple(r[c] for c in group_cols),
@@ -620,12 +633,21 @@ def _exact_ranks_core(
         open_t = {kt: s for kt, s in state.items() if s["lo"] < s["hi"]}
         if not open_t:
             break
+        # bucket counts depend only on (group, lo, hi, width) — NOT
+        # the rank — so targets sharing bounds (always true in the
+        # first round: every target starts at the group's [min, max])
+        # share ONE counting pass. The join ships each base row once
+        # per DISTINCT bounds, not once per target, and the count
+        # cells key on a compact integer id.
+        uniq: dict = {}
+        for (k, t), s in open_t.items():
+            uniq.setdefault((k, s["lo"], s["hi"], ceil_width(s)), len(uniq))
         bounds = spark.createDataFrame(
             [
-                (k, t, s["lo"], s["hi"], ceil_width(s))
-                for (k, t), s in open_t.items()
+                (bid, k, lo, hi, bw)
+                for (k, lo, hi, bw), bid in uniq.items()
             ],
-            "_k string, _t string, _blo long, _bhi long, _bw long",
+            "_bid long, _k string, _blo long, _bhi long, _bw long",
         )
         b = (
             base.join(F.broadcast(bounds), on="_k")
@@ -639,18 +661,19 @@ def _exact_ranks_core(
                     "long"
                 ),
             )
-            .groupBy("_k", "_t", "_bin")
+            .groupBy("_bid", "_bin")
             .agg(F.count("*").alias("c"))
             .collect()
         )
         counts: dict = {}
         for r in b:
-            counts.setdefault((r["_k"], r["_t"]), {})[r["_bin"]] = r["c"]
-        for kt, s in open_t.items():
+            counts.setdefault(r["_bid"], {})[r["_bin"]] = r["c"]
+        for (k, t), s in open_t.items():
             width = ceil_width(s)
+            cmap = counts.get(uniq[(k, s["lo"], s["hi"], width)], {})
             run = 0
             for i in range(n_buckets):
-                c = counts.get(kt, {}).get(i, 0)
+                c = cmap.get(i, 0)
                 if run + c >= s["rank"]:
                     s["rank"] -= run
                     s["lo"] = s["lo"] + i * width

@@ -499,10 +499,11 @@ def simhash32(text_col: Column | str) -> Column:
 
 
 def simhash32_df(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, sh) — the 32-bit SimHash of ``simhash32`` computed as
-    explode → ONE md5 per token → 32 codegen'd parity-vote columns →
+    explode → ONE hash per token → 32 codegen'd parity-vote columns →
     one partial-aggregable groupBy on the id (exactly the oracle's
     unnest/GROUP BY shape).
 
@@ -512,20 +513,45 @@ def simhash32_df(
     5 000 docs at sf0.1 vs ~1 s here). The digest is materialized in
     its own projection so the 32 substrings provably read one md5.
     Cost: one (id)-shuffle of ±1 vote rows; at 100 TB that shuffle
-    is map-side combined to one row per doc before it moves."""
+    is map-side combined to one row per doc before it moves.
+
+    ``hash_fn``: ``'md5'`` (default) keeps the token hash
+    cross-engine-reproducible for oracle certification (DuckDB has
+    md5, not xxhash64); ``'xxhash64'`` is the PRODUCTION path — the
+    JVM-native 64-bit hash costs roughly half of md5 per token and
+    bit i of the hash replaces the hex-digit parity. Near-dup
+    DETECTION quality is hash-agnostic (both give i.i.d. parity
+    bits; tests/test_dedup_similarity.py pins planted-pair
+    equivalence between the two backends)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.array_distinct(tokens(normalized_text(c)))
     ex = df.select(F.col(id_col), F.explode(toks).alias("_t"))
-    dg = ex.select(id_col, F.md5("_t").alias("_d"))
-    votes = dg.select(
-        id_col,
-        *[
-            ((F.ascii(F.substring(F.col("_d"), i + 1, 1)) % 2) * 2 - 1).alias(
-                f"_v{i}"
-            )
-            for i in range(32)
-        ],
-    )
+    if hash_fn == "xxhash64":
+        dg = ex.select(id_col, F.xxhash64("_t").alias("_d"))
+        votes = dg.select(
+            id_col,
+            *[
+                (
+                    F.shiftright(F.col("_d"), i).bitwiseAND(F.lit(1)).cast(
+                        "int"
+                    ) * 2 - 1
+                ).alias(f"_v{i}")
+                for i in range(32)
+            ],
+        )
+    elif hash_fn == "md5":
+        dg = ex.select(id_col, F.md5("_t").alias("_d"))
+        votes = dg.select(
+            id_col,
+            *[
+                (
+                    (F.ascii(F.substring(F.col("_d"), i + 1, 1)) % 2) * 2 - 1
+                ).alias(f"_v{i}")
+                for i in range(32)
+            ],
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
     agg = votes.groupBy(id_col).agg(
         *[F.sum(f"_v{i}").alias(f"_s{i}") for i in range(32)]
     )
@@ -565,6 +591,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     max_block_size: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash via exact block decomposition: split
     the 32-bit hash into ``max_hamming + 1`` disjoint blocks and join
@@ -577,7 +604,7 @@ def simhash_near_dups(
     (block_idx, block_val, id, sh) — 4 small rows per doc; degenerate
     blocks (> ``max_block_size`` members, e.g. a boilerplate corpus
     collapsing to one hash) are dropped before the join."""
-    sh = simhash32_df(df, id_col, text_col)
+    sh = simhash32_df(df, id_col, text_col, hash_fn=hash_fn)
     bounds = simhash_block_bounds(max_hamming)
     blocks = F.array(
         *[

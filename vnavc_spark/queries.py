@@ -1485,8 +1485,10 @@ def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     group at 100× OOMs an executor) and is no longer used by any
     registered query (pinned in tests/test_plans.py). All four
     bracket ranks resolve in one shared sequence of bucket-count
-    rounds; min/max ride an ordinary map-side-combinable aggregate,
-    broadcast-joined back onto the group-count-sized result."""
+    rounds; min/max are rank-1/rank-n targets that close INSTANTLY
+    from the first aggregate's min/max (zero extra rounds, zero
+    extra scans). n_buckets=4096 with ~3 groups: cent-scaled prices
+    span ~1e7, so ceil(log_4096(1e7)) = 2 narrowing rounds."""
     import math
 
     li = table(spark, sf_dir, "lineitem")
@@ -1506,12 +1508,18 @@ def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_hi": hi_rank(0.5),
             "p90_lo": lo_rank(0.9),
             "p90_hi": hi_rank(0.9),
+            "min_price": lambda n: 1,
+            "max_price": lambda n: n,
         },
         places=2,
+        n_buckets=4096,
     )
     piv = (
         res.groupBy("l_returnflag", "n_rows")
-        .pivot("target", ["p50_lo", "p50_hi", "p90_lo", "p90_hi"])
+        .pivot(
+            "target",
+            ["p50_lo", "p50_hi", "p90_lo", "p90_hi", "min_price", "max_price"],
+        )
         .agg(F.first("value"))
     )
     n_d = F.col("n_rows").cast("double")
@@ -1521,14 +1529,7 @@ def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac = pos - F.floor(pos)
         return F.col(lo) + frac * (F.col(hi) - F.col(lo))
 
-    # same cent-rounding transform as the narrowing scale and the
-    # oracle's v CTE, so min/max agree bit-for-bit with the brackets
-    xr = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)) / 100.0
-    mm = li.groupBy("l_returnflag").agg(
-        F.min(xr).alias("min_price"),
-        F.max(xr).alias("max_price"),
-    )
-    return piv.join(F.broadcast(mm), "l_returnflag").select(
+    return piv.select(
         "l_returnflag",
         stable_round(interp(0.5, "p50_lo", "p50_hi"), 6).alias("p50"),
         stable_round(interp(0.9, "p90_lo", "p90_hi"), 6).alias("p90"),
@@ -5017,7 +5018,7 @@ def q113_exact_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative algorithm lands on the exact order statistic."""
     li = table(spark, sf_dir, "lineitem")
     return aggregates.exact_rank_select(
-        li, ["l_returnflag"], "l_extendedprice", places=2
+        li, ["l_returnflag"], "l_extendedprice", places=2, n_buckets=4096
     )
 
 
@@ -5130,6 +5131,7 @@ def q115_exact_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFra
             "p90_hi": hi_rank(0.9),
         },
         places=2,
+        n_buckets=4096,
     )
     piv = (
         res.groupBy("l_returnflag", "n_rows")
