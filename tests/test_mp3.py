@@ -118,6 +118,8 @@ class TestCodecSeamCloseout:
     are mp3: crawler/download.py:141-145)."""
 
     def test_decode_audio_raises_documented_seam_error(self):
+        import shutil
+
         from vnavc_spark.pipeline import audio as A
 
         mp3 = _frame_v1_stereo_128_44100() * 4
@@ -127,11 +129,86 @@ class TestCodecSeamCloseout:
             msg = str(e)
             # the error must point at the supported metadata path
             assert "probe_mp3" in msg or "with_mp3_info" in msg
-            assert "soundfile" in msg or "librosa" in msg
+            assert "soundfile" in msg and "ffmpeg" in msg
+        except RuntimeError:
+            # ffmpeg present but the synthetic frames aren't decodable
+            assert shutil.which("ffmpeg") is not None
         else:  # pragma: no cover — only if a codec appears
             import importlib.util
 
-            assert importlib.util.find_spec("soundfile") is not None
+            assert (
+                importlib.util.find_spec("soundfile") is not None
+                or shutil.which("ffmpeg") is not None
+            )
+
+    @staticmethod
+    def _install_fake_ffmpeg(tmp_path, monkeypatch, script_body: str):
+        import os
+        import stat
+
+        exe = tmp_path / "ffmpeg"
+        exe.write_text("#!/usr/bin/env python3\n" + script_body)
+        exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv(
+            "PATH", str(tmp_path) + os.pathsep + os.environ.get("PATH", "")
+        )
+
+    def test_ffmpeg_fallback_decodes_real_samples(self, tmp_path, monkeypatch):
+        # the ffmpeg CLI seam end-to-end: stdin mp3 → stdout mono
+        # PCM16 WAV → native WAV parse. The fake ffmpeg emits a known
+        # 16 kHz ramp whose length is derived from the input bytes,
+        # so the test proves the input reached the subprocess and the
+        # decoded samples came back through the full path.
+        import importlib.util
+
+        import numpy as np
+
+        if importlib.util.find_spec("soundfile") is not None:
+            import pytest as _pytest
+
+            _pytest.skip("soundfile present: ffmpeg path not reachable")
+        from vnavc_spark.pipeline import audio as A
+
+        self._install_fake_ffmpeg(
+            tmp_path,
+            monkeypatch,
+            (
+                "import sys, io, wave, struct\n"
+                "data = sys.stdin.buffer.read()\n"
+                "assert '-f' in sys.argv and 'mp3' in sys.argv\n"
+                "n = len(data)\n"
+                "buf = io.BytesIO()\n"
+                "w = wave.open(buf, 'wb')\n"
+                "w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)\n"
+                "w.writeframes(struct.pack('<%dh' % n, *range(n)))\n"
+                "w.close()\n"
+                "sys.stdout.buffer.write(buf.getvalue())\n"
+            ),
+        )
+        mp3 = _frame_v1_stereo_128_44100() * 4
+        y, sr = A.decode_audio(mp3, "mp3")
+        assert sr == 16000 and len(y) == len(mp3)
+        expect = np.arange(len(mp3), dtype=np.float32) / 32768.0
+        assert np.allclose(y, expect, atol=1e-4)
+
+    def test_ffmpeg_fallback_failure_surfaces_stderr(self, tmp_path, monkeypatch):
+        import importlib.util
+
+        if importlib.util.find_spec("soundfile") is not None:
+            import pytest as _pytest
+
+            _pytest.skip("soundfile present: ffmpeg path not reachable")
+        import pytest as _pytest
+
+        from vnavc_spark.pipeline import audio as A
+
+        self._install_fake_ffmpeg(
+            tmp_path,
+            monkeypatch,
+            "import sys\nsys.stderr.write('boom: bad stream')\nsys.exit(1)\n",
+        )
+        with _pytest.raises(RuntimeError, match="boom"):
+            A.decode_audio(b"\xff\xfb\x90\x00" * 32, "mp3")
 
     def test_f8_g7_end_to_end_on_multiframe_mp3_parts(self, spark):
         # two books, mp3 parts of mixed sample rates: G7 takes the

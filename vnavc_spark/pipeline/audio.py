@@ -76,14 +76,47 @@ def encode_wav(y: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
-def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """S11: audio load. WAV is native; other formats require an
-    external decoder.
+def _ffmpeg_decode(data: bytes, fmt: str, ffmpeg: str = "ffmpeg"
+                   ) -> tuple[np.ndarray, int]:
+    """Decode compressed audio by shelling to the ffmpeg CLI —
+    the same dependency the reference itself shells to for cutting
+    (``aeneas_batch_align.py:276-277``), so any cluster that runs
+    the reference pipeline already carries it. Input rides stdin,
+    mono PCM16 WAV rides stdout: no temp files on executors."""
+    import subprocess
 
-    STUB for compressed formats: without soundfile/librosa in the
-    environment this raises ``NotImplementedError`` — the Spark-side
-    plumbing (binary column in, waveform out) is real and tested via
-    WAV."""
+    proc = subprocess.run(
+        [
+            ffmpeg, "-hide_banner", "-loglevel", "error",
+            "-f", fmt, "-i", "pipe:0",
+            "-ac", "1", "-f", "wav", "-acodec", "pcm_s16le", "pipe:1",
+        ],
+        input=data,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        check=False,
+    )
+    if proc.returncode != 0 or not proc.stdout:
+        raise RuntimeError(
+            f"ffmpeg failed decoding .{fmt}: "
+            f"{proc.stderr.decode(errors='replace')[:500]}"
+        )
+    return decode_wav(proc.stdout)
+
+
+def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """S11: audio load. WAV is native; compressed formats fall back
+    soundfile → ffmpeg CLI → metadata-only error.
+
+    The ffmpeg fallback shells out exactly like the reference does
+    for audio cutting (``aeneas_batch_align.py:276-277``) — mp3
+    part files (``crawler/download.py:141-145``) decode on any
+    cluster with either soundfile or ffmpeg on the executors. In
+    containers with neither, mp3 METADATA still flows (sample
+    rate, duration, channels — the F8/G7/F7 gate inputs) via
+    vnavc_spark.pipeline.mp3.probe_mp3/with_mp3_info."""
+    import shutil
+
     fmt = fmt.lower().lstrip(".")
     if fmt == "wav":
         return decode_wav(data)
@@ -92,11 +125,14 @@ def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
         if y.ndim > 1:
             y = y.mean(axis=1)
         return y, sr
+    if shutil.which("ffmpeg"):
+        return _ffmpeg_decode(data, fmt)
     raise NotImplementedError(
-        f"decoding .{fmt} requires soundfile/librosa (not installed); "
-        "only WAV decodes natively. For mp3 METADATA (sample rate, "
-        "duration, channels — the F8/G7/F7 gate inputs) no decoder is "
-        "needed: use vnavc_spark.pipeline.mp3.probe_mp3/with_mp3_info."
+        f"decoding .{fmt} requires soundfile or the ffmpeg CLI "
+        "(neither found); only WAV decodes natively. For mp3 "
+        "METADATA (sample rate, duration, channels — the F8/G7/F7 "
+        "gate inputs) no decoder is needed: use "
+        "vnavc_spark.pipeline.mp3.probe_mp3/with_mp3_info."
     )
 
 
