@@ -300,3 +300,42 @@ class TestSignatureCompaction:
             for r in spark.read.parquet(pairs_out).collect()
         }
         assert (1, 4) in got or (3, 4) in got
+
+
+class TestCompactionCrashRecovery:
+    def test_recovers_live_table_from_old_snapshot(self, spark, tmp_path):
+        # simulate a crash between the two swap renames (ADVICE r03):
+        # the live path is missing, only the __old snapshot exists —
+        # the next compaction must restore it and then compact it
+        import glob
+        import os
+
+        from vnavc_spark.operators.dedup import compact_signature_table
+
+        sig = str(tmp_path / "sig")
+        spark.createDataFrame(
+            [(i, f"sig{i}") for i in range(10)], "doc_id long, minhash string"
+        ).repartition(4).write.parquet(sig)
+        # crash state: live dir renamed away, plus a stale temp
+        os.rename(sig, f"{sig}__old_deadbeef")
+        os.makedirs(f"{sig}__compact_deadbeef")
+        assert not os.path.isdir(sig)
+
+        rep = compact_signature_table(
+            spark, sig, include_docs=False, target_partitions=1
+        )
+        assert rep[sig]["rows"] == 10
+        assert os.path.isdir(sig)
+        assert spark.read.parquet(sig).count() == 10
+        # stale snapshot/temp dirs cleaned up, exactly one data file
+        assert glob.glob(f"{sig}__old_*") == []
+        assert glob.glob(f"{sig}__compact_*") == []
+        assert len(glob.glob(f"{sig}/*.parquet")) == 1
+
+    def test_missing_table_with_no_snapshot_is_skipped(self, spark, tmp_path):
+        from vnavc_spark.operators.dedup import compact_signature_table
+
+        rep = compact_signature_table(
+            spark, str(tmp_path / "nope"), include_docs=False
+        )
+        assert rep == {}

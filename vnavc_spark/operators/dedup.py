@@ -804,9 +804,15 @@ def compact_signature_table(
     ``target_partitions`` files, written to a temp dir and swapped in
     with directory renames (posix/local semantics; on an object store
     run this as a table-format operation — Delta OPTIMIZE / Iceberg
-    rewrite_data_files — instead of dir swaps). Run it out-of-band,
-    between streaming restarts: the checkpoint only tracks the SOURCE,
-    so a restart sees the compacted table transparently.
+    rewrite_data_files — instead of dir swaps). POSIX cannot rename a
+    directory onto an existing one, so the swap is two renames with a
+    crash window between them: every call first RECOVERS a missing
+    live path from the newest ``__old`` snapshot (both sides of the
+    window are complete, valid tables — signatures are deterministic,
+    so restoring the pre-compaction state loses nothing). Run it
+    out-of-band, between streaming restarts: the checkpoint only
+    tracks the SOURCE, so a restart sees the compacted table
+    transparently.
 
     Returns {path: {"rows": n, "files_before": a, "files_after": b}}.
     """
@@ -819,7 +825,20 @@ def compact_signature_table(
     report: dict = {}
     for path in paths:
         if not os.path.isdir(path):
-            continue
+            # crash recovery: a previous compaction died between its
+            # two swap renames — restore the newest __old snapshot
+            olds = sorted(
+                (p for p in glob.glob(f"{path}__old_*") if os.path.isdir(p)),
+                key=os.path.getmtime,
+            )
+            if not olds:
+                continue
+            os.rename(olds[-1], path)
+        # stale snapshots/temps from crashed runs (post-recovery)
+        for stale in glob.glob(f"{path}__old_*") + glob.glob(
+            f"{path}__compact_*"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
         files_before = len(glob.glob(os.path.join(path, "*.parquet")))
         df = spark.read.parquet(path).dropDuplicates([id_col])
         tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"

@@ -278,6 +278,25 @@ def text_metrics(
     return s.join(g, on=book_col, how="full_outer")
 
 
+# at most ONE text-stage sentence cache alive per session: repeated
+# calls (bench loops, test modules) would otherwise accumulate
+# persisted partitions until storage eviction kicks in (ADVICE r03)
+_LAST_PERSISTED: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    while _LAST_PERSISTED:
+        old = _LAST_PERSISTED.pop()
+        try:
+            old.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _LAST_PERSISTED.append(df)
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def process_text_stage(
     books: DataFrame,
     book_col: str = "book_id",
@@ -289,7 +308,14 @@ def process_text_stage(
 
     Input is spread across the default parallelism first — a corpus
     arriving as one small file would otherwise run the tokenizer/
-    normalizer pandas UDFs on a single core."""
+    normalizer pandas UDFs on a single core.
+
+    The returned ``sentences`` frame is persisted (MEMORY_AND_DISK);
+    the NEXT ``process_text_stage`` call unpersists it automatically,
+    so at most one stage's cache is alive per session. A caller that
+    is finished with the stage sooner can ``sents.unpersist()``
+    itself; callers needing several stages cached concurrently should
+    persist manually."""
     n_parts = books.sparkSession.sparkContext.defaultParallelism
     # file-count probe instead of df.rdd (which converts the plan to
     # an RDD just to read a number) — see minhash_signatures_df
@@ -307,9 +333,9 @@ def process_text_stage(
     # in-memory analog of the production posture: sentences ARE a
     # staging table between stages (staging.stage_partitioned);
     # MEMORY_AND_DISK persists spill at scale.
-    sents = sentences_from_books(
-        books, book_col, text_col, min_words=min_words
-    ).persist()
+    sents = _persist_tracked(
+        sentences_from_books(books, book_col, text_col, min_words=min_words)
+    )
     groups = group_sentences_df(sents, book_col, threshold=threshold)
     metrics = text_metrics(sents, groups, book_col)
     return sents, groups, metrics
