@@ -176,6 +176,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                # measurement provenance: rounds <= 2 used count() as
+                # the sink, which let Catalyst prune the timed
+                # aggregate expressions (md5-heavy queries were
+                # under-reported ~10x) — cross-round comparisons
+                # should start from round 3's noop-sink numbers
+                "notes": "noop-sink full materialization (since r3); "
+                "r<=2 numbers used a pruning count() sink",
             }
         )
     )

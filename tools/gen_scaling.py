@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Round-stamped scaling sweep: replicate the sf0.1 testdata with
+shifted keys (10x, optionally 100x for the cheap relational paths),
+run the representative query set through the noop sink at each
+factor, and emit ``docs/SCALING_r{N}.json`` — the machine-readable
+version of SCALE.md's "Measured 10x and 100x scaling" table, so the
+cross-round evidence is a generated artifact instead of prose.
+
+Usage:
+    python tools/gen_scaling.py --round 4 [--skip-100x] \
+        [--base /root/testdata/sf0.1] [--work /tmp/scale_work]
+
+Replication shifts every key column by ``copy * stride`` so joins
+and groupBys see genuinely distinct entities per copy; document TEXT
+is replicated verbatim (each dup group becomes a (factor)-clique —
+dedup output grows ~factor^2, which is the honest stress for the
+near-dup suite and is annotated in the artifact). Wall-clock ratios
+<= data growth mean no superlinear term; ratios >> growth are flagged
+``"superlinear": true`` for the round log to investigate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# key columns shifted per copy: (table, {col: stride})
+SHIFTS: dict[str, dict[str, int]] = {
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {"l_orderkey": 10_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "events": {"event_id": 100_000_000, "user_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+#: passthrough tables (copied once, no replication — dims stay dims)
+PASSTHROUGH = ("region", "nation", "customer", "supplier", "part")
+
+#: (query, tables whose growth bounds the expected wall ratio, runs
+#: at 100x?) — the SCALE.md sweep set
+SWEEP = [
+    ("q01_region_revenue", ("lineitem", "orders"), True),
+    ("q03_pricing_summary", ("lineitem",), True),
+    ("q33_minhash_dedup", ("documents",), False),
+    ("q61_duplicate_spans", ("documents",), False),
+    ("q82_inverted_index", ("documents",), False),
+    ("q94_bootstrap_ci", ("lineitem",), False),
+    ("q99_table_checksum", ("orders",), True),
+    ("q46_text_stage", ("documents",), False),
+    ("q96_grouping_sets", ("orders",), True),
+    ("q32_hourly_stats", ("events",), True),
+    ("q75_scd2_history", ("orders",), True),
+    ("q42_percentiles", ("lineitem",), True),
+    ("q113_exact_median_scalable", ("lineitem",), True),
+]
+
+
+def build_scaled_dir(spark, base: str, out_dir: str, factor: int,
+                     batch: int = 10) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in PASSTHROUGH:
+        src, dst = f"{base}/{t}.parquet", f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    for t, strides in SHIFTS.items():
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(f"{base}/{t}.parquet")
+        # write in bounded batches of copies: a single factor-way
+        # union plan OOMs the writer tasks at 100x (100 concurrent
+        # scans feeding wide parquet row groups)
+        tmp = dst + "__building"
+        first = True
+        for lo in range(0, factor, batch):
+            copies = []
+            for k in range(lo, min(lo + batch, factor)):
+                c = df
+                for col, stride in strides.items():
+                    c = c.withColumn(
+                        col,
+                        (F.col(col) + F.lit(k * stride)).cast(
+                            df.schema[col].dataType
+                        ),
+                    )
+                copies.append(c)
+            u = copies[0]
+            for c in copies[1:]:
+                u = u.unionByName(c)
+            u.write.mode("overwrite" if first else "append").parquet(tmp)
+            first = False
+        os.rename(tmp, dst)
+
+
+def run_query(queries, spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = queries[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--work", default="/tmp/scale_work")
+    ap.add_argument("--skip-100x", action="store_true")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    args = ap.parse_args()
+
+    from vnavc_spark.queries import all_queries
+    from vnavc_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="vnavc-scaling",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus),
+        # the 100x build/write needs more than the 1g local default
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    x10 = os.path.join(args.work, "x10")
+    x100 = os.path.join(args.work, "x100")
+    print("building 10x dir ...", file=sys.stderr)
+    build_scaled_dir(spark, args.base, x10, 10)
+    if not args.skip_100x:
+        print("building 100x dir ...", file=sys.stderr)
+        build_scaled_dir(spark, args.base, x100, 100)
+
+    # pre-fork python workers + codegen warmup, same as bench.py
+    queries["q01_region_revenue"](spark, args.base).count()
+
+    out: dict = {}
+    for name, tables, runs_100 in SWEEP:
+        base_s = run_query(queries, spark, name, args.base)
+        row = {"base_s": round(base_s, 3), "bound_tables": list(tables)}
+        s10 = run_query(queries, spark, name, x10)
+        row["x10_s"] = round(s10, 3)
+        row["x10_ratio"] = round(s10 / base_s, 2)
+        row["x10_superlinear"] = s10 / base_s > 10.0
+        if runs_100 and not args.skip_100x:
+            s100 = run_query(queries, spark, name, x100)
+            row["x100_s"] = round(s100, 3)
+            row["x100_ratio"] = round(s100 / base_s, 2)
+            row["x100_superlinear"] = s100 / base_s > 100.0
+        out[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+
+    artifact = {
+        "round": args.round,
+        "generated_by": "tools/gen_scaling.py",
+        "base_sf_dir": args.base,
+        "cpus": int(args.cpus),
+        "sink": "noop (full materialization — count() lets Catalyst prune)",
+        "replication": "shifted keys; document text verbatim (dedup "
+        "output grows ~factor^2 by design)",
+        "queries": out,
+    }
+    dst = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        f"SCALING_r{args.round:02d}.json",
+    )
+    with open(dst, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(dst)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
