@@ -594,15 +594,22 @@ def _exact_ranks_core(
     # cardinality guard BEFORE collecting driver state (a count over
     # the aggregate is distributed and costs ~nothing next to the
     # aggregate itself; a limit() would add a global-limit stage to
-    # the collect — measured +0.4 s per call)
-    if first.count() > max_groups:
-        raise ValueError(
-            f"exact_rank: group cardinality exceeds {max_groups}; the "
-            "narrowing algorithm keeps (lo, hi, rank) per group on the "
-            "driver, which requires categorical grouping keys. Reduce "
-            "key cardinality or raise max_groups explicitly."
-        )
-    rows = first.collect()
+    # the collect — measured +0.4 s per call). The aggregate output is
+    # group-cardinality-sized (≤ max_groups rows — tiny at any corpus
+    # scale), so persisting it lets the guard count and the state
+    # collect share ONE corpus scan instead of two.
+    first = first.persist()
+    try:
+        if first.count() > max_groups:
+            raise ValueError(
+                f"exact_rank: group cardinality exceeds {max_groups}; the "
+                "narrowing algorithm keeps (lo, hi, rank) per group on the "
+                "driver, which requires categorical grouping keys. Reduce "
+                "key cardinality or raise max_groups explicitly."
+            )
+        rows = first.collect()
+    finally:
+        first.unpersist()
     state = {}
     for r in rows:
         for tname, rank_fn in targets.items():
