@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "q99_table_checksum",
     "q101_ann_recall",
     "q104_snapshot_diff",
+    # round 4 additions
+    "q116_heavy_hitters",
+    "q118_distribution_drift",
+    "q119_collocations",
 ]
 
 

@@ -803,3 +803,76 @@ class TestExactRankSelect:
         )
         with pytest.raises(ValueError, match="group cardinality"):
             exact_rank_select(df, ["g"], "x", max_groups=3)
+
+
+class TestCmsHeavyHitters:
+    def test_planted_heavy_hitter_exact(self, spark):
+        from vnavc_spark.operators.aggregates import cms_heavy_hitters
+
+        # 1000 occurrences: 'hot' 200x (20%), 'warm' 15x (1.5%),
+        # 785 distinct cold tokens (<=0.1% each). k=20 -> threshold
+        # freq*20 > 1000, i.e. freq > 50: only 'hot' qualifies.
+        rows = (
+            [("hot",)] * 200
+            + [("warm",)] * 15
+            + [(f"cold{i}",) for i in range(785)]
+        )
+        df = spark.createDataFrame(rows, "tok string")
+        out = {
+            r.tok: r.freq for r in cms_heavy_hitters(df, k=20).collect()
+        }
+        assert out == {"hot": 200}
+
+    def test_screen_is_superset_safe_at_tiny_width(self, spark):
+        from vnavc_spark.operators.aggregates import cms_heavy_hitters
+
+        # width=2 forces massive bucket collisions: estimates blow UP,
+        # never down, so the exact verify still returns exactly the
+        # true heavy hitters (collisions cost shuffle, not answers)
+        rows = [("hh",)] * 60 + [(f"c{i}",) for i in range(40)]
+        df = spark.createDataFrame(rows, "tok string")
+        out = {
+            r.tok: r.freq
+            for r in cms_heavy_hitters(df, k=3, width=2, depth=2).collect()
+        }
+        assert out == {"hh": 60}
+
+    def test_threshold_is_strict(self, spark):
+        from vnavc_spark.operators.aggregates import cms_heavy_hitters
+
+        # 4 tokens x 25 occurrences: freq*4 == total exactly -> the
+        # strict > excludes all of them
+        rows = [(t,) for t in "abcd" for _ in range(25)]
+        df = spark.createDataFrame(rows, "tok string")
+        assert cms_heavy_hitters(df, k=4).count() == 0
+
+
+class TestContainmentPairs:
+    def test_planted_containment_is_asymmetric(self, spark):
+        from vnavc_spark.queries import all_queries
+        import uuid
+
+        # build a corpus where doc 1 is a verbatim chunk of doc 0:
+        # containment(1 in 0) = 1.0 but Jaccard is far below any
+        # near-dup bar. Unique filler tokens keep shingles distinct.
+        filler = [f"w{uuid.uuid4().hex[:8]}{i}" for i in range(120)]
+        big = " ".join(filler)
+        small = " ".join(filler[40:60])
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            df = spark.createDataFrame(
+                [
+                    (0, big, "en", "s0", len(big)),
+                    (1, small, "en", "s1", len(small)),
+                    (2, " ".join(f"z{i} z{i} q" for i in range(30)), "en", "s2", 10),
+                ],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            out = all_queries()["q117_containment_dedup"](spark, td)
+            rows = {
+                (r.contained_id, r.container_id): r.containment
+                for r in out.collect()
+            }
+            assert rows == {(1, 0): 1.0}  # small-in-big only, NOT (0, 1)

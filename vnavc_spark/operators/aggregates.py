@@ -794,3 +794,101 @@ def exact_rank_multi(
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def cms_heavy_hitters(
+    tok_df: DataFrame,
+    token_col: str = "tok",
+    k: int = 100,
+    width: int = 16384,
+    depth: int = 3,
+) -> DataFrame:
+    """EXACT frequent items (freq·k > total) with a count-min-sketch
+    candidate screen (Cormode & Muthukrishnan 2005) — the scalable
+    heavy-hitter shape for corpus-sized vocabularies (word n-grams,
+    URL hosts, shingle hashes).
+
+    Two passes over the occurrence stream:
+
+    1. **Sketch pass** — every occurrence hashes into ``depth`` rows
+       of a ``width``-bucket count-min sketch. The groupBy output is
+       at most ``depth·width`` rows REGARDLESS of corpus or
+       vocabulary size, so the shuffle is constant and the sketch
+       broadcasts everywhere.
+    2. **Verify pass** — occurrences whose MINIMUM bucket estimate
+       clears the threshold (est·k > total) re-aggregate exactly by
+       token. CMS estimates only ever over-count, so the screen can
+       never drop a true heavy hitter: the final
+       ``freq·k > total`` filter over exact counts makes the result
+       EXACT (the sketch affects cost, not the answer — the oracle
+       is plain SQL).
+
+    Why not a plain ``groupBy(token)``: its shuffle ships every
+    distinct token each map task touches — corpus-sized for n-gram
+    vocabularies at 100 TB. The screened shuffle ships only
+    occurrences of candidate tokens: the true heavy hitters plus a
+    bounded false-positive band (expected extra mass ≤ total/width
+    per collision row). All hashes are md5-derived, so any engine
+    reproduces the candidate set bit-for-bit.
+
+    Integer-only threshold arithmetic (``freq·k > total``) — no
+    float division anywhere, so results hash-certify on any engine.
+
+    Returns (token_col, freq) for every token with freq·k > total.
+    """
+    t = F.col(token_col)
+
+    def bucket(seed: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), t)), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h % width).cast("long")
+
+    cells = (
+        tok_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("seed"),
+                            bucket(i).alias("bucket"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.seed", "c.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("est"))
+    )
+    total = cells.filter(F.col("seed") == 0).agg(
+        F.sum("est").alias("total")
+    )
+    screened = tok_df
+    for i in range(depth):
+        slice_i = cells.filter(F.col("seed") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("est").alias(f"_e{i}")
+        )
+        screened = screened.withColumn(f"_b{i}", bucket(i)).join(
+            F.broadcast(slice_i), on=f"_b{i}"
+        )
+    screened = (
+        screened.crossJoin(F.broadcast(total))
+        .filter(
+            F.least(*[F.col(f"_e{i}") for i in range(depth)]) * k
+            > F.col("total")
+        )
+        .select(token_col)
+    )
+    return (
+        screened.groupBy(token_col)
+        .agg(F.count("*").cast("long").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * k > F.col("total"))
+        .select(token_col, "freq")
+    )

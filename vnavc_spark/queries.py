@@ -5153,6 +5153,279 @@ def q115_exact_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "q116_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks
+       GROUP BY tok),
+t AS (SELECT sum(freq) AS total FROM tf)
+SELECT tok, freq FROM tf, t WHERE freq * 100 > total
+""",
+)
+def q116_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with > 1% of the stream)
+    through a count-min-sketch candidate screen
+    (operators/aggregates.cms_heavy_hitters): the sketch pass
+    shuffles at most depth·width = 3·16384 rows at ANY corpus size,
+    and the exact verify pass only aggregates occurrences whose
+    minimum bucket estimate clears the threshold. CMS never
+    under-counts, so the screen cannot drop a true heavy hitter —
+    the result (and therefore the oracle) is plain exact SQL; the
+    sketch shapes the cost, not the answer. The scale win over a
+    bare groupBy(token) is the verify shuffle: it ships candidate
+    occurrences only, not a corpus-sized n-gram vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    return aggregates.cms_heavy_hitters(toks, "tok", k=100)
+
+
+@query(
+    "q117_containment_dedup",
+    oracle=f"""
+WITH {_shingle_cte()},
+shx AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+  WHERE len(shingles) >= 8),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM shx GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT contained_id, container_id, n_shared, n_sh AS n_contained,
+       round(CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE), 6)
+         AS containment
+FROM shared JOIN sizes ON sizes.doc_id = contained_id
+WHERE n_shared * 10 >= n_sh * 8
+""",
+)
+def q117_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment |sh(A) ∩ sh(B)| / |sh(A)|
+    ≥ 0.8 over distinct 3-gram shingles (≥ 8 shingles so trivial
+    docs don't pair) — catches a document embedded inside a larger
+    one (quotes, concatenated crawls), which symmetric Jaccard
+    misses when sizes differ (Broder's containment). Runs on
+    operators/dedup.containment_join: one-sided prefix filtering
+    over globally-rarest-first shingle orders — LOSSLESS candidate
+    generation (if ⌈0.8·|A|⌉ of A's shingles are in B, A's
+    ``|A| − ⌈0.8·|A|⌉ + 1`` rarest must intersect B's full set), so
+    the oracle is plain exact SQL while the Spark plan never joins
+    on hot shingles: boilerplate shingles sort to the array TAIL and
+    never enter a probe prefix (an earlier all-occurrence pair join
+    was 22 s at sf0.1; the prefix probe shape is ~3 s). Per-pair
+    verification is one ``array_intersect`` — no second fan-out."""
+    d = table(spark, sf_dir, "documents")
+    out = dedup.containment_join(
+        d,
+        "doc_id",
+        "text",
+        n=3,
+        threshold_num=8,
+        threshold_den=10,
+        min_shingles=8,
+    )
+    return out.select(
+        "contained_id",
+        "container_id",
+        "n_shared",
+        "n_contained",
+        stable_round(F.col("containment"), 6).alias("containment"),
+    )
+
+
+@query(
+    "q118_distribution_drift",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS_SQL.format(c="text")}) AS tok
+  FROM documents),
+st AS (SELECT source, tok, CAST(count(*) AS HUGEINT) AS c_st
+       FROM toks GROUP BY source, tok),
+ct AS (SELECT tok, CAST(sum(c_st) AS HUGEINT) AS c_t FROM st
+       GROUP BY tok),
+ns AS (SELECT source, CAST(sum(c_st) AS HUGEINT) AS n_s FROM st
+       GROUP BY source),
+n AS (SELECT CAST(sum(c_st) AS HUGEINT) AS n FROM st),
+parts AS (
+  SELECT st.source,
+         sum(abs(c_st * n - c_t * n_s) - c_t * n_s) AS adj
+  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n
+  GROUP BY st.source)
+SELECT p.source,
+       CAST(ns.n_s AS BIGINT) AS n_tokens,
+       round((CAST(p.adj AS DOUBLE) / CAST(ns.n_s * n.n AS DOUBLE)
+              + 1.0) / 2.0, 6) AS tv_distance
+FROM parts p JOIN ns USING (source) CROSS JOIN n
+""",
+)
+def q118_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus as
+    EXACT total-variation distance — the corpus-QA primitive behind
+    mixture rebalancing (which sources' unigram distributions have
+    shifted?). TV = ½·Σ|p_s − p| needs the full vocabulary union
+    including tokens ABSENT from a source; the absent terms sum to a
+    closed form (Σ c_t·n_s = n·n_s), so the aggregate only visits
+    (source, token) pairs that EXIST: TV = (Σ_present (|c_st·n −
+    c_t·n_s| − c_t·n_s) / (n_s·n) + 1) / 2. All numerators are
+    decimal(38) integer products (c·n overflows int64 past ~3·10⁹
+    tokens), summed exactly; ONE double division at the end, same
+    expression tree as the oracle. Shape: one (source, token)
+    shuffle, everything after runs on aggregates; the per-token
+    corpus counts re-aggregate the first result, never the raw
+    stream."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("decimal(38,0)").alias("c_st")
+    )
+    ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n = st.agg(F.sum("c_st").alias("n"))
+    parts = (
+        st.join(ct, on="tok")
+        .join(F.broadcast(ns), on="source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_st") * F.col("n")
+                    - F.col("c_t") * F.col("n_s")
+                )
+                - F.col("c_t") * F.col("n_s")
+            ).alias("adj")
+        )
+    )
+    return (
+        parts.join(F.broadcast(ns), on="source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            stable_round(
+                (
+                    F.col("adj").cast("double")
+                    / (F.col("n_s") * F.col("n")).cast("double")
+                    + F.lit(1.0)
+                )
+                / F.lit(2.0),
+                6,
+            ).alias("tv_distance"),
+        )
+    )
+
+
+@query(
+    "q119_collocations",
+    oracle=f"""
+WITH t AS (
+  SELECT {TOKS_SQL.format(c="text")} AS x FROM documents
+  WHERE length(trim(text)) > 0),
+bg AS (
+  SELECT unnest([x[i] || ' ' || x[i+1] for i in range(1, len(x))])
+           AS bigram
+  FROM t WHERE len(x) >= 2),
+bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM bg
+       GROUP BY bigram),
+toks AS (SELECT unnest(x) AS tok FROM t),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM toks
+       GROUP BY tok),
+nn AS (SELECT sum(n_tok) AS n_toks FROM uc),
+bb AS (SELECT sum(n_ab) AS n_bigrams FROM bc)
+SELECT bigram, n_ab,
+       round(CAST(n_ab AS DOUBLE) * CAST(n_toks AS DOUBLE)
+             * CAST(n_toks AS DOUBLE)
+             / (CAST(n_bigrams AS DOUBLE) * CAST(ua.n_tok AS DOUBLE)
+                * CAST(ub.n_tok AS DOUBLE)), 6) AS lift
+FROM bc CROSS JOIN nn CROSS JOIN bb
+JOIN uc ua ON ua.tok = split_part(bigram, ' ', 1)
+JOIN uc ub ON ub.tok = split_part(bigram, ' ', 2)
+WHERE n_ab >= 5
+  AND CAST(n_ab AS HUGEINT) * n_toks * n_toks * 5
+      > CAST(n_bigrams AS HUGEINT) * ua.n_tok * ub.n_tok * 6
+""",
+)
+def q119_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (word2vec-style phrase detection): adjacent
+    bigrams whose observed rate beats independence — lift =
+    P(ab)/(P(a)·P(b)) with P(ab)=n_ab/B, P(a)=n_a/N — reported for
+    bigrams seen ≥ 5 times with lift > 1.2, expressed as
+    cross-multiplication over decimal(38) integers
+    (n_ab·N²·5 > B·n_a·n_b·6 — int64 overflows past ~3·10⁹ tokens)
+    so the filter SET is engine-exact; the float lift is
+    display-only, computed in one shared expression tree. Shape: the bigram
+    explode is a per-row transform (zip of the token array with its
+    own tail — no self-join, no window); counts are two map-side-
+    combinable groupBys; unigram counts join back on the bigram's
+    halves (vocabulary-sized, AQE-broadcastable); totals ride in as
+    1-row broadcasts."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = d.select(Q.tokens(Q.normalized_text("text")).alias("x"))
+    bg = t.filter(F.size("x") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("x"), 1, F.size("x") - 1),
+                F.slice(F.col("x"), 2, F.size("x") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    bc = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("n_ab"))
+    toks = t.select(F.explode("x").alias("tok"))
+    uc = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n_tok"))
+    nn = uc.agg(F.sum("n_tok").alias("n_toks"))
+    bb = bc.agg(F.sum("n_ab").alias("n_bigrams"))
+    ua = uc.select(
+        F.col("tok").alias("_ta"), F.col("n_tok").alias("na")
+    )
+    ub = uc.select(
+        F.col("tok").alias("_tb"), F.col("n_tok").alias("nb")
+    )
+    cand = (
+        bc.filter(F.col("n_ab") >= 5)
+        .withColumn("_ta", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("_tb", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(ua, on="_ta")
+        .join(ub, on="_tb")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(bb))
+    )
+    dec = "decimal(38,0)"
+    return cand.filter(
+        F.col("n_ab").cast(dec)
+        * F.col("n_toks").cast(dec)
+        * F.col("n_toks").cast(dec)
+        * 5
+        > F.col("n_bigrams").cast(dec)
+        * F.col("na").cast(dec)
+        * F.col("nb").cast(dec)
+        * 6
+    ).select(
+        "bigram",
+        "n_ab",
+        stable_round(
+            F.col("n_ab").cast("double")
+            * F.col("n_toks").cast("double")
+            * F.col("n_toks").cast("double")
+            / (
+                F.col("n_bigrams").cast("double")
+                * F.col("na").cast("double")
+                * F.col("nb").cast("double")
+            ),
+            6,
+        ).alias("lift"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
