@@ -876,3 +876,22 @@ class TestContainmentPairs:
                 for r in out.collect()
             }
             assert rows == {(1, 0): 1.0}  # small-in-big only, NOT (0, 1)
+
+    def test_bucket_cell_budget_fails_fast(self, spark):
+        import pytest
+
+        from vnavc_spark.operators import aggregates as agg
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        # 8 open groups x 4096 buckets = 32768 cells > a 10k budget:
+        # the per-round collect bound trips BEFORE any bucket pass
+        df = spark.createDataFrame(
+            [(str(i % 8), float(i)) for i in range(64)], "g string, x double"
+        )
+        orig = agg.RANK_MAX_CELLS
+        agg.RANK_MAX_CELLS = 10_000
+        try:
+            with pytest.raises(ValueError, match="bucket-count cells"):
+                exact_rank_select(df, ["g"], "x", n_buckets=4096)
+        finally:
+            agg.RANK_MAX_CELLS = orig

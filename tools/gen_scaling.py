@@ -56,6 +56,13 @@ SWEEP = [
     ("q75_scd2_history", ("orders",), True),
     ("q42_percentiles", ("lineitem",), True),
     ("q113_exact_median_scalable", ("lineitem",), True),
+    # round 4: CMS-screened heavy hitters (sketch shuffle is constant
+    # -> expect sublinear growth), TV drift (one (source, token)
+    # shuffle), containment prefix join (dup cliques grow ~factor^2
+    # like the other near-dup rows)
+    ("q116_heavy_hitters", ("documents",), False),
+    ("q118_distribution_drift", ("documents",), False),
+    ("q117_containment_dedup", ("documents",), False),
 ]
 
 

@@ -530,6 +530,13 @@ def grouped_trend(
 # keys are categorical). The cap makes the contract fail-fast
 # instead of silently building unbounded driver state.
 RANK_MAX_GROUPS = 1_000_000
+# per-round bucket-count collect is bounded by open_bounds × n_buckets
+# cells (the worst case when every group's range is dense) — the
+# group cap alone doesn't bound it (1M groups × 4096 buckets is 4e9
+# cells). Fail fast above this product; callers with many groups
+# lower n_buckets (more, cheaper rounds) instead of melting the
+# driver.
+RANK_MAX_CELLS = 16_777_216
 
 
 def _nullsafe_group_key(group_cols: list[str]) -> Column:
@@ -649,6 +656,13 @@ def _exact_ranks_core(
         uniq: dict = {}
         for (k, t), s in open_t.items():
             uniq.setdefault((k, s["lo"], s["hi"], ceil_width(s)), len(uniq))
+        if len(uniq) * n_buckets > RANK_MAX_CELLS:
+            raise ValueError(
+                f"exact_rank: {len(uniq)} open group bounds x "
+                f"{n_buckets} buckets exceeds {RANK_MAX_CELLS} "
+                "bucket-count cells per round; lower n_buckets (more, "
+                "cheaper rounds) or reduce group cardinality."
+            )
         bounds = spark.createDataFrame(
             [
                 (bid, k, lo, hi, bw)
