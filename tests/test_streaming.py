@@ -339,3 +339,95 @@ class TestCompactionCrashRecovery:
             spark, str(tmp_path / "nope"), include_docs=False
         )
         assert rep == {}
+
+
+class TestStreamingCms:
+    def _stream_tokens(self, spark, src):
+        return (
+            spark.readStream.schema("tok string")
+            .json(str(src))
+        )
+
+    def test_incremental_sketch_equals_batch_and_verify_is_exact(
+        self, spark, tmp_path
+    ):
+        src = tmp_path / "in"
+        src.mkdir()
+        # batch 1: 'hot' dominates; batch 2 adds more hot + new cold
+        b1 = [{"tok": "hot"}] * 30 + [{"tok": f"c{i}"} for i in range(20)]
+        b2 = [{"tok": "hot"}] * 30 + [{"tok": f"d{i}"} for i in range(20)]
+        _write_batch(src, "b1.json", b1)
+        q = ingest.start_streaming_cms(
+            self._stream_tokens(spark, src),
+            str(tmp_path / "cells"),
+            str(tmp_path / "ckpt"),
+            width=64,
+            depth=2,
+        )
+        q.awaitTermination(60)
+        _write_batch(src, "b2.json", b2)
+        q = ingest.start_streaming_cms(
+            self._stream_tokens(spark, src),
+            str(tmp_path / "cells"),
+            str(tmp_path / "ckpt"),
+            width=64,
+            depth=2,
+        )
+        q.awaitTermination(60)
+
+        from vnavc_spark.operators.aggregates import cms_cells
+
+        corpus = spark.createDataFrame(
+            [(r["tok"],) for r in b1 + b2], "tok string"
+        )
+        # cumulative streamed sketch == one-shot batch sketch
+        snap = {
+            (r.seed, r.bucket): r.est
+            for r in ingest.cms_cells_snapshot(
+                spark, str(tmp_path / "cells")
+            ).collect()
+        }
+        ref = {
+            (r.seed, r.bucket): r.est
+            for r in cms_cells(corpus, width=64, depth=2).collect()
+        }
+        assert snap == ref
+        # exact heavy hitters from the streamed cells: hot has 60 of
+        # 100 occurrences; k=4 -> freq*4 > 100 means freq > 25
+        out = {
+            r.tok: r.freq
+            for r in ingest.streaming_heavy_hitters(
+                spark,
+                str(tmp_path / "cells"),
+                corpus,
+                k=4,
+                width=64,
+                depth=2,
+            ).collect()
+        }
+        assert out == {"hot": 60}
+
+    def test_batch_partials_are_replay_idempotent(self, spark, tmp_path):
+        from vnavc_spark.operators.aggregates import cms_cells
+
+        corpus = spark.createDataFrame(
+            [("x",)] * 5 + [("y",)] * 3, "tok string"
+        )
+        # simulate a re-delivered batch id: same data written twice to
+        # the same partition must not double-count
+        dst = str(tmp_path / "cells/batch_id=7")
+        for _ in range(2):
+            cms_cells(corpus, width=64, depth=2).write.mode(
+                "overwrite"
+            ).parquet(dst)
+        snap = {
+            (r.seed, r.bucket): r.est
+            for r in ingest.cms_cells_snapshot(
+                spark, str(tmp_path / "cells")
+            ).collect()
+        }
+        ref = {
+            (r.seed, r.bucket): r.est
+            for r in cms_cells(corpus, width=64, depth=2).collect()
+        }
+        assert snap == ref

@@ -41,28 +41,32 @@ SHIFTS: dict[str, dict[str, int]] = {
 PASSTHROUGH = ("region", "nation", "customer", "supplier", "part")
 
 #: (query, tables whose growth bounds the expected wall ratio, runs
-#: at 100x?) — the SCALE.md sweep set
+#: at 100x?, output-quadratic?) — the SCALE.md sweep set. The last
+#: flag marks pair-output queries whose RESULT grows ~factor^2 under
+#: verbatim-text replication (every doc becomes a factor-clique of
+#: identical copies — the corpus exact-dedup removes first in a real
+#: pipeline); their superlinear bar is factor^2, not factor.
 SWEEP = [
-    ("q01_region_revenue", ("lineitem", "orders"), True),
-    ("q03_pricing_summary", ("lineitem",), True),
-    ("q33_minhash_dedup", ("documents",), False),
-    ("q61_duplicate_spans", ("documents",), False),
-    ("q82_inverted_index", ("documents",), False),
-    ("q94_bootstrap_ci", ("lineitem",), False),
-    ("q99_table_checksum", ("orders",), True),
-    ("q46_text_stage", ("documents",), False),
-    ("q96_grouping_sets", ("orders",), True),
-    ("q32_hourly_stats", ("events",), True),
-    ("q75_scd2_history", ("orders",), True),
-    ("q42_percentiles", ("lineitem",), True),
-    ("q113_exact_median_scalable", ("lineitem",), True),
+    ("q01_region_revenue", ("lineitem", "orders"), True, False),
+    ("q03_pricing_summary", ("lineitem",), True, False),
+    ("q33_minhash_dedup", ("documents",), False, True),
+    ("q61_duplicate_spans", ("documents",), False, True),
+    ("q82_inverted_index", ("documents",), False, False),
+    ("q94_bootstrap_ci", ("lineitem",), False, False),
+    ("q99_table_checksum", ("orders",), True, False),
+    ("q46_text_stage", ("documents",), False, False),
+    ("q96_grouping_sets", ("orders",), True, False),
+    ("q32_hourly_stats", ("events",), True, False),
+    ("q75_scd2_history", ("orders",), True, False),
+    ("q42_percentiles", ("lineitem",), True, False),
+    ("q113_exact_median_scalable", ("lineitem",), True, False),
     # round 4: CMS-screened heavy hitters (sketch shuffle is constant
     # -> expect sublinear growth), TV drift (one (source, token)
     # shuffle), containment prefix join (dup cliques grow ~factor^2
     # like the other near-dup rows)
-    ("q116_heavy_hitters", ("documents",), False),
-    ("q118_distribution_drift", ("documents",), False),
-    ("q117_containment_dedup", ("documents",), False),
+    ("q116_heavy_hitters", ("documents",), False, False),
+    ("q118_distribution_drift", ("documents",), False, False),
+    ("q117_containment_dedup", ("documents",), False, True),
 ]
 
 
@@ -146,18 +150,23 @@ def main() -> None:
     queries["q01_region_revenue"](spark, args.base).count()
 
     out: dict = {}
-    for name, tables, runs_100 in SWEEP:
+    for name, tables, runs_100, quad in SWEEP:
         base_s = run_query(queries, spark, name, args.base)
         row = {"base_s": round(base_s, 3), "bound_tables": list(tables)}
         s10 = run_query(queries, spark, name, x10)
         row["x10_s"] = round(s10, 3)
         row["x10_ratio"] = round(s10 / base_s, 2)
-        row["x10_superlinear"] = s10 / base_s > 10.0
+        bar10 = 100.0 if quad else 10.0
+        if quad:
+            row["output_quadratic"] = True
+        row["x10_superlinear"] = s10 / base_s > bar10
         if runs_100 and not args.skip_100x:
             s100 = run_query(queries, spark, name, x100)
             row["x100_s"] = round(s100, 3)
             row["x100_ratio"] = round(s100 / base_s, 2)
-            row["x100_superlinear"] = s100 / base_s > 100.0
+            row["x100_superlinear"] = s100 / base_s > (
+                10000.0 if quad else 100.0
+            )
         out[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
 

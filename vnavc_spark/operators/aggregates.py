@@ -810,6 +810,102 @@ def exact_rank_multi(
     return spark.createDataFrame(rows, schema)
 
 
+def cms_bucket(token: Column, seed: int, width: int) -> Column:
+    """Count-min bucket for one hash row: md5-derived (engine-
+    reproducible), 52-bit prefix mod width."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), token)), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % width).cast("long")
+
+
+def cms_cells(
+    tok_df: DataFrame,
+    token_col: str = "tok",
+    width: int = 16384,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-min sketch of an occurrence stream as a (seed, bucket,
+    est) table — at most ``depth·width`` rows regardless of corpus or
+    vocabulary size, and ADDITIVE: sketches of two corpus slices
+    merge by summing ``est`` per (seed, bucket), which is what the
+    streaming path exploits (streaming/ingest.start_streaming_cms)."""
+    t = F.col(token_col)
+    return (
+        tok_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("seed"),
+                            cms_bucket(t, i, width).alias("bucket"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.seed", "c.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("est"))
+    )
+
+
+def cms_screen_verify(
+    tok_df: DataFrame,
+    cells: DataFrame,
+    token_col: str = "tok",
+    k: int = 100,
+    width: int = 16384,
+    depth: int = 3,
+) -> DataFrame:
+    """The exact verify pass over a (possibly accumulated) sketch:
+    occurrences whose MINIMUM bucket estimate clears the threshold
+    (est·k > total) re-aggregate exactly by token; CMS only ever
+    over-counts, so the screen never drops a true heavy hitter and
+    the final integer filter ``freq·k > total`` is EXACT. ``cells``
+    may cover MORE data than ``tok_df`` (a streaming sketch vs the
+    staged corpus) — estimates only grow, so the superset guarantee
+    is preserved."""
+    from vnavc_spark.cache import tracked_persist
+
+    t = F.col(token_col)
+    # the sketch (≤ depth·width rows) feeds depth broadcast slices
+    # plus the total — persist it or every consumer replays its full
+    # lineage (measured: 12 corpus scans in the unpersisted plan)
+    cells = tracked_persist(cells, "cms_cells")
+    total = cells.filter(F.col("seed") == 0).agg(
+        F.sum("est").alias("total")
+    )
+    screened = tok_df
+    for i in range(depth):
+        slice_i = cells.filter(F.col("seed") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("est").alias(f"_e{i}")
+        )
+        screened = screened.withColumn(
+            f"_b{i}", cms_bucket(t, i, width)
+        ).join(F.broadcast(slice_i), on=f"_b{i}")
+    screened = (
+        screened.crossJoin(F.broadcast(total))
+        .filter(
+            F.least(*[F.col(f"_e{i}") for i in range(depth)]) * k
+            > F.col("total")
+        )
+        .select(token_col)
+    )
+    return (
+        screened.groupBy(token_col)
+        .agg(F.count("*").cast("long").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * k > F.col("total"))
+        .select(token_col, "freq")
+    )
+
+
 def cms_heavy_hitters(
     tok_df: DataFrame,
     token_col: str = "tok",
@@ -850,59 +946,11 @@ def cms_heavy_hitters(
 
     Returns (token_col, freq) for every token with freq·k > total.
     """
-    t = F.col(token_col)
-
-    def bucket(seed: int) -> Column:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(str(seed)), t)), 1, 13
-            ),
-            16,
-            10,
-        ).cast("long")
-        return (h % width).cast("long")
-
-    cells = (
-        tok_df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("seed"),
-                            bucket(i).alias("bucket"),
-                        )
-                        for i in range(depth)
-                    ]
-                )
-            ).alias("c")
-        )
-        .select("c.seed", "c.bucket")
-        .groupBy("seed", "bucket")
-        .agg(F.count("*").alias("est"))
-    )
-    total = cells.filter(F.col("seed") == 0).agg(
-        F.sum("est").alias("total")
-    )
-    screened = tok_df
-    for i in range(depth):
-        slice_i = cells.filter(F.col("seed") == i).select(
-            F.col("bucket").alias(f"_b{i}"), F.col("est").alias(f"_e{i}")
-        )
-        screened = screened.withColumn(f"_b{i}", bucket(i)).join(
-            F.broadcast(slice_i), on=f"_b{i}"
-        )
-    screened = (
-        screened.crossJoin(F.broadcast(total))
-        .filter(
-            F.least(*[F.col(f"_e{i}") for i in range(depth)]) * k
-            > F.col("total")
-        )
-        .select(token_col)
-    )
-    return (
-        screened.groupBy(token_col)
-        .agg(F.count("*").cast("long").alias("freq"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("freq") * k > F.col("total"))
-        .select(token_col, "freq")
+    return cms_screen_verify(
+        tok_df,
+        cms_cells(tok_df, token_col, width, depth),
+        token_col,
+        k,
+        width,
+        depth,
     )

@@ -1423,10 +1423,6 @@ def set_similarity_join(
     return verified
 
 
-# at most ONE containment ordered-sets cache alive per session
-_CONTAINMENT_CACHE: list = []
-
-
 def containment_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1464,10 +1460,17 @@ def containment_join(
     oracle). Verification is per-pair ``array_intersect`` over the
     two sorted sets — no second fan-out.
 
+    Run EXACT dedup first in a real pipeline: k identical copies of
+    a document form a k-clique, so candidate and output volume grow
+    ~k² per clique (any containment definition does — the pairs
+    genuinely exist). The scaling sweep's verbatim-replication
+    stress measures exactly this output-quadratic regime
+    (docs/SCALING_r04.json flags it ``output_quadratic``).
+
     Returns (contained_id, container_id, n_shared, n_contained,
     containment) for verified pairs, both directions when both hold.
     """
-    from pyspark import StorageLevel
+    from vnavc_spark.cache import tracked_persist
 
     sets = ordered_shingle_sets(df, id_col, text_col, n).filter(
         F.col("n_sh") >= min_shingles
@@ -1475,17 +1478,8 @@ def containment_join(
     # the ordered-sets subtree (explode + vocab join + per-doc array
     # build) feeds FOUR consumers (probes, occurrences, both verify
     # sides) — persist it so the heavy lineage runs once per job, not
-    # four times. Tracked like the text-stage cache: at most one
-    # containment cache alive per session (repeated bench/test calls
-    # would otherwise accumulate partitions until eviction).
-    while _CONTAINMENT_CACHE:
-        old = _CONTAINMENT_CACHE.pop()
-        try:
-            old.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
-    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-    _CONTAINMENT_CACHE.append(sets)
+    # four times (at most one cache alive per session, see cache.py)
+    sets = tracked_persist(sets, "containment_sets")
     # ceil(n_sh * num / den) in exact integer arithmetic
     need = F.floor(
         (F.col("n_sh") * threshold_num + (threshold_den - 1))

@@ -5282,9 +5282,15 @@ def q118_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
     )
+    from vnavc_spark.cache import tracked_persist
+
     st = toks.groupBy("source", "tok").agg(
         F.count("*").cast("decimal(38,0)").alias("c_st")
     )
+    # the (source, token) aggregate feeds four consumers (per-token,
+    # per-source and corpus totals, plus the drift join) — persist or
+    # each replays the corpus scan (12 scans in the unpersisted plan)
+    st = tracked_persist(st, "drift_st")
     ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     n = st.agg(F.sum("c_st").alias("n"))
@@ -5379,9 +5385,24 @@ def q119_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram")
     )
-    bc = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("n_ab"))
+    from vnavc_spark.cache import tracked_persist
+
+    # the bigram and unigram count tables each feed several consumers
+    # (totals + the candidate join on both bigram halves) — persist
+    # both or every consumer replays the corpus tokenization
+    bc = tracked_persist(
+        bg.groupBy("bigram").agg(
+            F.count("*").cast("long").alias("n_ab")
+        ),
+        "colloc_bc",
+    )
     toks = t.select(F.explode("x").alias("tok"))
-    uc = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n_tok"))
+    uc = tracked_persist(
+        toks.groupBy("tok").agg(
+            F.count("*").cast("long").alias("n_tok")
+        ),
+        "colloc_uc",
+    )
     nn = uc.agg(F.sum("n_tok").alias("n_toks"))
     bb = bc.agg(F.sum("n_ab").alias("n_bigrams"))
     ua = uc.select(

@@ -244,3 +244,80 @@ def interval_join(
             F.unix_timestamp("rhs_ts") - F.unix_timestamp("lhs_ts")
         ).alias("lag_seconds"),
     )
+
+
+def start_streaming_cms(
+    stream: DataFrame,
+    cells_path: str,
+    checkpoint: str,
+    token_col: str = "tok",
+    width: int = 16384,
+    depth: int = 3,
+):
+    """Maintain a count-min sketch over a token stream with CONSTANT
+    state: each micro-batch writes its own partial (seed, bucket,
+    est) cells under ``cells_path/batch_id=N`` — at most depth·width
+    rows per batch, vs the vocabulary-sized state a streaming
+    groupBy(token) would carry. Sketches are ADDITIVE, so the
+    cumulative sketch is a sum over batch partitions
+    (:func:`cms_cells_snapshot`).
+
+    Exactly-once: the partial for a batch id is overwritten in place
+    on re-delivery (same data → same cells), so replays after a
+    checkpoint recovery never double-count.
+    """
+    from vnavc_spark.operators.aggregates import cms_cells
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_cells(batch_df, token_col, width, depth).write.mode(
+            "overwrite"
+        ).parquet(f"{cells_path}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_cells_snapshot(spark, cells_path: str) -> DataFrame:
+    """Cumulative sketch = per-(seed, bucket) sum over all staged
+    batch partials. Input is ≤ n_batches · depth · width rows —
+    compact at any horizon; re-aggregate into a single partition dir
+    if batch count ever matters."""
+    return (
+        spark.read.parquet(cells_path)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("est").alias("est"))
+    )
+
+
+def streaming_heavy_hitters(
+    spark,
+    cells_path: str,
+    corpus_df: DataFrame,
+    token_col: str = "tok",
+    k: int = 100,
+    width: int = 16384,
+    depth: int = 3,
+) -> DataFrame:
+    """EXACT heavy hitters over a streamed corpus, amortized: the
+    expensive sketch pass already ran incrementally
+    (:func:`start_streaming_cms`); this snapshot query screens the
+    staged corpus with the CUMULATIVE cells and exact-counts only the
+    candidates — the lambda-architecture shape where the on-demand
+    batch query is cheap because the stream did the heavy counting.
+    Same guarantee as ``cms_heavy_hitters``: estimates only
+    over-count, so no true heavy hitter is screened out and the
+    final integer filter is exact."""
+    from vnavc_spark.operators.aggregates import cms_screen_verify
+
+    return cms_screen_verify(
+        corpus_df,
+        cms_cells_snapshot(spark, cells_path),
+        token_col,
+        k,
+        width,
+        depth,
+    )
