@@ -35,6 +35,8 @@ class PlanFacts:
     codegen_stages: int = 0
     take_ordered: bool = False
     python_nodes: int = 0
+    parquet_scans: int = 0
+    in_memory_scans: int = 0
 
 
 def plan_facts(df: DataFrame, executed: bool = False) -> PlanFacts:
@@ -72,6 +74,14 @@ def plan_facts(df: DataFrame, executed: bool = False) -> PlanFacts:
         if m:
             f.codegen_stages = int(m.group(1))
     f.take_ordered = "TakeOrderedAndProject" in simple
+    # lineage re-scan detector: a query over T tables whose plan holds
+    # many more than T parquet scans is replaying a shared subtree per
+    # consumer — persist the small intermediate (see cache.py; the
+    # unpersisted q116/q118 plans each held 12 scans). InMemoryTableScan
+    # nodes print their (not-yet-materialized) lineage too, so count
+    # them to contextualize: scans INSIDE a cached subtree run once.
+    f.parquet_scans = len(re.findall(r"Scan parquet", simple))
+    f.in_memory_scans = len(re.findall(r"InMemoryTableScan", simple))
     f.python_nodes = len(
         re.findall(
             r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|BatchEvalPython",
