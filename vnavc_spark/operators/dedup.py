@@ -411,8 +411,15 @@ def jaccard_verify_pairs(
     zip_with chain: HOF lambdas evaluate interpreted per element, and
     a single multi-MB document makes that chain minutes-slow
     (measured 25 s → 6 s on a 5.7 MB doc); the candidate subset is
-    small by construction, so the Python crossing is cheap."""
-    sh = shingle_arrays_df(docs, id_col, text_col, n)
+    small by construction, so the Python crossing is cheap. The
+    array table feeds BOTH pair sides — tracked-persist it so the
+    Arrow pass (and the semi-join feeding it) runs once, not twice
+    (see cache.py)."""
+    from vnavc_spark.cache import tracked_persist
+
+    sh = tracked_persist(
+        shingle_arrays_df(docs, id_col, text_col, n), "verify_shingles"
+    )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -449,12 +456,18 @@ def minhash_dedup_pairs(
     linear (projection + capped bucket join), and the verify stage
     touches exactly the candidate pairs — no shingle self-join, so a
     corpus-hot shingle cannot fan out."""
+    from vnavc_spark.cache import tracked_persist
+
     # candidates are tiny relative to the corpus and referenced twice
-    # below (ids semi-join, pair join) — persist so the LSH pipeline
-    # runs once, not per consumer
-    cands = minhash_candidates(
-        df, id_col, text_col, num_hashes, band_size, n, max_bucket_size
-    ).persist()
+    # below (ids semi-join, pair join) — tracked-persist so the LSH
+    # pipeline runs once, not per consumer, and repeated calls keep
+    # at most one cache alive (see cache.py)
+    cands = tracked_persist(
+        minhash_candidates(
+            df, id_col, text_col, num_hashes, band_size, n, max_bucket_size
+        ),
+        "minhash_cands",
+    )
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))

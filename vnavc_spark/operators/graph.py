@@ -44,13 +44,17 @@ def pagerank_integer(
     with no incoming edges keep the teleport term; mass on dangling
     nodes is dropped identically on both engines.
     """
+    from vnavc_spark.cache import tracked_persist
+
     deg = edges.groupBy(src).agg(F.sum(cnt).alias("deg"))
-    e = edges.join(deg, on=src).persist()
-    nodes = (
+    # tracked: repeated calls in one session would otherwise leak one
+    # cached edge table + node list per call (see cache.py)
+    e = tracked_persist(edges.join(deg, on=src), "pagerank_edges")
+    nodes = tracked_persist(
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
-        .distinct()
-        .persist()
+        .distinct(),
+        "pagerank_nodes",
     )
     ncnt = nodes.agg(F.count("*").alias("n"))
     pr = nodes.crossJoin(F.broadcast(ncnt)).selectExpr(
