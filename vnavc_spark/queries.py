@@ -2271,13 +2271,16 @@ def q60_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the log-free rational form (see operators/retrieval.py: JVM vs
     libm ``ln`` differs in the last ulp, so a log-based oracle would
     be luck-dependent)."""
+    from vnavc_spark.cache import tracked_persist
     from vnavc_spark.operators.retrieval import bm25_topk, term_frequencies
 
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
     )
-    tf = term_frequencies(toks)
+    # the tf table feeds doc lengths, doc frequencies, corpus totals
+    # AND the scoring join — persist or each replays the tokenization
+    tf = tracked_persist(term_frequencies(toks), "bm25_tf")
     qset = (
         toks.filter((F.col("doc_id") < 5) & (F.length("tok") >= 7))
         .select(F.col("doc_id").alias("qid"), "tok")
@@ -2975,20 +2978,27 @@ def q74_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     first event. Each stage is a per-user min-agg joined to the
     previous stage's per-user row — the join right side is one row
     per user (≪ events), so at scale these are shuffle-joins on
-    pre-aggregated tables, never event×event."""
+    pre-aggregated tables, never event×event. Each stage cohort
+    feeds TWO consumers (its own count + the next stage's join) —
+    tracked-persist v and c or the lineage replays the event scan
+    six times instead of three (scan-count audit, round 4)."""
+    from vnavc_spark.cache import tracked_persist
+
     e = table(spark, sf_dir, "events")
     s = e.select("user_id", "event_type", F.unix_timestamp("ts").alias("sec"))
-    v = (
+    v = tracked_persist(
         s.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("sec").alias("v_sec"))
+        .agg(F.min("sec").alias("v_sec")),
+        "funnel_v",
     )
-    c = (
+    c = tracked_persist(
         s.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("sec") > F.col("v_sec"))
         .groupBy("user_id")
-        .agg(F.min("sec").alias("c_sec"))
+        .agg(F.min("sec").alias("c_sec")),
+        "funnel_c",
     )
     p = (
         s.filter(F.col("event_type") == "purchase")
@@ -4248,10 +4258,18 @@ def q101_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, neighbor) id pairs. On a cluster the exact side runs on a
     SAMPLE of queries (recall estimation), never the full query
     log — here the query set is 5 vectors by construction."""
+    from vnavc_spark.cache import tracked_persist
+
     emb = table(spark, sf_dir, "embeddings")
     qs_df = emb.filter(F.col("vec_id") < 5)
-    ex = similarity.cosine_topk(emb, qs_df, k=10).select(
-        "query_id", "neighbor_id"
+    # the exact top-k (k·|queries| rows) feeds both the hit join and
+    # the per-query baseline — persist or the brute-force cosine pass
+    # runs twice
+    ex = tracked_persist(
+        similarity.cosine_topk(emb, qs_df, k=10).select(
+            "query_id", "neighbor_id"
+        ),
+        "recall_exact",
     )
     ap = similarity.lsh_topk(emb, qs_df, k=10).select(
         "query_id", "neighbor_id"
