@@ -5465,6 +5465,95 @@ def q119_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q120_gap_fill",
+    oracle="""
+WITH hb AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS sum_c
+  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+bounds AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hb GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds),
+j AS (
+  SELECT g.user_id, g.h, coalesce(hb.n_events, 0) AS n_events,
+         hb.sum_c
+  FROM grid g LEFT JOIN hb ON hb.user_id = g.user_id AND hb.h = g.h)
+SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(n_events AS BIGINT) AS n_events,
+       coalesce(last_value(sum_c IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         / 100.0 AS filled_sum,
+       CAST(CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS BIGINT) AS gap
+FROM j
+""",
+)
+def q120_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill (the hypertable
+    ``time_bucket_gapfill``/``locf`` primitive): per-user hourly
+    grid from first to last activity, gaps carry the last observed
+    hourly sum forward and are flagged. Shape: ONE shuffle builds
+    the observed (user, hour) partials; the per-user bounds
+    re-aggregate THOSE partials (never the raw events); the grid is
+    a per-row ``sequence`` explode bounded by each user's own span
+    (no cross join against a global calendar — a user active for a
+    day doesn't pay for the corpus's year); the fill is one window
+    over the grid, partitioned on the same user key the shuffle
+    already established. Sums ride as scaled integers until the
+    single terminal division."""
+    from vnavc_spark.cache import tracked_persist
+
+    ev = table(spark, sf_dir, "events")
+    hb = tracked_persist(
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+            ).cast("long").alias("sum_c"),
+        ),
+        "gapfill_hb",
+    )
+    grid = (
+        hb.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    j = grid.join(hb, on=["user_id", "h"], how="left")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce(F.col("n_events"), F.lit(0))
+        .cast("long")
+        .alias("n_events"),
+        (
+            F.coalesce(
+                F.last("sum_c", ignorenulls=True).over(wf), F.lit(0)
+            )
+            / 100.0
+        ).alias("filled_sum"),
+        F.when(F.col("n_events").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("gap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
