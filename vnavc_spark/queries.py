@@ -5554,6 +5554,62 @@ def q120_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q121_exact_mad_scalable",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         floor(quantile_disc(l_extendedprice, 0.5) * 100.0 + 0.5)
+           / 100.0 AS med,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_returnflag),
+d AS (
+  SELECT l.l_returnflag,
+         abs(l.l_extendedprice - m.med) AS dev
+  FROM lineitem l JOIN m USING (l_returnflag))
+SELECT m.l_returnflag, m.n_rows, m.med,
+       floor(quantile_disc(d.dev, 0.5) * 100.0 + 0.5) / 100.0 AS mad
+FROM d JOIN m USING (l_returnflag)
+GROUP BY m.l_returnflag, m.n_rows, m.med
+""",
+)
+def q121_exact_mad_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median absolute deviation per group with NO value
+    buffering — the robust dispersion statistic (outlier fences that
+    one corrupt extreme can't move, unlike stddev), composed from
+    TWO chained runs of the iterative-narrowing selector
+    (operators/aggregates.exact_rank_select): medians first, then
+    the median of |v − med| with the group medians broadcast onto
+    the scan. Each run is ≤ ceil(log_B(range)) bucket-count rounds
+    with (lo, hi, rank) driver state per group — the same
+    zero-buffering contract as q113/q115, so one hot group can never
+    OOM an executor. Both engines round the stage-1 median to cents
+    BEFORE the deviation pass (the narrowing selector resolves
+    values at scaled-integer resolution), so the deviation inputs —
+    and therefore the selected MAD element — are bit-identical."""
+    li = table(spark, sf_dir, "lineitem")
+    # exact_rank_select materializes through driver state, so ``med``
+    # is already a local (group-cardinality-sized) DataFrame — no
+    # persist needed for its two consumers
+    med = aggregates.exact_rank_select(
+        li, ["l_returnflag"], "l_extendedprice", n_buckets=4096
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.col("median").alias("med"),
+    )
+    dev = li.join(F.broadcast(med), on="l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
+    )
+    mad = aggregates.exact_rank_select(
+        dev, ["l_returnflag"], "dev", n_buckets=4096
+    ).select("l_returnflag", F.col("median").alias("mad"))
+    return med.join(mad, on="l_returnflag").select(
+        "l_returnflag", "n_rows", "med", "mad"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
