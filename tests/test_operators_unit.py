@@ -895,3 +895,76 @@ class TestContainmentPairs:
                 exact_rank_select(df, ["g"], "x", n_buckets=4096)
         finally:
             agg.RANK_MAX_CELLS = orig
+
+
+class TestDistributionDrift:
+    def _run(self, spark, rows):
+        import os, tempfile
+
+        from vnavc_spark.queries import all_queries
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).write.parquet(os.path.join(td, "documents.parquet"))
+            return {
+                r.source: r.tv_distance
+                for r in all_queries()["q118_distribution_drift"](
+                    spark, td
+                ).collect()
+            }
+
+    def test_identical_distributions_have_zero_tv(self, spark):
+        # two sources with the SAME token distribution -> corpus
+        # distribution equals each source's -> TV = 0 for both
+        rows = [("a", "x x y"), ("b", "x x y")]
+        out = self._run(spark, rows)
+        assert out == {"a": 0.0, "b": 0.0}
+
+    def test_disjoint_vocabulary_tv(self, spark):
+        # equal-mass disjoint vocabularies: p_s assigns all mass to
+        # its own half, corpus splits 50/50 -> TV = 0.5 each
+        rows = [("a", "x x x x"), ("b", "y y y y")]
+        out = self._run(spark, rows)
+        assert out == {"a": 0.5, "b": 0.5}
+
+    def test_tv_bounds(self, spark):
+        rows = [("a", "x y z w"), ("b", "x x q q u"), ("c", "z")]
+        out = self._run(spark, rows)
+        assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+class TestGapFill:
+    def test_planted_gap_carries_last_sum_and_flags(self, spark):
+        import os, tempfile
+
+        from vnavc_spark.queries import all_queries
+
+        rows = [
+            # user 1: events at 00h and 02h -> 01h is a gap carrying
+            # the 00h sum forward
+            (1, "2024-01-01T00:10:00", 1, "view", 2.0, "{}"),
+            (2, "2024-01-01T00:40:00", 1, "view", 3.0, "{}"),
+            (3, "2024-01-01T02:05:00", 1, "click", 7.0, "{}"),
+            # user 2: single hour -> no gaps
+            (4, "2024-01-01T05:00:00", 2, "view", 1.5, "{}"),
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts string, user_id long, event_type string,"
+                " value double, props string",
+            ).withColumn(
+                "ts", F.col("ts").cast("timestamp_ntz")
+            ).write.parquet(os.path.join(td, "events.parquet"))
+            out = {
+                (r.user_id, r.hour): (r.n_events, r.filled_sum, r.gap)
+                for r in all_queries()["q120_gap_fill"](spark, td).collect()
+            }
+        assert out == {
+            (1, "2024-01-01 00:00:00"): (2, 5.0, 0),
+            (1, "2024-01-01 01:00:00"): (0, 5.0, 1),
+            (1, "2024-01-01 02:00:00"): (1, 7.0, 0),
+            (2, "2024-01-01 05:00:00"): (1, 1.5, 0),
+        }
