@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q116_heavy_hitters",
     "q118_distribution_drift",
     "q119_collocations",
+    "q120_gap_fill",
+    "q121_exact_mad_scalable",
 ]
 
 

@@ -67,6 +67,8 @@ SWEEP = [
     ("q116_heavy_hitters", ("documents",), False, False),
     ("q118_distribution_drift", ("documents",), False, False),
     ("q117_containment_dedup", ("documents",), False, True),
+    ("q120_gap_fill", ("events",), False, False),
+    ("q121_exact_mad_scalable", ("lineitem",), False, False),
 ]
 
 
