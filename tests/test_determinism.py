@@ -1,0 +1,86 @@
+"""Partitioning-independence regression: a registry result must not
+depend on how Spark happens to partition the shuffle — float
+summation order, sample selection, and narrowing-state collection are
+the classic leaks. The full 121-query audit passed at shuffle
+partitions 4 vs 7 (round 4); this pins the most hash-sensitive
+subset so a regression fails fast in CI rather than flaking at the
+driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from conftest import SF_SMALL
+
+# queries whose results would drift FIRST if partition-order ever
+# leaked: float aggregations (exact_sum pattern), md5-order sampling,
+# driver-state narrowing, order-invariant checksums, decimal filters
+SENSITIVE = [
+    "q03_pricing_summary",  # scaled-integer float sums
+    "q12_exact_k_sample",  # md5-order exact-k sampling
+    "q39_global_sample",
+    "q42_percentiles",  # narrowing driver state
+    "q94_bootstrap_ci",  # md5-derived Poisson weights
+    "q99_table_checksum",  # bit_xor order invariance
+    "q107_revenue_trend",  # integer moments -> double OLS
+    "q113_exact_median_scalable",
+    "q118_distribution_drift",  # decimal numerators, edge division
+    "q119_collocations",  # decimal cross-multiplied filter
+    "q121_exact_mad_scalable",  # chained narrowing
+]
+
+
+def _hashes(parts: int) -> dict[str, str]:
+    from vnavc_spark.oracle import value_hash
+    from vnavc_spark.queries import all_queries
+    from vnavc_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"det{parts}",
+        master="local[4]",
+        shuffle_partitions=parts,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    out = {}
+    for name in SENSITIVE:
+        df = qs[name](spark, SF_SMALL)
+        out[name] = value_hash(
+            [tuple(r) for r in df.collect()],
+            [c.lower() for c in df.columns],
+        )
+    return out
+
+
+class TestPartitionIndependence:
+    def test_sensitive_queries_hash_identically_across_partitionings(
+        self, spark
+    ):
+        # the session fixture runs at 4 shuffle partitions; compare
+        # against a prime partition count on the same session by
+        # flipping the runtime conf (shuffle.partitions is honored at
+        # execution time)
+        from vnavc_spark.oracle import value_hash
+        from vnavc_spark.queries import all_queries
+
+        qs = all_queries()
+        base = {}
+        for name in SENSITIVE:
+            df = qs[name](spark, SF_SMALL)
+            base[name] = value_hash(
+                [tuple(r) for r in df.collect()],
+                [c.lower() for c in df.columns],
+            )
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        try:
+            for name in SENSITIVE:
+                df = qs[name](spark, SF_SMALL)
+                h = value_hash(
+                    [tuple(r) for r in df.collect()],
+                    [c.lower() for c in df.columns],
+                )
+                assert h == base[name], (
+                    f"{name}: result depends on shuffle partitioning"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
