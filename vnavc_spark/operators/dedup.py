@@ -779,16 +779,20 @@ def incremental_dedup_pairs(
     lhs = bands if new_ids is None else bands.join(
         F.broadcast(new_ids.select(id_col)), on=id_col, how="left_semi"
     )
+    from vnavc_spark.cache import tracked_persist
+
     a, b = lhs.alias("a"), bands.alias("b")
-    cands = (
+    # referenced by the ids union AND the pair join — tracked persist
+    # (one live cache per session slot, see cache.py)
+    cands = tracked_persist(
         a.join(b, on=["band_idx", "band_key"])
         .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         .select(
             F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
         )
-        .distinct()
-        .persist()
+        .distinct(),
+        "incremental_cands",
     )
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))

@@ -376,7 +376,9 @@ def ivf_topk(
     assigned, centroids = ivf_index(
         corpus, n_cells, refine_iters, id_col, vec_col
     )
-    assigned = assigned.persist()
+    from vnavc_spark.cache import tracked_persist
+
+    assigned = tracked_persist(assigned, "ivf_assigned")
     return _ivf_probe_topk(
         assigned, centroids, queries, k, nprobe, id_col, vec_col, query_id_col
     )
