@@ -29,28 +29,6 @@ SENSITIVE = [
 ]
 
 
-def _hashes(parts: int) -> dict[str, str]:
-    from vnavc_spark.oracle import value_hash
-    from vnavc_spark.queries import all_queries
-    from vnavc_spark.session import get_spark
-
-    spark = get_spark(
-        app_name=f"det{parts}",
-        master="local[4]",
-        shuffle_partitions=parts,
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    qs = all_queries()
-    out = {}
-    for name in SENSITIVE:
-        df = qs[name](spark, SF_SMALL)
-        out[name] = value_hash(
-            [tuple(r) for r in df.collect()],
-            [c.lower() for c in df.columns],
-        )
-    return out
-
-
 class TestPartitionIndependence:
     def test_sensitive_queries_hash_identically_across_partitionings(
         self, spark

@@ -14,24 +14,37 @@ in (ADVICE r03 on the text stage).
 the next call for the same slot unpersists the previous DataFrame
 first. Callers that finish early can unpersist manually; everyone
 else is bounded by construction.
+
+Single-flight-per-slot is a SEQUENTIAL contract: materialize (or
+abandon) a slot's DataFrame before the next call on the same slot —
+a second concurrent caller evicts the first mid-query, which is
+always CORRECT (unpersist only drops the cache; lineage recomputes)
+but silently reinstates the re-scan cost the cache exists to
+prevent. The swap itself is lock-protected so concurrent callers
+can't double-unpersist or leak an entry.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _SLOTS: dict[str, list] = {}
+_LOCK = threading.Lock()
 
 
 def tracked_persist(df: DataFrame, slot: str) -> DataFrame:
     from pyspark import StorageLevel
 
-    prev = _SLOTS.setdefault(slot, [])
-    while prev:
-        old = prev.pop()
+    with _LOCK:
+        prev = _SLOTS.setdefault(slot, [])
+        evicted = list(prev)
+        prev.clear()
+        prev.append(df)
+    for old in evicted:
         try:
             old.unpersist()
         except Exception:  # session already stopped — nothing to free
             pass
-    prev.append(df)
     return df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -676,12 +676,13 @@ def _exact_ranks_core(
                 (F.col("_v") >= F.col("_blo"))
                 & (F.col("_v") <= F.col("_bhi"))
             )
-            .withColumn(
-                "_bin",
-                F.floor((F.col("_v") - F.col("_blo")) / F.col("_bw")).cast(
-                    "long"
-                ),
-            )
+            # integer `div`, NOT double division: long deltas near
+            # 2^53 lose ulps as doubles and a quotient half-an-ulp
+            # under an integer rounds UP, mis-binning the count and
+            # sending the narrowing into a range without the target
+            # rank (the documented full-64-bit-cents regime hits
+            # widths > 2^41 where this is real)
+            .withColumn("_bin", F.expr("(_v - _blo) div _bw"))
             .groupBy("_bid", "_bin")
             .agg(F.count("*").alias("c"))
             .collect()
@@ -936,8 +937,9 @@ def cms_heavy_hitters(
     vocabularies at 100 TB. The screened shuffle ships only
     occurrences of candidate tokens: the true heavy hitters plus a
     bounded false-positive band (expected extra mass ≤ total/width
-    per collision row). All hashes are md5-derived, so any engine
-    reproduces the candidate set bit-for-bit.
+    per collision row). Buckets ride xxhash64 (see
+    :func:`cms_bucket`): the sketch shapes cost, not the answer, so
+    the oracle never needs to reproduce the candidate set.
 
     Integer-only threshold arithmetic (``freq·k > total``) — no
     float division anywhere, so results hash-certify on any engine.

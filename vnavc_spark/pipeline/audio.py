@@ -76,19 +76,30 @@ def encode_wav(y: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
+# file extension → ffmpeg DEMUXER name where they differ; extensions
+# not listed are omitted from the command line entirely and ffmpeg
+# probes the stream (an unknown -f like "m4a" would hard-fail even
+# though ffmpeg decodes the bytes fine — mp4-family extensions are
+# not demuxer names)
+_FFMPEG_DEMUXERS = {"mp3", "wav", "flac", "ogg", "aac", "ac3", "mpeg"}
+
+
 def _ffmpeg_decode(data: bytes, fmt: str, ffmpeg: str = "ffmpeg"
                    ) -> tuple[np.ndarray, int]:
     """Decode compressed audio by shelling to the ffmpeg CLI —
     the same dependency the reference itself shells to for cutting
     (``aeneas_batch_align.py:276-277``), so any cluster that runs
     the reference pipeline already carries it. Input rides stdin,
-    mono PCM16 WAV rides stdout: no temp files on executors."""
+    mono PCM16 WAV rides stdout: no temp files on executors. The
+    input format flag is only passed when the extension IS an
+    ffmpeg demuxer name; otherwise ffmpeg probes the stream."""
     import subprocess
 
+    in_fmt = ["-f", fmt] if fmt in _FFMPEG_DEMUXERS else []
     proc = subprocess.run(
         [
             ffmpeg, "-hide_banner", "-loglevel", "error",
-            "-f", fmt, "-i", "pipe:0",
+            *in_fmt, "-i", "pipe:0",
             "-ac", "1", "-f", "wav", "-acodec", "pcm_s16le", "pipe:1",
         ],
         input=data,

@@ -278,23 +278,12 @@ def text_metrics(
     return s.join(g, on=book_col, how="full_outer")
 
 
-# at most ONE text-stage sentence cache alive per session: repeated
-# calls (bench loops, test modules) would otherwise accumulate
-# persisted partitions until storage eviction kicks in (ADVICE r03)
-_LAST_PERSISTED: list = []
-
-
+# at most ONE text-stage sentence cache alive per session (ADVICE
+# r03) — delegates to the shared slot tracker in vnavc_spark.cache
 def _persist_tracked(df: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
+    from vnavc_spark.cache import tracked_persist
 
-    while _LAST_PERSISTED:
-        old = _LAST_PERSISTED.pop()
-        try:
-            old.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
-    _LAST_PERSISTED.append(df)
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return tracked_persist(df, "text_sentences")
 
 
 def process_text_stage(

@@ -5216,8 +5216,8 @@ shared AS (
   FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id <> b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT contained_id, container_id, n_shared, n_sh AS n_contained,
-       round(CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE), 6)
-         AS containment
+       floor(CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS containment
 FROM shared JOIN sizes ON sizes.doc_id = contained_id
 WHERE n_shared * 10 >= n_sh * 8
 """,
@@ -5276,8 +5276,9 @@ parts AS (
   GROUP BY st.source)
 SELECT p.source,
        CAST(ns.n_s AS BIGINT) AS n_tokens,
-       round((CAST(p.adj AS DOUBLE) / CAST(ns.n_s * n.n AS DOUBLE)
-              + 1.0) / 2.0, 6) AS tv_distance
+       floor((CAST(p.adj AS DOUBLE) / CAST(ns.n_s * n.n AS DOUBLE)
+              + 1.0) / 2.0 * 1000000.0 + 0.5) / 1000000.0
+         AS tv_distance
 FROM parts p JOIN ns USING (source) CROSS JOIN n
 """,
 )
@@ -5364,10 +5365,11 @@ uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM toks
 nn AS (SELECT sum(n_tok) AS n_toks FROM uc),
 bb AS (SELECT sum(n_ab) AS n_bigrams FROM bc)
 SELECT bigram, n_ab,
-       round(CAST(n_ab AS DOUBLE) * CAST(n_toks AS DOUBLE)
+       floor(CAST(n_ab AS DOUBLE) * CAST(n_toks AS DOUBLE)
              * CAST(n_toks AS DOUBLE)
              / (CAST(n_bigrams AS DOUBLE) * CAST(ua.n_tok AS DOUBLE)
-                * CAST(ub.n_tok AS DOUBLE)), 6) AS lift
+                * CAST(ub.n_tok AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS lift
 FROM bc CROSS JOIN nn CROSS JOIN bb
 JOIN uc ua ON ua.tok = split_part(bigram, ' ', 1)
 JOIN uc ub ON ub.tok = split_part(bigram, ' ', 2)
