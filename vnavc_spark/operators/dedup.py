@@ -1503,18 +1503,23 @@ def containment_join(
         / threshold_den
     ).cast("int")
     plen = (F.col("n_sh") - need + 1).cast("int")
+    # the candidate join keys on xxhash64(shingle), not the string:
+    # an 8-byte long shuffles ~3× less than a 3-word shingle, and a
+    # hash collision can only ADD a spurious candidate pair — the
+    # exact array_intersect verify removes it, so recall AND the
+    # final result are unchanged (cost-only, like the CMS buckets)
     probes = sets.select(
         F.col(id_col).alias("contained_id"),
         F.explode(F.slice("sets", 1, plen)).alias("s"),
-    )
+    ).select("contained_id", F.xxhash64("s").alias("hs"))
     if bucket_cap is not None:
-        probes = cap_bucket_size(probes, ["s"], bucket_cap)
+        probes = cap_bucket_size(probes, ["hs"], bucket_cap)
     occ = sets.select(
         F.col(id_col).alias("container_id"),
         F.explode("sets").alias("s"),
-    )
+    ).select("container_id", F.xxhash64("s").alias("hs"))
     cands = (
-        probes.join(occ, "s")
+        probes.join(occ, "hs")
         .filter(F.col("contained_id") != F.col("container_id"))
         .select("contained_id", "container_id")
         .distinct()
