@@ -968,3 +968,24 @@ class TestGapFill:
             (1, "2024-01-01 02:00:00"): (1, 7.0, 0),
             (2, "2024-01-01 05:00:00"): (1, 1.5, 0),
         }
+
+    def test_wide_range_binning_is_exact_near_2_53(self, spark):
+        # widths near 2^50 exercise the integer `div` binning: double
+        # division of long deltas loses ulps up there and can mis-bin
+        # (review finding, round 4). Values are integers ≤ 2^53 so
+        # the doubles below are exact; places=0 keeps scaling exact.
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        base = float(1 << 52)
+        vals = [base + i * 1000.0 for i in range(9)]  # median = base+4000
+        df = spark.createDataFrame(
+            [("g", v) for v in vals] + [("h", base), ("h", base + (1 << 51))],
+            "g string, x double",
+        )
+        out = {
+            r.g: r.median
+            for r in exact_rank_select(
+                df, ["g"], "x", places=0, n_buckets=4
+            ).collect()
+        }
+        assert out == {"g": base + 4000.0, "h": base}
