@@ -989,3 +989,56 @@ class TestGapFill:
             ).collect()
         }
         assert out == {"g": base + 4000.0, "h": base}
+
+
+class TestSkyline:
+    def _sky(self, spark, rows, cap=10_000_000):
+        from vnavc_spark.operators.skyline import skyline2d
+
+        df = spark.createDataFrame(rows, "id long, mx long, mn long")
+        return sorted(
+            (r.id, r.mx, r.mn)
+            for r in skyline2d(df, "mx", "mn", max_candidates=cap).collect()
+        )
+
+    def test_dominated_points_drop_duplicates_survive(self, spark):
+        rows = [
+            (1, 100, 5),  # skyline
+            (2, 100, 5),  # exact duplicate -> mutually non-dominating
+            (3, 100, 7),  # dominated by 1 (same mx, worse mn)
+            (4, 90, 3),   # skyline (less mx but better mn)
+            (5, 80, 4),   # dominated by 4
+            (6, 120, 9),  # skyline (best mx)
+        ]
+        assert self._sky(spark, rows) == [
+            (1, 100, 5), (2, 100, 5), (4, 90, 3), (6, 120, 9),
+        ]
+
+    def test_partitioning_invariant(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, rng.randrange(100), rng.randrange(100)) for i in range(400)
+        ]
+        a = self._sky(spark, rows)
+        df = spark.createDataFrame(rows, "id long, mx long, mn long")
+        from vnavc_spark.operators.skyline import skyline2d
+
+        b = sorted(
+            (r.id, r.mx, r.mn)
+            for r in skyline2d(
+                df.repartition(13), "mx", "mn"
+            ).collect()
+        )
+        assert a == b and len(a) >= 1
+
+    def test_anti_chain_trips_candidate_cap(self, spark):
+        import pytest
+
+        # perfect anti-chain for (max mx, min mn): both dims rise
+        # together, so more mx always costs more mn — every point is
+        # skyline
+        rows = [(i, i, i) for i in range(50)]
+        with pytest.raises(Exception, match="local-skyline candidates"):
+            self._sky(spark, rows, cap=10)

@@ -5612,6 +5612,53 @@ def q121_exact_mad_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q122_skyline",
+    oracle="""
+WITH p AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
+           AS spend_c,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT custkey, spend_c / 100.0 AS spend, n_orders
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.spend_c >= a.spend_c AND b.n_orders <= a.n_orders
+    AND (b.spend_c > a.spend_c OR b.n_orders < a.n_orders))
+""",
+)
+def q122_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto front (Börzsönyi et al. ICDE'01): customers
+    not dominated on (total spend ↑, order count ↓) — the
+    multi-criteria "best trade-off" query that no single ORDER BY
+    can express. Runs on operators/skyline.skyline2d: per-partition
+    local sweep (sort + linear scan, no pairwise work) then a
+    guarded one-partition merge of the tiny local skylines —
+    skyline(union) = skyline(skylines of parts), so the result is
+    EXACT while only survivors ever cross the network. The oracle
+    is the quadratic NOT-EXISTS dominance query (fine at oracle
+    scale; the operator exists precisely because that shape dies at
+    100 TB). Spend rides as integer cents end-to-end; the single
+    division happens in the aggregate projection on both engines."""
+    from vnavc_spark.operators.skyline import skyline2d
+
+    o = table(spark, sf_dir, "orders")
+    pts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("spend_c"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    sky = skyline2d(pts, "spend_c", "n_orders")
+    return sky.select(
+        "custkey",
+        (F.col("spend_c") / 100.0).alias("spend"),
+        "n_orders",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
