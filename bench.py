@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q119_collocations",
     "q120_gap_fill",
     "q121_exact_mad_scalable",
+    "q122_skyline",
 ]
 
 
