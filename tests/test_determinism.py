@@ -26,6 +26,7 @@ SENSITIVE = [
     "q118_distribution_drift",  # decimal numerators, edge division
     "q119_collocations",  # decimal cross-multiplied filter
     "q121_exact_mad_scalable",  # chained narrowing
+    "q122_skyline",  # mapInPandas local-skyline merge
 ]
 
 

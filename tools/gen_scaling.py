@@ -75,6 +75,7 @@ SWEEP = [
     ("q117_containment_dedup", ("documents",), False, True),
     ("q120_gap_fill", ("events",), False, False),
     ("q121_exact_mad_scalable", ("lineitem",), False, False),
+    ("q122_skyline", ("orders",), True, False),
 ]
 
 
