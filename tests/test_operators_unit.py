@@ -1042,3 +1042,46 @@ class TestSkyline:
         rows = [(i, i, i) for i in range(50)]
         with pytest.raises(Exception, match="local-skyline candidates"):
             self._sky(spark, rows, cap=10)
+
+
+class TestWeightedRankSelect:
+    def test_unit_weights_match_unweighted_median(self, spark):
+        from vnavc_spark.operators.aggregates import (
+            exact_rank_select,
+            weighted_rank_select,
+        )
+
+        df = spark.createDataFrame(
+            [("g", float(v), 1.0) for v in (3, 1, 4, 1, 5, 9, 2, 6)],
+            "g string, x double, w double",
+        )
+        un = {r.g: r.median for r in exact_rank_select(df, ["g"], "x").collect()}
+        wt = {
+            r.g: r.wmedian
+            for r in weighted_rank_select(
+                df, ["g"], "x", "w", weight_places=0
+            ).collect()
+        }
+        assert un == wt
+
+    def test_heavy_weight_pulls_the_median(self, spark):
+        from vnavc_spark.operators.aggregates import weighted_rank_select
+
+        # values 1..5 each weight 1, but value 5 carries weight 10:
+        # total mass 14, rank (14+1)//2 = 7 -> cum(1..4)=4 < 7 -> 5
+        rows = [("g", float(v), 1.0) for v in (1, 2, 3, 4)] + [("g", 5.0, 10.0)]
+        df = spark.createDataFrame(rows, "g string, x double, w double")
+        out = weighted_rank_select(
+            df, ["g"], "x", "w", weight_places=0
+        ).collect()[0]
+        assert (out.total_weight, out.wmedian) == (14.0, 5.0)
+
+    def test_nonpositive_weights_drop(self, spark):
+        from vnavc_spark.operators.aggregates import weighted_rank_select
+
+        rows = [("g", 1.0, 0.0), ("g", 2.0, -3.0), ("g", 7.0, 2.0)]
+        df = spark.createDataFrame(rows, "g string, x double, w double")
+        out = weighted_rank_select(
+            df, ["g"], "x", "w", weight_places=0
+        ).collect()[0]
+        assert (out.total_weight, out.wmedian) == (2.0, 7.0)

@@ -563,6 +563,8 @@ def _exact_ranks_core(
     n_buckets: int,
     max_rounds: int,
     max_groups: int,
+    weight_col: str | None = None,
+    weight_places: int = 0,
 ):
     """Shared narrowing loop behind :func:`exact_rank_select` and
     :func:`exact_rank_multi`.
@@ -590,11 +592,24 @@ def _exact_ranks_core(
     scale = 10**places
     key = _nullsafe_group_key(group_cols)
     vi = F.floor(F.col(value_col) * float(scale) + F.lit(0.5)).cast("long")
-    base = df.select(key.alias("_k"), *group_cols, vi.alias("_v")).filter(
-        F.col("_v").isNotNull()
-    )
+    # weighted selection: every occurrence carries an integer MASS
+    # instead of 1 — ranks, bucket tallies, and the sweep all run on
+    # cumulative mass, nothing else changes (the unweighted path is
+    # the weight≡1 special case). Weights scale to exact integers
+    # like values; non-positive weights drop (zero mass cannot hold
+    # a rank, negative mass breaks monotone cumulation).
+    wscale = 10**weight_places
+    if weight_col is None:
+        wi = F.lit(1).cast("long")
+    else:
+        wi = F.floor(
+            F.col(weight_col) * float(wscale) + F.lit(0.5)
+        ).cast("long")
+    base = df.select(
+        key.alias("_k"), *group_cols, vi.alias("_v"), wi.alias("_w")
+    ).filter(F.col("_v").isNotNull() & (F.col("_w") > 0))
     first = base.groupBy("_k", *group_cols).agg(
-        F.count("*").alias("n"),
+        F.sum("_w").alias("n"),
         F.min("_v").alias("lo"),
         F.max("_v").alias("hi"),
     )
@@ -684,7 +699,7 @@ def _exact_ranks_core(
             # widths > 2^41 where this is real)
             .withColumn("_bin", F.expr("(_v - _blo) div _bw"))
             .groupBy("_bid", "_bin")
-            .agg(F.count("*").alias("c"))
+            .agg(F.sum("_w").alias("c"))
             .collect()
         )
         counts: dict = {}
@@ -954,3 +969,57 @@ def cms_heavy_hitters(
         width,
         depth,
     )
+
+
+def weighted_rank_select(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    places: int = 2,
+    weight_places: int = 2,
+    n_buckets: int = 4096,
+    max_rounds: int = 12,
+    max_groups: int = RANK_MAX_GROUPS,
+) -> DataFrame:
+    """EXACT per-group WEIGHTED lower median at unbounded scale: the
+    smallest value v whose cumulative weight mass reaches half the
+    group total (⌈W/2⌉ over scaled-integer weights) — e.g. the
+    quantity-weighted median price. Same zero-buffering narrowing
+    contract as :func:`exact_rank_select`; the only change is that
+    every occurrence carries its integer weight mass through the
+    first aggregate and the per-round bucket tallies, so cost and
+    driver state are IDENTICAL to the unweighted path (weights ride
+    inside the existing aggregates — no extra pass). Non-positive
+    weights drop.
+
+    Returns (group_cols..., total_weight, wmedian) with
+    ``total_weight`` descaled to the weight column's unit.
+    """
+    from pyspark.sql import types as T
+
+    wscale = 10**weight_places
+    state, scale, spark = _exact_ranks_core(
+        df,
+        group_cols,
+        value_col,
+        {"_r": lambda w: (w + 1) // 2},
+        places,
+        n_buckets,
+        max_rounds,
+        max_groups,
+        weight_col=weight_col,
+        weight_places=weight_places,
+    )
+    out_rows = [
+        (*s["group"], s["n"] / wscale, s["lo"] / scale)
+        for s in state.values()
+    ]
+    schema = T.StructType(
+        _group_fields(df, group_cols)
+        + [
+            T.StructField("total_weight", T.DoubleType(), False),
+            T.StructField("wmedian", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)

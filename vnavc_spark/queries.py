@@ -5659,6 +5659,51 @@ def q122_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q123_weighted_median",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vc,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS w
+  FROM lineitem WHERE floor(l_quantity * 100.0 + 0.5) > 0),
+a AS (SELECT g, vc, sum(w) AS w FROM v GROUP BY g, vc),
+c AS (SELECT g, vc,
+             sum(w) OVER (PARTITION BY g ORDER BY vc
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY g) AS tot
+      FROM a)
+SELECT g AS l_returnflag,
+       CAST(tot AS BIGINT) / 100.0 AS total_weight,
+       min(vc) / 100.0 AS wmedian
+FROM c WHERE cum >= (tot + 1) // 2
+GROUP BY g, tot
+""",
+)
+def q123_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag — the
+    volume-centred price statistic (each line item counts with its
+    quantity mass, so a 50-unit order moves the median 50× more than
+    a 1-unit order). Runs on operators/aggregates.
+    weighted_rank_select: the zero-buffering narrowing selector with
+    weight mass riding inside the existing aggregates — identical
+    scan count, shuffle shape, and driver state to the unweighted
+    median (q113); the unweighted path is just weight ≡ 1. The
+    oracle is the cumulative-mass window form (fine at oracle scale;
+    a corpus-wide sort+window per group is exactly what the
+    narrowing path avoids at 100 TB)."""
+    li = table(spark, sf_dir, "lineitem")
+    return aggregates.weighted_rank_select(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+        places=2,
+        weight_places=2,
+        n_buckets=4096,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
