@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q120_gap_fill",
     "q121_exact_mad_scalable",
     "q122_skyline",
+    "q123_weighted_median",
 ]
 
 

@@ -27,6 +27,7 @@ SENSITIVE = [
     "q119_collocations",  # decimal cross-multiplied filter
     "q121_exact_mad_scalable",  # chained narrowing
     "q122_skyline",  # mapInPandas local-skyline merge
+    "q123_weighted_median",  # weighted narrowing state
 ]
 
 
