@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     "q121_exact_mad_scalable",
     "q122_skyline",
     "q123_weighted_median",
+    "q124_market_basket",
+    "q126_rfm_segments",
+    "q129_changepoint",
+    "q130_max_concurrency",
+    "q131_triangle_count",
+    "q133_correlation_matrix",
 ]
 
 

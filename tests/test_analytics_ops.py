@@ -1,0 +1,296 @@
+"""Semantic unit tests for the round-4 analytics family (q124-q133):
+planted-input invariants that the DuckDB oracle parity sweep
+(test_queries_oracle.py) cannot express — multiplicity conservation,
+orientation independence, sweep conventions, known-answer inputs.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str):
+    return datetime.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# intervals: sweep-line concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_max_concurrency_planted(spark):
+    from vnavc_spark.operators.intervals import max_concurrency_by_day
+
+    iv = spark.createDataFrame(
+        [
+            # three overlapping on day 1 (peak 3 at 10:00-10:30)
+            (_ts("2024-01-01 09:00:00"), _ts("2024-01-01 11:00:00")),
+            (_ts("2024-01-01 09:30:00"), _ts("2024-01-01 10:30:00")),
+            (_ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00")),
+            # lone interval later that day
+            (_ts("2024-01-01 20:00:00"), _ts("2024-01-01 21:00:00")),
+        ],
+        "s_start timestamp, s_end timestamp",
+    )
+    rows = {r["day"]: r for r in max_concurrency_by_day(iv).collect()}
+    assert rows["2024-01-01"]["max_concurrent"] == 3
+    assert rows["2024-01-01"]["n_sessions"] == 4
+
+
+def test_max_concurrency_midnight_carry(spark):
+    """An interval crossing midnight counts toward BOTH days, and the
+    second day sees it as carry-in from its midnight clip."""
+    from vnavc_spark.operators.intervals import max_concurrency_by_day
+
+    iv = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 23:00:00"), _ts("2024-01-02 01:00:00")),
+            (_ts("2024-01-02 00:30:00"), _ts("2024-01-02 00:45:00")),
+        ],
+        "s_start timestamp, s_end timestamp",
+    )
+    rows = {r["day"]: r for r in max_concurrency_by_day(iv).collect()}
+    assert rows["2024-01-01"]["max_concurrent"] == 1
+    assert rows["2024-01-02"]["max_concurrent"] == 2  # carry + new
+    assert rows["2024-01-02"]["n_sessions"] == 2
+
+
+def test_max_concurrency_touching_endpoints_overlap(spark):
+    """Closed-interval convention: a session starting exactly when
+    another ends counts as overlapping (starts sweep before ends)."""
+    from vnavc_spark.operators.intervals import max_concurrency_by_day
+
+    iv = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 09:00:00"), _ts("2024-01-01 10:00:00")),
+            (_ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+        ],
+        "s_start timestamp, s_end timestamp",
+    )
+    rows = max_concurrency_by_day(iv).collect()
+    assert rows[0]["max_concurrent"] == 2
+
+
+def test_session_intervals_gap_split(spark):
+    from vnavc_spark.operators.intervals import session_intervals
+
+    e = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 09:00:00")),
+            (1, 2, _ts("2024-01-01 09:10:00")),
+            (1, 3, _ts("2024-01-01 10:10:00")),  # > 30 min gap → new
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    iv = session_intervals(e).orderBy("s_start").collect()
+    assert len(iv) == 2
+    assert iv[0]["s_end"] == _ts("2024-01-01 09:10:00")
+    assert iv[1]["s_start"] == _ts("2024-01-01 10:10:00")
+
+
+# ---------------------------------------------------------------------------
+# graph: triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_stats_k4(spark):
+    from vnavc_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k4, "a long, b long")
+    row = triangle_stats(e).collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 6
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 12  # 4 nodes × C(3,2)
+    assert row["clustering"] == 1.0
+
+
+def test_triangle_stats_path_graph(spark):
+    from vnavc_spark.operators.graph import triangle_stats
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    row = triangle_stats(e).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["clustering"] == 0.0
+
+
+def test_triangle_stats_hub_star_plus_triangle(spark):
+    """A hub (star) has many wedges but no triangles unless leaves
+    connect; the degree orientation must still count the one planted
+    triangle exactly once."""
+    from vnavc_spark.operators.graph import triangle_stats
+
+    star = [(1, x) for x in range(2, 12)]
+    e = spark.createDataFrame(star + [(2, 3)], "a long, b long")
+    row = triangle_stats(e).collect()[0]
+    assert row["n_triangles"] == 1
+
+
+# ---------------------------------------------------------------------------
+# sampling: systematic PPS
+# ---------------------------------------------------------------------------
+
+
+def test_pps_multiplicity_conserved(spark):
+    from vnavc_spark.operators.sampling import pps_systematic
+
+    d = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(200)], "id long, w long"
+    )
+    out = pps_systematic(d, "id", "w", k=20).collect()
+    assert sum(r["mult"] for r in out) == 20
+    assert all(r["mult"] >= 1 for r in out)
+
+
+def test_pps_heavy_item_always_selected(spark):
+    """An item with weight > T/k must cross a step boundary."""
+    from vnavc_spark.operators.sampling import pps_systematic
+
+    rows = [(i, 1) for i in range(50)] + [(999, 1000)]
+    d = spark.createDataFrame(rows, "id long, w long")
+    out = {r["id"]: r for r in pps_systematic(d, "id", "w", k=10).collect()}
+    assert 999 in out
+    # weight 1000 of total 1050 at k=10 → ≥ 9 of the 10 steps
+    assert out[999]["mult"] >= 9
+
+
+def test_pps_nonpositive_weights_dropped(spark):
+    from vnavc_spark.operators.sampling import pps_systematic
+
+    d = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -3), (4, 5)], "id long, w long"
+    )
+    out = pps_systematic(d, "id", "w", k=2).collect()
+    assert {r["id"] for r in out} <= {1, 4}
+    assert sum(r["mult"] for r in out) == 2
+
+
+# ---------------------------------------------------------------------------
+# registered-query semantics on planted frames
+# ---------------------------------------------------------------------------
+
+
+def test_intra_doc_repetition_known_answer(spark, tmp_path):
+    import vnavc_spark.queries as Qr
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a", "en", "s", 9),
+            (2, "x y z", "en", "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in Qr.q125_intra_doc_repetition(spark, str(tmp_path)).collect()
+    }
+    # doc 1 bigrams: [a b, b a, a b, b a] → 4 total, 2 distinct
+    assert out[1]["total_2"] == 4 and out[1]["rep_2"] == 2
+    assert out[1]["rep2_frac"] == 0.5
+    # doc 2: no repeats at all
+    assert out[2]["rep_2"] == 0 and out[2]["rep_3"] == 0
+
+
+def test_changepoint_planted_shift(spark, tmp_path):
+    import vnavc_spark.queries as Qr
+
+    base = _ts("2024-01-01 00:00:00")
+    rows = []
+    for i in range(6):
+        v = 0.0 if i < 3 else 10.0
+        rows.append(
+            (i, base + datetime.timedelta(minutes=i), 1, "a", v, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = Qr.q129_changepoint(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["k_star"] == 3  # split after the third point
+
+
+def test_chi_square_absent_cell_surfaces(spark, tmp_path):
+    import vnavc_spark.queries as Qr
+
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        (1, 10, "O", 5.0, base, "HIGH"),
+        (2, 11, "F", 5.0, base, "HIGH"),
+        (3, 12, "O", 5.0, base, "LOW"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = Qr.q128_chi_square(spark, str(tmp_path)).collect()
+    cells = {(r["pri"], r["st"]): r for r in out}
+    assert len(cells) == 4  # 2 priorities × 2 statuses, full grid
+    assert cells[("LOW", "F")]["obs"] == 0  # absent cell surfaced
+
+
+def test_market_basket_planted_pair(spark, tmp_path):
+    import vnavc_spark.queries as Qr
+
+    base = _ts("2024-01-01 00:00:00")
+    rows = []
+    # parts 1,2 co-occur in orders 1..3; part 3 alone with 1 in order 4
+    for ok in (1, 2, 3):
+        rows += [(ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", base),
+                 (ok, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", base)]
+    rows += [(4, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", base),
+             (4, 3, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", base)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        (r["part_a"], r["part_b"]): r
+        for r in Qr.q124_market_basket(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)]["pair_cnt"] == 3
+    # lift = pair·N/(cnt_a·cnt_b) = 3·4/(4·3) = 1.0
+    assert out[(1, 2)]["lift"] == 1.0
+    assert (1, 3) not in out  # support 1 < 2
+
+
+def test_rfm_scores_within_bounds(spark):
+    import vnavc_spark.queries as Qr
+    from tests.conftest import SF_SMALL
+
+    out = Qr.q126_rfm_segments(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+
+
+def test_pareto_abc_top_part_is_A(spark):
+    import vnavc_spark.queries as Qr
+    from tests.conftest import SF_SMALL
+
+    out = Qr.q127_pareto_abc(spark, SF_SMALL).collect()
+    by_brand: dict = {}
+    for r in out:
+        by_brand.setdefault(r["brand"], []).append(r)
+    for brand, rows in by_brand.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert rows[0]["abc"] == "A"
+        # classes are monotone A → B → C along the rank order
+        order = {"A": 0, "B": 1, "C": 2}
+        seq = [order[r["abc"]] for r in rows]
+        assert seq == sorted(seq)

@@ -78,3 +78,85 @@ def pagerank_integer(
             )
         )
     return pr
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected simple graph given as (a, b) edges with a < b — the
+    Suri-Vassilvitskii degree-ordered wedge join (WWW'11): every edge
+    is oriented from its lower endpoint in the (degree, id) TOTAL
+    order, so each triangle is generated exactly once from its
+    minimum vertex and — the scale point — every wedge join fans out
+    by ORIENTED degree, which is O(sqrt(m)) even when a raw-degree
+    hub would make the naive wedge join quadratic. The result is
+    orientation-independent (an exact count), so the oracle can use
+    plain id-ordered 3-way joins.
+
+    Returns ONE row: n_nodes, n_edges, n_wedges (raw-degree wedge
+    count — the clustering denominator), n_triangles, clustering =
+    3·triangles/wedges (one terminal division, rounded at 1e-6).
+    """
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.functions.portable import stable_round
+
+    e = tracked_persist(
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long")),
+        "tri_edges",
+    )
+    deg = tracked_persist(
+        e.select(F.col("a").alias("x"))
+        .unionByName(e.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("deg")),
+        "tri_deg",
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("x").alias("b"), F.col("deg").alias("degb"))
+    ej = e.join(da, on="a").join(db, on="b")
+    lower = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    o = tracked_persist(
+        ej.select(
+            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower, F.col("degb")).otherwise(F.col("dega")).alias(
+                "degv"
+            ),
+        ),
+        "tri_oriented",
+    )
+    o1 = o.select("u", F.col("v").alias("p"), F.col("degv").alias("dp"))
+    o2 = o.select("u", F.col("v").alias("q"), F.col("degv").alias("dq"))
+    wedge = o1.join(o2, on="u").filter(
+        (F.col("dp") < F.col("dq"))
+        | ((F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q")))
+    )
+    closing = o.select(F.col("u").alias("p"), F.col("v").alias("q"))
+    tri = wedge.join(closing, on=["p", "q"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    nn = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    ne = e.agg(F.count("*").cast("long").alias("n_edges"))
+    row = nn.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tri))
+    return row.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            stable_round(
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

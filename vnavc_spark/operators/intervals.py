@@ -1,0 +1,132 @@
+"""Interval analytics: sessionization to intervals and sweep-line
+concurrency.
+
+The sweep-line (+1 at interval start, −1 at end, running sum) is the
+classic max-overlap algorithm; the Spark shape here is a TWO-LEVEL
+prefix sum so no day's point stream ever funnels through one task's
+sort in a single global window: points aggregate per (day, hour)
+bucket with a local running sum, hour buckets carry their totals
+forward through a tiny per-day window (≤ 24 rows per day), and the
+day maximum is max over hours of (carry-in + local max). The regroup
+is exact — bucketing by hour(t) preserves the (t, delta) sweep order,
+so the two-level prefix sums are bit-identical to a single sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def session_intervals(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Collapse an event stream into session intervals
+    (user, session_id, s_start, s_end) with a ``gap_s`` inactivity
+    boundary — the interval-producing form of q31's sessionize (same
+    lag + running-sum shape, one shuffle on the user key shared by
+    both windows and the final aggregate)."""
+    sec = F.unix_timestamp(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    t = events.select(user_col, id_col, ts_col).withColumn(
+        "_sec", sec
+    ).withColumn("_prev", F.lag("_sec").over(w))
+    s = t.withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull() | (F.col("_sec") - F.col("_prev") > gap_s),
+            1,
+        ).otherwise(0),
+    )
+    sid = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        s.withColumn("session_id", sid)
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("s_start"),
+            F.max(ts_col).alias("s_end"),
+        )
+    )
+
+
+def max_concurrency_by_day(
+    intervals: DataFrame,
+    start_col: str = "s_start",
+    end_col: str = "s_end",
+) -> DataFrame:
+    """Per-day maximum number of simultaneously-active CLOSED
+    intervals [start, end], plus the count of intervals touching the
+    day. Sweep convention: at equal timestamps starts count before
+    ends (two intervals meeting at an instant overlap).
+
+    Multi-day intervals are clipped into per-day segments — a
+    segment starting at midnight carries the open interval into the
+    day, so cross-day state needs no separate carry pass. The −1
+    point is emitted only in the interval's final day (the interval
+    stays counted through every earlier day's end, which is exactly
+    its live range there).
+
+    Scale shape: one shuffle builds the (day, t, delta) point
+    aggregate; the sweep itself is the two-level prefix sum in the
+    module docstring — per-(day, hour) local running sums plus a
+    ≤ 24-row hour-carry window per day. No global sort, no
+    whole-day single-task sort.
+    """
+    st, en = F.col(start_col), F.col(end_col)
+    days = intervals.select(
+        st.alias("_s"),
+        en.alias("_e"),
+        F.explode(F.sequence(F.to_date(st), F.to_date(en))).alias("day"),
+    )
+    day_ts = F.col("day").cast("timestamp")
+    start_pts = days.select(
+        "day",
+        F.greatest(F.col("_s"), day_ts).alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    end_pts = days.filter(F.to_date("_e") == F.col("day")).select(
+        "day", F.col("_e").alias("t"), F.lit(-1).alias("delta")
+    )
+    pts = start_pts.unionByName(end_pts)
+    agg = pts.groupBy("day", "t", "delta").agg(
+        F.sum("delta").cast("long").alias("dsum")
+    )
+    hour = F.date_trunc("hour", "t")
+    wl = (
+        Window.partitionBy("day", "_h")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = agg.withColumn("_h", hour).withColumn(
+        "run", F.sum("dsum").over(wl)
+    )
+    ha = loc.groupBy("day", "_h").agg(
+        F.max("run").alias("lmax"), F.sum("dsum").alias("ltot")
+    )
+    wh = (
+        Window.partitionBy("day")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ha = ha.withColumn(
+        "carry", F.coalesce(F.sum("ltot").over(wh), F.lit(0).cast("long"))
+    )
+    daymax = ha.groupBy("day").agg(
+        F.max(F.col("carry") + F.col("lmax")).cast("long").alias(
+            "max_concurrent"
+        )
+    )
+    nses = days.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    return daymax.join(nses, on="day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_sessions",
+        "max_concurrent",
+    )

@@ -227,3 +227,69 @@ def dsir_scores(
         )
         / 1000000.0,
     )
+
+
+def pps_systematic(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic systematic probability-proportional-to-size
+    sampling: lay every row's integer weight mass end-to-end in
+    md5-hash order (reproducible "random" order, no RNG state), then
+    take one row at every T/k mass step — a row is selected iff its
+    mass span crosses a step boundary, with multiplicity = number of
+    boundaries crossed (Σ mult = k exactly; a row heavier than T/k
+    is drawn multiple times, the textbook PPS behavior). The
+    selection rule is pure integer arithmetic
+    (``(cum·k) div T > ((cum−w)·k) div T``), so the sample is
+    engine-exact — unlike exponential-key (A-ES) weighted sampling,
+    whose pow()/log() keys cannot be hash-certified across engines.
+
+    Scale shape: the global cumulative sum is a TWO-LEVEL prefix sum
+    — rows bucket by their hash's first byte-pair (256 buckets),
+    each bucket takes a local running sum, bucket totals carry
+    forward through one 256-row window — so no global single-task
+    sort exists. cum·k must fit int64: fine to ~10^14 total mass at
+    k=10^4; the decimal(38) lift applies beyond.
+
+    Returns (id_col, weight, cum_weight, mult) for selected rows.
+    """
+    w = F.col(weight_col).cast("long")
+    d = df.filter(w > 0).select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    d = d.withColumn("_b", F.substring("_h", 1, 2))
+    wl = (
+        Window.partitionBy("_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("_lcum", F.sum("_w").over(wl))
+    btot = local.groupBy("_b").agg(F.sum("_w").alias("_bt"))
+    # 256-row table: the unpartitioned carry window is bounded by
+    # construction, never corpus-sized
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    carry = btot.withColumn(
+        "_carry", F.coalesce(F.sum("_bt").over(wb), F.lit(0).cast("long"))
+    ).select("_b", "_carry")
+    tot = d.agg(F.sum("_w").alias("_t"))
+    j = (
+        local.join(F.broadcast(carry), on="_b")
+        .withColumn("_cum", F.col("_carry") + F.col("_lcum"))
+        .crossJoin(F.broadcast(tot))
+    )
+    hi = F.expr(f"(_cum * {k}) div _t")
+    lo = F.expr(f"((_cum - _w) * {k}) div _t")
+    return (
+        j.filter(hi > lo)
+        .select(
+            F.col(id_col),
+            F.col("_w").alias("weight"),
+            F.col("_cum").cast("long").alias("cum_weight"),
+            (hi - lo).cast("long").alias("mult"),
+        )
+    )

@@ -5704,6 +5704,801 @@ def q123_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q124_market_basket",
+    oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+sz AS (SELECT ok FROM b GROUP BY ok HAVING count(*) BETWEEN 2 AND 8),
+bb AS (SELECT b.ok, b.pk FROM b JOIN sz ON b.ok = sz.ok),
+nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM bb),
+ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM bb GROUP BY pk),
+pr AS (
+  SELECT a.pk AS part_a, c.pk AS part_b, CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM bb a JOIN bb c ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY a.pk, c.pk HAVING count(*) >= 2)
+SELECT part_a, part_b, pair_cnt, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+       floor(CAST(pair_cnt * n_baskets AS DOUBLE)
+             / CAST(ia.cnt * ib.cnt AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS lift
+FROM pr JOIN ic ia ON part_a = ia.pk JOIN ic ib ON part_b = ib.pk
+CROSS JOIN nb
+""",
+)
+def q124_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (co-purchase support + lift)
+    over order baskets — the recommendation / affinity primitive.
+    Scale shape: baskets collapse to DISTINCT (order, part) ids
+    first, mega-baskets are CAPPED (2-8 items — the same
+    degenerate-bucket cap stance as the LSH band join: an n-item
+    basket emits n(n-2)/2 pairs, so one 10^5-item order would emit
+    5·10^9 rows), and the pair self-join ships only (order, part)
+    ids on the order key. Lift's filter-free display value is one
+    terminal division of exact BIGINT products
+    (pair·N over cnt_a·cnt_b — the q119 collocation form on baskets
+    instead of token streams)."""
+    from vnavc_spark.cache import tracked_persist
+
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sz = (
+        b.groupBy("ok")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= 8))
+        .select("ok")
+    )
+    # feeds the scalar total, per-item counts, and BOTH pair-join
+    # sides — unpersisted, every consumer replays the distinct
+    bb = tracked_persist(b.join(sz, on="ok"), "basket_items")
+    nb = bb.agg(F.countDistinct("ok").cast("long").alias("n_baskets"))
+    ic = bb.groupBy("pk").agg(F.count("*").cast("long").alias("cnt"))
+    a = bb.select("ok", F.col("pk").alias("part_a"))
+    c = bb.select("ok", F.col("pk").alias("part_b"))
+    pr = (
+        a.join(c, on="ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    ia = ic.select(F.col("pk").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = ic.select(F.col("pk").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pr.join(ia, on="part_a")
+        .join(ib, on="part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            stable_round(
+                (F.col("pair_cnt") * F.col("n_baskets")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q125_intra_doc_repetition",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS x
+  FROM documents WHERE length(trim(text)) > 0),
+g AS (
+  SELECT doc_id,
+         [x[i] || ' ' || x[i+1] for i in range(1, len(x))] AS g2,
+         [x[i] || ' ' || x[i+1] || ' ' || x[i+2]
+          for i in range(1, len(x) - 1)] AS g3
+  FROM toks)
+SELECT doc_id,
+       CAST(len(g2) AS BIGINT) AS total_2,
+       CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS rep_2,
+       CASE WHEN len(g2) > 0 THEN
+         floor(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+               / CAST(len(g2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       ELSE 0.0 END AS rep2_frac,
+       CAST(len(g3) AS BIGINT) AS total_3,
+       CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS rep_3,
+       CASE WHEN len(g3) > 0 THEN
+         floor(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+               / CAST(len(g3) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       ELSE 0.0 END AS rep3_frac
+FROM g
+""",
+)
+def q125_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style INTRA-document repetition metrics (Rae et al.
+    2021 §A1.1's duplicate n-gram fractions): per doc, the fraction
+    of word 2-gram / 3-gram occurrences that are repeats of an
+    earlier same-doc n-gram — the boilerplate/babble signal that
+    corpus-level dedup (q61) cannot see. Entirely per-row array math
+    (transform over the token array + array_distinct): ZERO shuffles,
+    the whole query rides the parquet scan at any corpus size —
+    complements q50 (token-level repetition) one level up."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = d.select("doc_id", Q.tokens(Q.normalized_text("text")).alias("x"))
+    g = t.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(x) >= 2 THEN transform(sequence(1, size(x)-1),"
+            " i -> concat_ws(' ', element_at(x, i), element_at(x, i+1)))"
+            " ELSE cast(array() AS array<string>) END"
+        ).alias("g2"),
+        F.expr(
+            "CASE WHEN size(x) >= 3 THEN transform(sequence(1, size(x)-2),"
+            " i -> concat_ws(' ', element_at(x, i), element_at(x, i+1),"
+            " element_at(x, i+2))) ELSE cast(array() AS array<string>) END"
+        ).alias("g3"),
+    )
+
+    def _metrics(col: str, n: str):
+        tot = F.size(col).cast("long")
+        rep = (F.size(col) - F.size(F.array_distinct(col))).cast("long")
+        frac = F.when(
+            tot > 0,
+            stable_round(rep.cast("double") / tot.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+        return [
+            tot.alias(f"total_{n}"),
+            rep.alias(f"rep_{n}"),
+            frac.alias(f"rep{n}_frac"),
+        ]
+
+    return g.select("doc_id", *_metrics("g2", "2"), *_metrics("g3", "3"))
+
+
+@query(
+    "q126_rfm_segments",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey AS custkey,
+         CAST(max(o_orderdate) AS DATE) AS last_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS mon_c
+  FROM orders GROUP BY o_custkey),
+g AS (SELECT CAST(max(o_orderdate) AS DATE) AS gmax FROM orders),
+j AS (
+  SELECT a.*, CAST(date_diff('day', last_d, gmax) AS BIGINT)
+           AS recency_days,
+         CAST(c_nationkey AS BIGINT) AS nationkey
+  FROM a CROSS JOIN g JOIN customer ON custkey = c_custkey),
+w AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY nationkey
+                       ORDER BY recency_days ASC, custkey ASC) AS rr,
+    row_number() OVER (PARTITION BY nationkey
+                       ORDER BY frequency DESC, custkey ASC) AS fr,
+    row_number() OVER (PARTITION BY nationkey
+                       ORDER BY mon_c DESC, custkey ASC) AS mr,
+    count(*) OVER (PARTITION BY nationkey) AS n
+  FROM j)
+SELECT custkey, nationkey, recency_days, frequency,
+       mon_c / 100.0 AS monetary,
+       CAST(5 - (5 * (rr - 1)) // n AS BIGINT) AS r_score,
+       CAST(5 - (5 * (fr - 1)) // n AS BIGINT) AS f_score,
+       CAST(5 - (5 * (mr - 1)) // n AS BIGINT) AS m_score,
+       CAST(5 - (5 * (rr - 1)) // n AS VARCHAR)
+         || CAST(5 - (5 * (fr - 1)) // n AS VARCHAR)
+         || CAST(5 - (5 * (mr - 1)) // n AS VARCHAR) AS segment
+FROM w
+""",
+)
+def q126_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintile scores, 5 = best) — the classic lifecycle-marketing
+    operator. Scale shape: ONE fact shuffle builds the per-customer
+    aggregate; every window then rides the customer-cardinality
+    table PARTITIONED by market (nation), so no global sort exists
+    anywhere. Quintiles are exact integer rank arithmetic
+    (5·(rank−1) div n — engine ntile() remainder conventions differ)
+    with a (measure, custkey) total order so ties are deterministic;
+    the corpus max date rides in as a 1-row broadcast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    a = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("mon_c"),
+    )
+    g = o.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    j = (
+        a.crossJoin(F.broadcast(g))
+        .withColumn(
+            "recency_days", F.datediff("gmax", "last_d").cast("long")
+        )
+        .join(
+            c.select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_nationkey").cast("long").alias("nationkey"),
+            ),
+            on="custkey",
+        )
+    )
+    wn = Window.partitionBy("nationkey")
+    j = (
+        j.withColumn(
+            "rr",
+            F.row_number().over(
+                wn.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+            ),
+        )
+        .withColumn(
+            "fr",
+            F.row_number().over(
+                wn.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+            ),
+        )
+        .withColumn(
+            "mr",
+            F.row_number().over(
+                wn.orderBy(F.col("mon_c").desc(), F.col("custkey").asc())
+            ),
+        )
+        .withColumn("n", F.count("*").over(wn))
+    )
+    score = lambda r: F.expr(f"5 - (5 * ({r} - 1)) div n").cast("long")  # noqa: E731
+    return j.select(
+        "custkey",
+        "nationkey",
+        "recency_days",
+        "frequency",
+        (F.col("mon_c") / 100.0).alias("monetary"),
+        score("rr").alias("r_score"),
+        score("fr").alias("f_score"),
+        score("mr").alias("m_score"),
+        F.concat(
+            score("rr").cast("string"),
+            score("fr").cast("string"),
+            score("mr").cast("string"),
+        ).alias("segment"),
+    )
+
+
+@query(
+    "q127_pareto_abc",
+    oracle="""
+WITH pr AS (
+  SELECT p_brand AS brand, l_partkey AS partkey,
+         CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT)
+           AS rev_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_partkey),
+w AS (
+  SELECT brand, partkey, rev_c,
+         sum(rev_c) OVER (PARTITION BY brand
+                          ORDER BY rev_c DESC, partkey ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev_c) OVER (PARTITION BY brand) AS tot,
+         row_number() OVER (PARTITION BY brand
+                            ORDER BY rev_c DESC, partkey ASC) AS rnk
+  FROM pr)
+SELECT brand, partkey, rev_c / 100.0 AS revenue,
+       CAST(rnk AS BIGINT) AS rnk,
+       CASE WHEN (cum - rev_c) * 5 < tot * 4 THEN 'A'
+            WHEN (cum - rev_c) * 20 < tot * 19 THEN 'B'
+            ELSE 'C' END AS abc
+FROM w
+""",
+)
+def q127_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification per brand: parts ranked
+    by revenue, classed A (first 80% of brand revenue), B (next
+    15%), C (tail) — the 80/20 catalog-curation primitive. Class
+    boundaries compare CUMULATIVE-MASS-BEFORE-ITEM against exact
+    integer-cent cross products ((cum−rev)·5 < tot·4 — no float
+    share ever computed), so the class set is engine-exact and every
+    brand's top part is always A. One fact shuffle builds the
+    (brand, part) aggregate; both windows share one (brand)
+    partitioning — brands are bounded-cardinality, and a hot brand
+    still holds only its own part list, not raw lineitems."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    pr = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    wo = Window.partitionBy("brand").orderBy(
+        F.col("rev_c").desc(), F.col("partkey").asc()
+    )
+    w = (
+        pr.withColumn(
+            "cum", F.sum("rev_c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("tot", F.sum("rev_c").over(Window.partitionBy("brand")))
+        .withColumn("rnk", F.row_number().over(wo).cast("long"))
+    )
+    before = F.col("cum") - F.col("rev_c")
+    return w.select(
+        "brand",
+        "partkey",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        "rnk",
+        F.when(before * 5 < F.col("tot") * 4, F.lit("A"))
+        .when(before * 20 < F.col("tot") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+
+
+@query(
+    "q128_chi_square",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2),
+r AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS rt FROM c GROUP BY pri),
+cl AS (SELECT st, CAST(sum(obs) AS BIGINT) AS ct FROM c GROUP BY st),
+t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c),
+grid AS (
+  SELECT r.pri, cl.st, r.rt, cl.ct, coalesce(c.obs, 0) AS obs
+  FROM r CROSS JOIN cl
+  LEFT JOIN c ON c.pri = r.pri AND c.st = cl.st)
+SELECT pri, st, CAST(obs AS BIGINT) AS obs,
+       floor(CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS expected,
+       floor((CAST(obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS contrib
+FROM grid CROSS JOIN t
+""",
+)
+def q128_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for order priority × status —
+    the categorical-association audit (is fulfilment status
+    independent of priority?). Output is PER-CELL (observed,
+    expected, contribution): summing the 15 double contributions
+    would be the only order-dependent float reduction in the query,
+    so the statistic's terms are emitted and the (tiny) final sum is
+    the caller's choice of convention. Expected counts are one
+    division of exact BIGINT marginal products (row·col ≤ 2^53 up to
+    ~10^8 rows per margin; the decimal(38) cross-product form q119
+    uses lifts that ceiling when needed). Shape: one map-side
+    aggregate over the facts; margins and the grand total are
+    cell-table reductions broadcast back onto the full margin grid
+    (absent cells surface with obs = 0)."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").cast("long").alias("obs"))
+    from vnavc_spark.cache import tracked_persist
+
+    c = tracked_persist(c, "chi2_cells")
+    r = c.groupBy("pri").agg(F.sum("obs").cast("long").alias("rt"))
+    cl = c.groupBy("st").agg(F.sum("obs").cast("long").alias("ct"))
+    t = c.agg(F.sum("obs").cast("long").alias("n"))
+    grid = (
+        r.crossJoin(cl)
+        .join(c, on=["pri", "st"], how="left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(t))
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    d = F.col("obs").cast("double") - e
+    return grid.select(
+        "pri",
+        "st",
+        "obs",
+        stable_round(e, 6).alias("expected"),
+        stable_round(d * d / e, 6).alias("contrib"),
+    )
+
+
+@query(
+    "q129_changepoint",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS g, ts, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM events),
+w AS (
+  SELECT g, ts, vc,
+         row_number() OVER (PARTITION BY g ORDER BY ts, event_id) AS k,
+         sum(vc) OVER (PARTITION BY g ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sk,
+         sum(vc) OVER (PARTITION BY g) AS s,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM e),
+d AS (
+  SELECT g, ts, k, n,
+         abs(CAST(sk AS DOUBLE) * CAST(n - k AS DOUBLE)
+             - CAST(s - sk AS DOUBLE) * CAST(k AS DOUBLE))
+           / (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)) AS dstat
+  FROM w WHERE k < n),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY g
+                               ORDER BY dstat DESC, k ASC) AS rn
+  FROM d)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k_star,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS split_ts,
+       floor(dstat * 1000000.0 + 0.5) / 1000000.0 AS dstat
+FROM r WHERE rn = 1
+""",
+)
+def q129_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection per event-type series: the
+    split index k maximizing the between-segment mean shift
+    |mean(1..k) − mean(k+1..n)| — the CUSUM-family statistic in its
+    exactly-certifiable form. The statistic is computed from EXACT
+    integer prefix sums (one cent-scaled cumulative window); the
+    per-k value is one fixed double expression over those integers
+    (numerator cross-multiplied onto the common denominator
+    k·(n−k)), so both engines rank identical bits and the argmax —
+    ties broken to the earliest k — is deterministic. Shape: two
+    windows and the argmax row_number all share ONE (event_type)
+    partitioning; a real deployment partitions by series id, which
+    is exactly this plan with a finer key."""
+    e = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    wo = Window.partitionBy("g").orderBy("ts", "event_id")
+    wp = Window.partitionBy("g")
+    w = (
+        e.withColumn("k", F.row_number().over(wo))
+        .withColumn(
+            "sk",
+            F.sum("vc").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("s", F.sum("vc").over(wp))
+        .withColumn("n", F.count("*").over(wp))
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    dstat = F.abs(
+        dbl(F.col("sk")) * dbl(F.col("n") - F.col("k"))
+        - dbl(F.col("s") - F.col("sk")) * dbl(F.col("k"))
+    ) / (dbl(F.col("k")) * dbl(F.col("n") - F.col("k")))
+    d = w.filter(F.col("k") < F.col("n")).withColumn("dstat", dstat)
+    rn = F.row_number().over(
+        Window.partitionBy("g").orderBy(F.col("dstat").desc(), F.col("k").asc())
+    )
+    return (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k_star"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("split_ts"),
+            stable_round(F.col("dstat"), 6).alias("dstat"),
+        )
+    )
+
+
+@query(
+    "q130_max_concurrency",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM t),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+iv AS (
+  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY user_id, sid),
+days AS (
+  SELECT s_start, s_end,
+         CAST(unnest(generate_series(CAST(s_start AS DATE),
+                                     CAST(s_end AS DATE),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM iv),
+pts AS (
+  SELECT day, greatest(s_start, CAST(day AS TIMESTAMP)) AS t,
+         1 AS delta
+  FROM days
+  UNION ALL
+  SELECT day, s_end, -1 FROM days WHERE CAST(s_end AS DATE) = day),
+agg AS (
+  SELECT day, t, delta, CAST(sum(delta) AS BIGINT) AS dsum
+  FROM pts GROUP BY day, t, delta),
+run AS (
+  SELECT day, sum(dsum) OVER (PARTITION BY day
+                              ORDER BY t ASC, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS r
+  FROM agg),
+mx AS (SELECT day, CAST(max(r) AS BIGINT) AS max_concurrent
+       FROM run GROUP BY day),
+ns AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sessions
+       FROM days GROUP BY day)
+SELECT strftime(mx.day, '%Y-%m-%d') AS day, n_sessions, max_concurrent
+FROM mx JOIN ns ON mx.day = ns.day
+""",
+)
+def q130_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — how many user sessions were active
+    simultaneously (the capacity-planning / license-audit query):
+    30-min-gap sessions become closed intervals, and a sweep line
+    (+1 at start, −1 at end, starts-before-ends at equal instants)
+    takes each day's running maximum. Runs on
+    operators/intervals.max_concurrency_by_day: multi-day sessions
+    are clipped into per-day segments (midnight carries the open
+    state in), and the sweep is a TWO-LEVEL prefix sum — per-
+    (day, hour) local running sums plus a ≤24-row carry window per
+    day — so no global sort and no whole-day single-task sort
+    exists; the oracle is the single-window sweep (equivalent by the
+    prefix-sum regroup, fine at oracle scale)."""
+    from vnavc_spark.operators.intervals import (
+        max_concurrency_by_day,
+        session_intervals,
+    )
+
+    e = table(spark, sf_dir, "events")
+    iv = session_intervals(e, gap_s=1800)
+    return max_concurrency_by_day(iv)
+
+
+@query(
+    "q131_triangle_count",
+    oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+sz AS (SELECT ok FROM b GROUP BY ok HAVING count(*) BETWEEN 2 AND 8),
+bb AS (SELECT b.ok, b.pk FROM b JOIN sz ON b.ok = sz.ok),
+e AS (
+  SELECT a.pk AS a, c.pk AS b
+  FROM bb a JOIN bb c ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY a.pk, c.pk HAVING count(*) >= 2),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)
+        GROUP BY x),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN
+         floor(CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0
+       ELSE 0.0 END AS clustering
+FROM agg CROSS JOIN ne CROSS JOIN tri
+""",
+)
+def q131_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph (edges = part pairs sharing ≥2 capped baskets,
+    q124's candidate shape) — the graph-cohesion audit behind
+    community detection and recommendation quality. Runs on
+    operators/graph.triangle_stats: degree-ordered wedge joins
+    (Suri-Vassilvitskii) bound every fan-out by ORIENTED degree ≈
+    O(sqrt(m)) — a raw hub of degree h would emit h² wedges; after
+    orientation no node emits more than its forward-degree's worth —
+    while the count stays exact and orientation-independent, which
+    is why the oracle can use plain id-ordered 3-way joins."""
+    from vnavc_spark.operators.graph import triangle_stats
+
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sz = (
+        b.groupBy("ok")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= 8))
+        .select("ok")
+    )
+    bb = b.join(sz, on="ok")
+    a = bb.select("ok", F.col("pk").alias("a"))
+    c = bb.select("ok", F.col("pk").alias("b"))
+    edges = (
+        a.join(c, on="ok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("pc"))
+        .filter(F.col("pc") >= 2)
+        .select("a", "b")
+    )
+    return triangle_stats(edges)
+
+
+@query(
+    "q132_pps_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE n_chars > 0),
+c AS (
+  SELECT doc_id, w,
+         sum(w) OVER (ORDER BY h, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM d)
+SELECT doc_id, w AS weight, CAST(cum AS BIGINT) AS cum_weight,
+       CAST((cum * 50) // tot - ((cum - w) * 50) // tot AS BIGINT)
+         AS mult
+FROM c CROSS JOIN t
+WHERE (cum * 50) // tot > ((cum - w) * 50) // tot
+""",
+)
+def q132_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of 50
+    documents weighted by character volume — the deterministic
+    weighted-sampling primitive for training-mixture draws (heavy
+    docs proportionally likelier; Σ multiplicity = 50 EXACTLY, no
+    RNG state, identical on any engine/cluster/partitioning). Runs
+    on operators/sampling.pps_systematic: md5-ordered mass layout,
+    integer step-boundary selection, and a two-level prefix sum (256
+    hash buckets + one 256-row carry window) instead of a global
+    sort — the certifiable alternative to exponential-key (A-ES)
+    weighted reservoirs, whose pow() keys differ across engines."""
+    from vnavc_spark.operators.sampling import pps_systematic
+
+    d = table(spark, sf_dir, "documents")
+    return pps_systematic(d, "doc_id", "n_chars", k=50)
+
+
+@query(
+    "q133_correlation_matrix",
+    oracle="""
+WITH a AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS p,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d
+  FROM lineitem),
+m AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+         CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(q * q) AS BIGINT) AS sqq,
+         CAST(sum(p * p) AS BIGINT) AS spp,
+         CAST(sum(d * d) AS BIGINT) AS sdd,
+         CAST(sum(q * p) AS BIGINT) AS sqp,
+         CAST(sum(q * d) AS BIGINT) AS sqd,
+         CAST(sum(p * d) AS BIGINT) AS spd
+  FROM a GROUP BY flag)
+SELECT flag, 'quantity' AS var_x, 'price' AS var_y, n,
+       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) > 0
+       THEN floor((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0
+       ELSE NULL END AS r
+FROM m
+UNION ALL
+SELECT flag, 'quantity', 'discount', n,
+       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) > 0
+       THEN floor((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                            - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0
+       ELSE NULL END AS r
+FROM m
+UNION ALL
+SELECT flag, 'price', 'discount', n,
+       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) > 0
+       THEN floor((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+                   - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                            - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0
+       ELSE NULL END AS r
+FROM m
+""",
+)
+def q133_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over (quantity, price, discount)
+    per return flag — the feature-collinearity audit. ONE map-side-
+    combinable aggregate collects all ten exact integer moments per
+    group (quantity/discount in cents, price in whole dollars so
+    second-order sums stay far from int64 overflow — at ≥10^10 rows
+    lift the moments to decimal(38), the q118/q119 convention); each
+    pair's r is then one fixed double expression over those exact
+    integers — products, sqrt (IEEE exact-rounded in both engines,
+    the q63 precedent), one division — so the matrix is
+    hash-certifiable. Degenerate (constant) columns yield NULL via
+    the same den > 0 branch on both engines. The three pair rows are
+    projections of the same tiny aggregate, unioned — no
+    array/struct output, no second corpus scan."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5))
+        .cast("long")
+        .alias("p"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("d"),
+    )
+    m = a.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).cast("long").alias("spp"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).cast("long").alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).cast("long").alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).cast("long").alias("spd"),
+    )
+    from vnavc_spark.cache import tracked_persist
+
+    m = tracked_persist(m, "corr_moments")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def pair(xname, yname, sx, sy, sxx, syy, sxy):
+        num = dbl("n") * dbl(sxy) - dbl(sx) * dbl(sy)
+        den = F.sqrt(dbl("n") * dbl(sxx) - dbl(sx) * dbl(sx)) * F.sqrt(
+            dbl("n") * dbl(syy) - dbl(sy) * dbl(sy)
+        )
+        r = F.when(den > 0, stable_round(num / den, 6)).otherwise(
+            F.lit(None).cast("double")
+        )
+        return m.select(
+            "flag",
+            F.lit(xname).alias("var_x"),
+            F.lit(yname).alias("var_y"),
+            "n",
+            r.alias("r"),
+        )
+
+    return (
+        pair("quantity", "price", "sq", "sp", "sqq", "spp", "sqp")
+        .unionByName(pair("quantity", "discount", "sq", "sd", "sqq", "sdd", "sqd"))
+        .unionByName(pair("price", "discount", "sp", "sd", "spp", "sdd", "spd"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
