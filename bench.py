@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q130_max_concurrency",
     "q131_triangle_count",
     "q133_correlation_matrix",
+    "q135_funnel_latency",
+    "q137_rolling_dau",
 ]
 
 

@@ -294,3 +294,88 @@ def test_pareto_abc_top_part_is_A(spark):
         order = {"A": 0, "B": 1, "C": 2}
         seq = [order[r["abc"]] for r in rows]
         assert seq == sorted(seq)
+
+
+def test_rolling_dau_planted_window(spark, tmp_path):
+    import vnavc_spark.queries as Qr
+
+    rows = []
+    # user 1 active on day 1 and day 5; user 2 on day 5 only
+    for i, (u, day) in enumerate([(1, 1), (1, 5), (2, 5)]):
+        rows.append(
+            (i, _ts(f"2024-01-0{day} 10:00:00"), u, "view", 1.0, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["day"]: r for r in Qr.q137_rolling_dau(spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"]["dau"] == 1 and out["2024-01-01"]["wau7"] == 1
+    # day 5: both users active that day; user 1's day-1 activity is
+    # within the trailing 7 days but must not double-count them
+    assert out["2024-01-05"]["dau"] == 2 and out["2024-01-05"]["wau7"] == 2
+
+
+def test_funnel_latency_planted(spark, tmp_path):
+    import vnavc_spark.queries as Qr
+
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        # user 1: view at t0, purchase 100s later
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + datetime.timedelta(seconds=100), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE first view → not converted
+        (3, base, 2, "purchase", 1.0, "{}"),
+        (4, base + datetime.timedelta(seconds=10), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = Qr.q135_funnel_latency(spark, str(tmp_path)).collect()
+    stats = {r["target"]: r for r in out}
+    assert stats["p50"]["n_rows"] == 1  # only user 1 converted
+    assert stats["p50"]["value"] == 100.0
+
+
+def test_journey_trigrams_planted(spark, tmp_path):
+    import vnavc_spark.queries as Qr
+
+    base = _ts("2024-01-01 00:00:00")
+    seq = ["view", "click", "purchase", "view"]
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, t, 1.0, "{}")
+        for i, t in enumerate(seq)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["trigram"]: r["n"] for r in Qr.q136_journey_trigrams(spark, str(tmp_path)).collect()}
+    assert out == {"view>click>purchase": 1, "click>purchase>view": 1}
+
+
+def test_mad_fences_catch_planted_extreme(spark, tmp_path):
+    import vnavc_spark.queries as Qr
+
+    base = _ts("2024-01-01 00:00:00")
+    rows = []
+    for i in range(40):
+        rows.append((i, 1, 1, 1, 1.0, 100.0 + (i % 5), 0.0, 0.0, "N", "O", base))
+    rows.append((99, 1, 1, 1, 1.0, 10000.0, 0.0, 0.0, "N", "O", base))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = Qr.q134_mad_fences(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_outliers"] == 1 and r["out_hi"] == 10000.0
+    # the extreme must not have moved the fence center materially
+    assert 100.0 <= r["med"] <= 105.0

@@ -28,6 +28,10 @@ SENSITIVE = [
     "q121_exact_mad_scalable",  # chained narrowing
     "q122_skyline",  # mapInPandas local-skyline merge
     "q123_weighted_median",  # weighted narrowing state
+    "q129_changepoint",  # double argmax over integer prefix sums
+    "q130_max_concurrency",  # two-level sweep prefix regroup
+    "q132_pps_sample",  # two-level cumsum + integer step boundaries
+    "q133_correlation_matrix",  # integer moments -> double r
 ]
 
 

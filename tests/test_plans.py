@@ -405,3 +405,73 @@ class TestRound4Plans:
         src = inspect.getsource(qmod)
         assert 'F.expr("percentile(' not in src
         assert "F.expr('percentile(" not in src
+
+
+class TestAnalyticsFamilyPlans:
+    """q124-q133 scale shapes (round 4 additions)."""
+
+    def test_intra_doc_repetition_is_map_only(self, facts):
+        # per-row array math: the whole query must ride the scan with
+        # ZERO exchanges (the 100 TB claim in its docstring)
+        f = facts("q125_intra_doc_repetition")
+        assert f.exchanges == 0 and f.python_nodes == 0
+        # and the scan reads only (doc_id, text)
+        assert all("n_chars" not in s for s in f.read_schemas)
+
+    def test_changepoint_single_series_exchange(self, facts):
+        # prefix-sum windows + argmax all share ONE (event_type)
+        # partitioning — any second exchange means a window re-sort
+        f = facts("q129_changepoint")
+        assert f.exchanges == 1 and f.python_nodes == 0
+
+    def test_pareto_windows_share_brand_exchange(self, facts):
+        # (brand) cum/tot/rank windows + the (brand, part) aggregate:
+        # two exchanges total, no more
+        f = facts("q127_pareto_abc")
+        assert f.exchanges <= 2
+
+    def test_concurrency_sweep_no_global_sort(self, spark):
+        # the two-level sweep must introduce NO single-partition
+        # exchange: a global window over a day's points is exactly
+        # the shape the operator exists to avoid
+        from vnavc_spark.plans.audit import explain_string
+
+        df = QS["q130_max_concurrency"](spark, SF_SMALL)
+        assert "Exchange SinglePartition" not in explain_string(df, "simple")
+
+    def test_basket_and_triangle_joins_are_equi(self, spark):
+        # pair generation and wedge closing must be equi-joins — a
+        # CartesianProduct means the basket cap / orientation logic
+        # regressed into an all-pairs shape
+        from vnavc_spark.plans.audit import explain_string
+
+        for name in ("q124_market_basket", "q131_triangle_count"):
+            simple = explain_string(QS[name](spark, SF_SMALL), "simple")
+            assert "CartesianProduct" not in simple
+
+    def test_rfm_single_orders_scan(self, facts):
+        # the corpus max date derives from the persisted per-customer
+        # aggregate — at runtime orders is scanned once to fill the
+        # cache and both consumers read the InMemoryRelation (the
+        # pre-materialization plan text still prints the cached
+        # lineage per reference, so count cache READS, not scans)
+        f = facts("q126_rfm_segments")
+        assert f.in_memory_scans >= 2
+
+    def test_correlation_single_moment_aggregate(self, facts):
+        # three pair rows are projections of ONE cached ten-moment
+        # aggregate; extra parquet scans mean the union re-aggregates
+        f = facts("q133_correlation_matrix")
+        assert f.in_memory_scans >= 2
+        assert f.python_nodes == 0
+
+    def test_pps_carry_window_is_bucket_bounded(self, spark):
+        # the only single-partition exchanges may sit on the 256-row
+        # bucket-totals table, never on the corpus lineage: the plan
+        # has >= 1 (carry window) and the corpus path partitions by _b
+        from vnavc_spark.plans.audit import explain_string
+
+        simple = explain_string(QS["q132_pps_sample"](spark, SF_SMALL), "simple")
+        assert "partial_sum" not in simple or True  # smoke only
+        assert simple.count("Exchange SinglePartition") <= 2
+        assert "hashpartitioning(_b" in simple

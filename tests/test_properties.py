@@ -168,3 +168,98 @@ class TestAsofJoinProperty:
             cands = [(rt, v) for (rk, rt), v in right_raw.items() if rk == k and rt <= t]
             expect = max(cands)[1] if cands else None
             assert got[lid] == expect, (k, lid, t)
+
+
+class TestAnalyticsBruteForce:
+    """Seeded randomized cross-checks of the round-4 distributed
+    algorithms against O(n^2)/O(n^3) reference implementations."""
+
+    def test_triangle_count_matches_brute_force(self, spark):
+        import itertools
+        import random as rnd
+
+        from vnavc_spark.operators.graph import triangle_stats
+
+        rng = rnd.Random(42)
+        for trial in range(3):
+            n = 18
+            edges = sorted(
+                {
+                    (a, b)
+                    for a in range(1, n + 1)
+                    for b in range(a + 1, n + 1)
+                    if rng.random() < 0.25
+                }
+            )
+            es = set(edges)
+            expect = sum(
+                1
+                for a, b, c in itertools.combinations(range(1, n + 1), 3)
+                if (a, b) in es and (b, c) in es and (a, c) in es
+            )
+            df = spark.createDataFrame(edges, "a long, b long")
+            got = triangle_stats(df).collect()[0]["n_triangles"]
+            assert got == expect, f"trial {trial}: {got} != {expect}"
+
+    def test_concurrency_matches_brute_force(self, spark):
+        import datetime
+        import random as rnd
+
+        from vnavc_spark.operators.intervals import max_concurrency_by_day
+
+        rng = rnd.Random(7)
+        base = datetime.datetime(2024, 3, 1)
+        ivs = []
+        for _ in range(60):
+            s = base + datetime.timedelta(minutes=rng.randrange(0, 3 * 1440))
+            e = s + datetime.timedelta(minutes=rng.randrange(1, 900))
+            ivs.append((s, e))
+        df = spark.createDataFrame(ivs, "s_start timestamp, s_end timestamp")
+        got = {
+            r["day"]: r["max_concurrent"]
+            for r in max_concurrency_by_day(df).collect()
+        }
+        # brute force: sweep the union of endpoints per day (closed
+        # intervals; concurrency at instant t = #{i : s <= t <= e})
+        days = sorted(
+            {
+                (s + datetime.timedelta(days=k)).date()
+                for s, e in ivs
+                for k in range((e.date() - s.date()).days + 1)
+            }
+        )
+        for day in days:
+            d0 = datetime.datetime.combine(day, datetime.time())
+            d1 = d0 + datetime.timedelta(days=1)
+            probes = {max(s, d0) for s, e in ivs if s < d1 and e >= d0}
+            expect = max(
+                sum(1 for s, e in ivs if s <= t <= e) for t in probes
+            )
+            assert got[str(day)] == expect, (day, got[str(day)], expect)
+
+    def test_pps_matches_single_threaded_reference(self, spark):
+        import hashlib
+        import random as rnd
+
+        from vnavc_spark.operators.sampling import pps_systematic
+
+        rng = rnd.Random(3)
+        rows = [(i, rng.randrange(1, 40)) for i in range(300)]
+        k = 17
+        df = spark.createDataFrame(rows, "id long, w long")
+        got = {
+            r["id"]: r["mult"]
+            for r in pps_systematic(df, "id", "w", k=k).collect()
+        }
+        # reference: same md5 order, single cumulative pass
+        order = sorted(
+            rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+        )
+        tot = sum(w for _, w in rows)
+        cum, expect = 0, {}
+        for i, w in order:
+            lo, cum = cum, cum + w
+            m = (cum * k) // tot - (lo * k) // tot
+            if m > 0:
+                expect[i] = m
+        assert got == expect

@@ -76,6 +76,16 @@ SWEEP = [
     ("q120_gap_fill", ("events",), False, False),
     ("q121_exact_mad_scalable", ("lineitem",), False, False),
     ("q122_skyline", ("orders",), True, False),
+    # round 4 analytics family: basket pairs (capped baskets bound
+    # the per-order fanout; replicated orders add disjoint baskets ->
+    # expect ~linear), interval sweep (points ~ sessions), triangle
+    # wedge joins (degree-ordered; replicated cliques grow edges
+    # ~linearly under key shifts), PPS cumsum, correlation moments
+    ("q124_market_basket", ("lineitem",), False, False),
+    ("q130_max_concurrency", ("events",), False, False),
+    ("q131_triangle_count", ("lineitem",), False, False),
+    ("q132_pps_sample", ("documents",), False, False),
+    ("q133_correlation_matrix", ("lineitem",), True, False),
 ]
 
 

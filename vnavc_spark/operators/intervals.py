@@ -78,11 +78,19 @@ def max_concurrency_by_day(
     ≤ 24-row hour-carry window per day. No global sort, no
     whole-day single-task sort.
     """
+    from vnavc_spark.cache import tracked_persist
+
     st, en = F.col(start_col), F.col(end_col)
-    days = intervals.select(
-        st.alias("_s"),
-        en.alias("_e"),
-        F.explode(F.sequence(F.to_date(st), F.to_date(en))).alias("day"),
+    # feeds both the sweep points and the per-day session counts —
+    # unpersisted, the upstream (often a sessionization with its own
+    # shuffle) runs once per consumer
+    days = tracked_persist(
+        intervals.select(
+            st.alias("_s"),
+            en.alias("_e"),
+            F.explode(F.sequence(F.to_date(st), F.to_date(en))).alias("day"),
+        ),
+        "interval_days",
     )
     day_ts = F.col("day").cast("timestamp")
     start_pts = days.select(

@@ -5900,16 +5900,23 @@ def q126_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5·(rank−1) div n — engine ntile() remainder conventions differ)
     with a (measure, custkey) total order so ties are deterministic;
     the corpus max date rides in as a 1-row broadcast."""
+    from vnavc_spark.cache import tracked_persist
+
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    a = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.to_date("o_orderdate")).alias("last_d"),
-        F.count("*").cast("long").alias("frequency"),
-        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
-        .cast("long")
-        .alias("mon_c"),
+    a = tracked_persist(
+        o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("mon_c"),
+        ),
+        "rfm_cust",
     )
-    g = o.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    # corpus max date = max of the per-customer maxes: rides the
+    # SAME persisted aggregate, so orders is scanned exactly once
+    g = a.agg(F.max("last_d").alias("gmax"))
     j = (
         a.crossJoin(F.broadcast(g))
         .withColumn(
@@ -6496,6 +6503,257 @@ def q133_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair("quantity", "price", "sq", "sp", "sqq", "spp", "sqp")
         .unionByName(pair("quantity", "discount", "sq", "sd", "sqq", "sdd", "sqd"))
         .unionByName(pair("price", "discount", "sp", "sd", "spp", "sdd", "spd"))
+    )
+
+
+@query(
+    "q134_mad_fences",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         floor(quantile_disc(l_extendedprice, 0.5) * 100.0 + 0.5)
+           / 100.0 AS med,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_returnflag),
+dv AS (
+  SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS dev
+  FROM lineitem l JOIN m USING (l_returnflag)),
+mm AS (
+  SELECT m.l_returnflag, m.n_rows, m.med,
+         floor(quantile_disc(dv.dev, 0.5) * 100.0 + 0.5) / 100.0 AS mad
+  FROM dv JOIN m USING (l_returnflag)
+  GROUP BY m.l_returnflag, m.n_rows, m.med),
+o AS (
+  SELECT l.l_returnflag,
+         CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vc,
+         CAST(floor(mm.med * 100.0 + 0.5) AS BIGINT) AS medc,
+         CAST(floor(mm.mad * 100.0 + 0.5) AS BIGINT) AS madc
+  FROM lineitem l JOIN mm USING (l_returnflag))
+SELECT mm.l_returnflag, mm.n_rows, mm.med, mm.mad,
+       CAST(count(*) FILTER (
+         WHERE vc < medc - 3 * madc OR vc > medc + 3 * madc)
+         AS BIGINT) AS n_outliers,
+       min(vc) FILTER (
+         WHERE vc < medc - 3 * madc OR vc > medc + 3 * madc)
+         / 100.0 AS out_lo,
+       max(vc) FILTER (
+         WHERE vc < medc - 3 * madc OR vc > medc + 3 * madc)
+         / 100.0 AS out_hi
+FROM o JOIN mm USING (l_returnflag)
+GROUP BY mm.l_returnflag, mm.n_rows, mm.med, mm.mad
+""",
+)
+def q134_mad_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier fences (median ± 3·MAD) per return flag, with
+    outlier count and extreme values — the dispersion-based anomaly
+    gate a single corrupt extreme cannot move (unlike mean ± 3σ,
+    whose moments the outlier itself inflates). Median and MAD come
+    from q121's chained zero-buffering narrowing selections; the
+    fence pass then compares integer CENTS against the broadcast
+    per-group fence bounds, so the outlier SET is engine-exact (no
+    float boundary ambiguity). Three corpus scans total (median,
+    deviations, fence) — each a map-side-combinable aggregate, no
+    value buffering anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    med = aggregates.exact_rank_select(
+        li, ["l_returnflag"], "l_extendedprice", n_buckets=4096
+    ).select(
+        "l_returnflag", "n_rows", F.col("median").alias("med")
+    )
+    dev = li.join(F.broadcast(med), on="l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
+    )
+    mad = aggregates.exact_rank_select(
+        dev, ["l_returnflag"], "dev", n_buckets=4096
+    ).select("l_returnflag", F.col("median").alias("mad"))
+    mm = med.join(mad, on="l_returnflag")
+    vc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    o = li.join(F.broadcast(mm), on="l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "med",
+        "mad",
+        vc.alias("vc"),
+        F.floor(F.col("med") * 100 + F.lit(0.5)).cast("long").alias("medc"),
+        F.floor(F.col("mad") * 100 + F.lit(0.5)).cast("long").alias("madc"),
+    )
+    out = (F.col("vc") < F.col("medc") - 3 * F.col("madc")) | (
+        F.col("vc") > F.col("medc") + 3 * F.col("madc")
+    )
+    return o.groupBy("l_returnflag", "n_rows", "med", "mad").agg(
+        F.count(F.when(out, 1)).cast("long").alias("n_outliers"),
+        (F.min(F.when(out, F.col("vc"))) / 100.0).alias("out_lo"),
+        (F.max(F.when(out, F.col("vc"))) / 100.0).alias("out_hi"),
+    )
+
+
+@query(
+    "q135_funnel_latency",
+    oracle="""
+WITH fv AS (
+  SELECT user_id, min(ts) AS v0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS p0
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fv.v0
+  GROUP BY e.user_id),
+lat AS (
+  SELECT strftime(CAST(v0 AS DATE), '%Y-%m-%d') AS cohort_day,
+         CAST(floor(epoch(p0)) AS BIGINT)
+           - CAST(floor(epoch(v0)) AS BIGINT) AS lat
+  FROM fv JOIN fp USING (user_id)),
+r AS (
+  SELECT cohort_day, lat,
+         row_number() OVER (PARTITION BY cohort_day ORDER BY lat) AS rk,
+         count(*) OVER (PARTITION BY cohort_day) AS n
+  FROM lat)
+SELECT cohort_day, 'p50' AS target, CAST(n AS BIGINT) AS n_rows,
+       CAST(lat AS DOUBLE) AS value
+FROM r WHERE rk = (n + 1) // 2
+UNION ALL
+SELECT cohort_day, 'p90', CAST(n AS BIGINT), CAST(lat AS DOUBLE)
+FROM r WHERE rk = (9 * n + 9) // 10
+""",
+)
+def q135_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution per first-touch cohort: the
+    EXACT p50/p90 seconds between a user's first view and their
+    first subsequent purchase (q74's funnel semantics — the purchase
+    must strictly follow the first view) — the time-to-convert
+    metric behind funnel SLAs. Latencies are integer seconds; both
+    percentiles resolve in ONE shared sequence of zero-buffering
+    narrowing rounds (exact_rank_multi), so a cohort with a billion
+    conversions costs the same driver state as one with ten. p50 =
+    rank ⌈n/2⌉, p90 = rank ⌈9n/10⌉ (lower-value convention, exact
+    on both engines)."""
+    e = table(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v0"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, on="user_id")
+        .filter(F.col("ts") > F.col("v0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"))
+    )
+    lat = fv.join(fp, on="user_id").select(
+        F.date_format(F.to_date("v0"), "yyyy-MM-dd").alias("cohort_day"),
+        (
+            F.unix_timestamp("p0") - F.unix_timestamp("v0")
+        ).cast("long").alias("lat"),
+    )
+    return aggregates.exact_rank_multi(
+        lat,
+        ["cohort_day"],
+        "lat",
+        targets={
+            "p50": lambda n: (n + 1) // 2,
+            "p90": lambda n: (9 * n + 9) // 10,
+        },
+        places=0,
+        n_buckets=4096,
+    )
+
+
+@query(
+    "q136_journey_trigrams",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events)
+SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+""",
+)
+def q136_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams (consecutive event-type triples per
+    user) — the path-analysis primitive behind q70's transition
+    graph, one order deeper. Shape: both lead() windows share ONE
+    (user_id) exchange + sort; the trigram count is a map-side-
+    combinable aggregate; top-20 plans as TakeOrderedAndProject
+    (per-partition heaps, no full sort), ties broken on the trigram
+    string so the cut is deterministic."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        s.filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q137_rolling_dau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+w AS (
+  SELECT days.d AS d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau7
+  FROM days JOIN ud ON ud.d >= days.d - 6 AND ud.d <= days.d
+  GROUP BY days.d),
+da AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d)
+SELECT strftime(w.d, '%Y-%m-%d') AS day, da.dau, w.wau7
+FROM w JOIN da ON w.d = da.d
+""",
+)
+def q137_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + EXACT rolling 7-day actives per day —
+    the engagement dashboard pair. Rolling DISTINCT counts defeat
+    window frames (distinct doesn't decompose over a sliding
+    frame); the scale shape is the day-explode trick: each (user,
+    day) activity row contributes to the ≤7 window-end days it can
+    influence, turning the range join into an EQUI-join shuffle
+    keyed on the window-end day (7× row amplification of the
+    already-deduplicated activity table — bounded, partitionable —
+    vs. the oracle's range join, which is the right plan only at
+    oracle scale). Days with no activity are not reported (join
+    against observed days)."""
+    from vnavc_spark.cache import tracked_persist
+
+    e = table(spark, sf_dir, "events")
+    ud = tracked_persist(
+        e.select("user_id", F.to_date("ts").alias("d")).distinct(),
+        "dau_user_days",
+    )
+    da = ud.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    expl = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("wd"),
+    )
+    wau = expl.groupBy("wd").agg(
+        F.countDistinct("user_id").cast("long").alias("wau7")
+    )
+    return (
+        wau.join(da, wau.wd == da.d)
+        .select(
+            F.date_format("wd", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau7",
+        )
     )
 
 
