@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "q133_correlation_matrix",
     "q135_funnel_latency",
     "q137_rolling_dau",
+    "q142_cart_abandonment",
+    "q143_embedding_outliers",
 ]
 
 

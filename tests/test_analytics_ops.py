@@ -379,3 +379,91 @@ def test_mad_fences_catch_planted_extreme(spark, tmp_path):
     assert r["n_outliers"] == 1 and r["out_hi"] == 10000.0
     # the extreme must not have moved the fence center materially
     assert 100.0 <= r["med"] <= 105.0
+
+
+def test_cart_abandonment_boundary(spark, tmp_path):
+    """Purchase exactly 3600s after the view converts; 3601s does
+    not; a purchase in the same second does not (strict psec>vsec)."""
+    import vnavc_spark.queries as Qr
+
+    base = _ts("2024-01-01 12:00:00")
+    rows = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + datetime.timedelta(seconds=3600), 1, "purchase", 1.0, "{}"),
+        (3, base, 2, "view", 1.0, "{}"),
+        (4, base + datetime.timedelta(seconds=3601), 2, "purchase", 1.0, "{}"),
+        (5, base, 3, "view", 1.0, "{}"),
+        (6, base, 3, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = Qr.q142_cart_abandonment(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_views"] == 3
+    assert r["n_converted"] == 1  # only user 1
+    assert r["n_abandoned"] == 2
+
+
+def test_embedding_outlier_planted(spark, tmp_path):
+    import vnavc_spark.queries as Qr
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [0.5, 0.5, 0.5], 1))
+    rows.append((99, [-0.9, 0.9, -0.9], 1))  # planted outlier
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = Qr.q143_embedding_outliers(spark, str(tmp_path)).collect()
+    top = sorted(out, key=lambda r: -r["dist"])[0]
+    assert top["vec_id"] == 99
+    assert top["dist"] > max(
+        r["dist"] for r in out if r["vec_id"] != 99
+    )
+
+
+def test_decile_lift_invariants(spark):
+    import vnavc_spark.queries as Qr
+    from tests.conftest import SF_SMALL
+
+    out = Qr.q138_decile_lift(spark, SF_SMALL).collect()
+    by_seg: dict = {}
+    for r in out:
+        by_seg.setdefault(r["seg"], []).append(r)
+    for seg, rows in by_seg.items():
+        rows.sort(key=lambda r: r["decile"])
+        assert rows[-1]["cum_share"] == 1.0  # cumulative closes at 1
+        shares = [r["share"] for r in rows]
+        # decile 1 (top spenders) must hold the largest share
+        assert shares[0] == max(shares)
+        assert all(1 <= r["decile"] <= 10 for r in rows)
+
+
+def test_interpurchase_gap_planted(spark, tmp_path):
+    import vnavc_spark.queries as Qr
+
+    base = _ts("2024-01-01 00:00:00")
+    orders = []
+    # customer 1 orders on days 0, 2, 6 → gaps 2, 4 → median 2
+    for i, day in enumerate((0, 2, 6)):
+        orders.append(
+            (i, 10, "O", 5.0, base + datetime.timedelta(days=day), "HIGH")
+        )
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, "c", 1, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    out = Qr.q140_interpurchase_gap(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 2 and out[0]["median"] == 2.0

@@ -6757,6 +6757,410 @@ def q137_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q138_decile_lift",
+    oracle="""
+WITH cs AS (
+  SELECT c_mktsegment AS seg, o_custkey AS custkey,
+         CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS spend_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey),
+w AS (
+  SELECT seg, spend_c,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY spend_c DESC, custkey) AS rk,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM cs),
+a AS (
+  SELECT seg, CAST(1 + (10 * (rk - 1)) // n AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(spend_c) AS BIGINT) AS rev_c
+  FROM w GROUP BY seg, 1 + (10 * (rk - 1)) // n),
+t AS (SELECT seg, CAST(sum(rev_c) AS BIGINT) AS tot_c FROM a GROUP BY seg),
+c2 AS (
+  SELECT a.seg, decile, n_customers, rev_c, tot_c,
+         sum(rev_c) OVER (PARTITION BY a.seg ORDER BY decile
+                          ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM a JOIN t ON a.seg = t.seg)
+SELECT seg, decile, n_customers, rev_c / 100.0 AS revenue,
+       floor(CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS share,
+       floor(CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+FROM c2
+""",
+)
+def q138_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table per market segment: customers ranked
+    by spend, cut into ten integer-arithmetic deciles, with each
+    decile's revenue share and cumulative share — the model-eval /
+    campaign-targeting primitive ("the top decile holds X% of
+    revenue"). Same scale stance as q126: one fact shuffle to the
+    customer-cardinality aggregate, all windows partitioned by
+    segment, decile = 1 + 10·(rank−1) div n (exact, engine-stable),
+    shares as single divisions of exact integer cents."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("spend_c")
+        )
+    )
+    ws = Window.partitionBy("seg")
+    w = cs.withColumn(
+        "rk",
+        F.row_number().over(
+            ws.orderBy(F.col("spend_c").desc(), F.col("custkey").asc())
+        ),
+    ).withColumn("n", F.count("*").over(ws))
+    a = (
+        w.withColumn(
+            "decile", F.expr("1 + (10 * (rk - 1)) div n").cast("long")
+        )
+        .groupBy("seg", "decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("spend_c").cast("long").alias("rev_c"),
+        )
+    )
+    t = a.groupBy("seg").agg(F.sum("rev_c").cast("long").alias("tot_c"))
+    c2 = a.join(t, on="seg").withColumn(
+        "cum_c",
+        F.sum("rev_c").over(
+            Window.partitionBy("seg")
+            .orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return c2.select(
+        "seg",
+        "decile",
+        "n_customers",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        stable_round(
+            F.col("rev_c").cast("double") / F.col("tot_c").cast("double"), 6
+        ).alias("share"),
+        stable_round(
+            F.col("cum_c").cast("double") / F.col("tot_c").cast("double"), 6
+        ).alias("cum_share"),
+    )
+
+
+@query(
+    "q139_seasonality_grid",
+    oracle="""
+SELECT CAST(((CAST(ts AS DATE) - DATE '1970-01-01' + 3) % 7) + 1
+            AS BIGINT) AS dow_iso,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hh,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(floor(value * 100.0 + 0.5)) / 100.0 AS total_value,
+       floor(CAST(sum(floor(value * 100.0 + 0.5)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0 * 10000.0 + 0.5)
+         / 10000.0 AS mean_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q139_seasonality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-week seasonality profile: the (ISO weekday × hour)
+    activity grid — the heatmap behind capacity planning and anomaly
+    baselines (q80's z-scores against THIS grid would be the
+    deployed detector). Weekday comes from pure epoch-day integer
+    arithmetic ((days+3) mod 7 + 1; engine dayofweek() conventions
+    disagree on week start), so the grid key is portable; one
+    map-side-combinable aggregate, 168 output rows at any scale."""
+    e = table(spark, sf_dir, "events")
+    days = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    sum_c = F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+    return (
+        e.groupBy(
+            ((days + 3) % 7 + 1).cast("long").alias("dow_iso"),
+            F.hour("ts").cast("long").alias("hh"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (sum_c / 100.0).alias("total_value"),
+            stable_round(
+                sum_c.cast("double") / F.count("*").cast("double") / 100.0,
+                4,
+            ).alias("mean_value"),
+        )
+    )
+
+
+@query(
+    "q140_interpurchase_gap",
+    oracle="""
+WITH o2 AS (
+  SELECT c_mktsegment AS seg, o_custkey AS ck,
+         CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+g AS (
+  SELECT seg,
+         CAST(d - lag(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey)
+              AS BIGINT) AS gap
+  FROM o2)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(quantile_disc(gap, 0.5) AS DOUBLE) AS median
+FROM g WHERE gap IS NOT NULL GROUP BY seg
+""",
+)
+def q140_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median days between consecutive orders per market segment —
+    the repurchase-cycle statistic behind churn windows and
+    replenishment campaigns. Gap derivation is one lag() window on
+    the customer key; the per-segment median then runs on the
+    zero-buffering narrowing selector (places=0 — gaps are integer
+    days), so a segment with a billion gaps costs constant driver
+    state. Lower-median convention matches DuckDB quantile_disc
+    (the q121 precedent)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    o2 = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("ck").orderBy("d", "o_orderkey")
+    g = o2.select(
+        "seg",
+        F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return aggregates.exact_rank_select(
+        g, ["seg"], "gap", places=0, n_buckets=4096
+    )
+
+
+@query(
+    "q141_new_vs_returning",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+fs AS (SELECT user_id, min(d) AS f FROM a GROUP BY user_id)
+SELECT strftime(a.d, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(count(*) FILTER (WHERE fs.f = a.d) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (WHERE fs.f < a.d) AS BIGINT)
+         AS returning_users
+FROM a JOIN fs ON a.user_id = fs.user_id GROUP BY a.d
+""",
+)
+def q141_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs returning active users — the acquisition/
+    retention split on every growth dashboard. Activity collapses to
+    DISTINCT (user, day) first (the q137 trick: the fact table never
+    reaches the window), first-seen dates are a per-user min
+    re-joined on the user key (AQE-broadcastable at dashboard
+    cardinalities), and the flags are exact date comparisons."""
+    from vnavc_spark.cache import tracked_persist
+
+    e = table(spark, sf_dir, "events")
+    a = tracked_persist(
+        e.select("user_id", F.to_date("ts").alias("d")).distinct(),
+        "nvr_user_days",
+    )
+    fs = a.groupBy("user_id").agg(F.min("d").alias("f"))
+    return (
+        a.join(fs, on="user_id")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("active_users"),
+            F.count(F.when(F.col("f") == F.col("d"), 1))
+            .cast("long")
+            .alias("new_users"),
+            F.count(F.when(F.col("f") < F.col("d"), 1))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
+
+
+@query(
+    "q142_cart_abandonment",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT DISTINCT v.event_id
+  FROM v JOIN p ON v.user_id = p.user_id
+  WHERE p.sec > v.sec AND p.sec <= v.sec + 3600)
+SELECT strftime(v.day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_views,
+       CAST(count(conv.event_id) AS BIGINT) AS n_converted,
+       CAST(count(*) - count(conv.event_id) AS BIGINT) AS n_abandoned,
+       floor(CAST(count(*) - count(conv.event_id) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS abandon_rate
+FROM v LEFT JOIN conv ON v.event_id = conv.event_id
+GROUP BY v.day
+""",
+)
+def q142_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart abandonment per day: views with NO same-user purchase in
+    the following hour (integer-second window, boundary-exact on
+    both engines) — the anti form of the interval join (q108 is the
+    match form). Scale shape: purchases bucket by hour once; each
+    view probes its own and the next hour bucket (a 2× explode of
+    ids+seconds only), so the time join is an EQUI-join on
+    (user, bucket) — no range join, no per-user sort — and the
+    oracle's raw time-window join is the plan that dies at scale.
+    Conversion flags come back via a distinct-id left join."""
+    from vnavc_spark.cache import tracked_persist
+
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    v = tracked_persist(
+        e.filter(F.col("event_type") == "view").select(
+            "event_id",
+            "user_id",
+            F.to_date("ts").alias("day"),
+            sec.alias("vsec"),
+        ),
+        "abandon_views",
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("psec"))
+        .withColumn("jb", F.expr("psec div 3600"))
+    )
+    vb = v.select(
+        "event_id",
+        "user_id",
+        "vsec",
+        F.explode(
+            F.array(
+                F.expr("vsec div 3600"),
+                F.expr("vsec div 3600 + 1"),
+            )
+        ).alias("jb"),
+    )
+    conv = (
+        vb.join(p, on=["user_id", "jb"])
+        .filter(
+            (F.col("psec") > F.col("vsec"))
+            & (F.col("psec") <= F.col("vsec") + 3600)
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    j = v.join(conv, on="event_id", how="left")
+    n_conv = F.count(F.col("_c"))
+    return j.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").cast("long").alias("n_views"),
+        n_conv.cast("long").alias("n_converted"),
+        (F.count("*") - n_conv).cast("long").alias("n_abandoned"),
+        stable_round(
+            (F.count("*") - n_conv).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("abandon_rate"),
+    )
+
+
+@query(
+    "q143_embedding_outliers",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, label,
+         unnest([i for i in range(1, len(embedding) + 1)]) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings),
+xi AS (
+  SELECT vec_id, label, pos,
+         CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xi
+  FROM x),
+cen AS (
+  SELECT label, pos, CAST(sum(xi) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM xi GROUP BY label, pos),
+t AS (
+  SELECT xi.vec_id, xi.label,
+         sum(CAST((cen.n * xi.xi - cen.s) * (cen.n * xi.xi - cen.s)
+                  AS DECIMAL(38,0))) AS d2n2,
+         max(cen.n) AS n
+  FROM xi JOIN cen ON xi.label = cen.label AND xi.pos = cen.pos
+  GROUP BY xi.vec_id, xi.label),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY d2n2 DESC, vec_id) AS rk
+  FROM t)
+SELECT label, vec_id,
+       floor(sqrt(CAST(d2n2 AS DOUBLE)) / CAST(n AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS dist
+FROM r WHERE rk <= 5
+""",
+)
+def q143_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the 5 vectors farthest from
+    their label centroid — the mislabel/contamination detector for
+    curated embedding corpora (SemDeDup's complement: q78 prunes
+    redundancy, this surfaces what doesn't belong). The ranking is
+    EXACT integer arithmetic end-to-end: with per-dim scaled sums
+    Sᵢ and count n, n²·dist² = Σ(n·xᵢ − Sᵢ)² — per-dim terms fit
+    int64 (≲4·10^17 at 10⁵ vectors/label; lift the squaring to
+    decimal(38) beyond), the cross-dim sum rides decimal(38)
+    exactly in any order, and ties break on vec_id. Only the
+    DISPLAYED distance touches floating point (sqrt + one division,
+    the q118 decimal→double precedent). Shape: posexplode → two
+    grouped integer aggregates; the labels×dims centroid table
+    broadcasts back onto the explode."""
+    em = table(spark, sf_dir, "embeddings")
+    x = em.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("xi"),
+    )
+    from vnavc_spark.cache import tracked_persist
+
+    x = tracked_persist(x, "emb_outlier_terms")
+    cen = x.groupBy("label", "pos").agg(
+        F.sum("xi").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    term = F.col("n") * F.col("xi") - F.col("s")
+    t = (
+        x.join(F.broadcast(cen), on=["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((term * term).cast("decimal(38,0)")).alias("d2n2"),
+            F.max("n").alias("n"),
+        )
+    )
+    r = t.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(
+                F.col("d2n2").desc(), F.col("vec_id").asc()
+            )
+        ),
+    )
+    return r.filter(F.col("rk") <= 5).select(
+        "label",
+        "vec_id",
+        stable_round(
+            F.sqrt(F.col("d2n2").cast("double")) / F.col("n").cast("double"),
+            6,
+        ).alias("dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
