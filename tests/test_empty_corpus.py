@@ -188,3 +188,64 @@ def test_text_queries_hash_match_on_unicode_corpus(spark, unicode_dir):
         if not r["ok"]:
             fails.append((name, r["rows_spark"], r["rows_duck"]))
     assert not fails, fails
+
+
+@pytest.fixture(scope="module")
+def nulls_oracle(nulls_dir):
+    from tests.oracle_harness import duckdb_connect
+
+    return duckdb_connect(nulls_dir)
+
+
+# Queries whose null-key semantics the round-4 cross-engine audit
+# either fixed (q41/q59/q70/q95/q136: NULL propagation through CASE
+# ladders, equi-join key loss in recursive folds, concat_ws-skips vs
+# ||-nulls, size(NULL) = -1 vs len(NULL) = NULL) or exercises hardest
+# (windows, lag/lead, grouping, and distinct over nullable payload
+# columns). HASH-compared vs DuckDB on the null-injected corpus —
+# the plain survival sweep above can't see a silent value divergence.
+NULL_SENSITIVE = [
+    "q41_lang_id",
+    "q59_sequence_packing",
+    "q70_transition_pagerank",
+    "q95_rolling_fingerprint",
+    "q136_journey_trigrams",
+    "q31_sessionize",
+    "q32_hourly_stats",
+    "q40_quality_scores",
+    "q51_c4_gate",
+    "q57_vocabulary",
+    "q63_temperature_mixture",
+    "q66_stratified_split",
+    "q73_cohort_retention",
+    "q75_scd2_history",
+    "q80_outlier_zscore",
+    "q96_grouping_sets",
+    "q125_intra_doc_repetition",
+    "q126_rfm_segments",
+    "q129_changepoint",
+    "q130_max_concurrency",
+    "q137_rolling_dau",
+    "q139_seasonality_grid",
+    "q141_new_vs_returning",
+    "q142_cart_abandonment",
+]
+
+
+def test_null_sensitive_queries_hash_match_on_null_corpus(
+    spark, nulls_dir, nulls_oracle
+):
+    from tests.oracle_harness import compare
+    from vnavc_spark.queries import all_oracles
+
+    oracles = all_oracles()
+    qs = all_queries()
+    fails = []
+    for name in NULL_SENSITIVE:
+        try:
+            r = compare(spark, nulls_oracle, qs[name], oracles[name], nulls_dir)
+            if not r["ok"]:
+                fails.append((name, "hash/rows mismatch"))
+        except Exception as e:  # noqa: BLE001
+            fails.append((name, str(e).splitlines()[0][:120]))
+    assert not fails, fails

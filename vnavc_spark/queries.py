@@ -1402,7 +1402,7 @@ def q40_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id, lang,
          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 s AS (
   SELECT doc_id, lang,
          len(list_filter(toks, t -> t IN ('the','and','of','is','to'))) AS s_en,
@@ -1430,7 +1430,13 @@ def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word hits, ties broken toward
     the lexicographically larger code — the struct-max semantics of
     the Spark expression) + accuracy vs the labeled lang column."""
-    d = table(spark, sf_dir, "documents")
+    # null-text docs are DROPPED (defined null semantics — a NULL
+    # propagating through the marker-count CASE ladder classifies as
+    # 'de' in SQL but 'und' in the Spark expression; the null-corpus
+    # cross-engine audit caught exactly this)
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     g = d.select(
         "lang", Q.lang_id("text").alias("guess")
     )
@@ -2186,7 +2192,7 @@ def q58_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH RECURSIVE
 t AS (SELECT lang, doc_id, CAST({_TOK_COUNT_SQL} AS BIGINT) AS n_tokens
-      FROM documents),
+      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
 seq AS (SELECT lang, doc_id, n_tokens,
                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS idx
         FROM t),
@@ -2224,8 +2230,17 @@ def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     every (doc → pack, position) assignment."""
     from vnavc_spark.operators.ordering import pack_greedy
 
-    d = table(spark, sf_dir, "documents").select(
-        "lang", "doc_id", Q.token_count("text").cast("long").alias("n_tokens")
+    # null shard keys and null text are DROPPED (defined null
+    # semantics: a NULL lang never equi-joins in the oracle's
+    # recursive fold, silently losing the whole shard)
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "lang",
+            "doc_id",
+            Q.token_count("text").cast("long").alias("n_tokens"),
+        )
     )
     return pack_greedy(d, "lang", "doc_id", "n_tokens", capacity=200)
 
@@ -2720,7 +2735,7 @@ WITH seq AS (
   SELECT event_type,
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS nxt
-  FROM events),
+  FROM events WHERE event_type IS NOT NULL),
 edges AS (SELECT event_type AS src, nxt AS dst, count(*) AS cnt
           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
 deg AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS deg
@@ -2758,7 +2773,12 @@ def q70_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.pagerank_integer."""
     from vnavc_spark.operators.graph import pagerank_integer
 
-    ev = table(spark, sf_dir, "events")
+    # null-typed events are DROPPED BEFORE the lead window (defined
+    # null semantics: filtering after would keep A->NULL/NULL->B
+    # stubs whose join behavior differs across engines)
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
         ev.select(
@@ -3975,7 +3995,8 @@ def q94_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q95_rolling_fingerprint",
     oracle=f"""
-WITH toks AS (SELECT doc_id, {TOKS_SQL.format(c="text")} AS x FROM documents)
+WITH toks AS (SELECT doc_id, {TOKS_SQL.format(c="text")} AS x
+              FROM documents WHERE text IS NOT NULL)
 SELECT doc_id,
        CAST(len(x) AS BIGINT) AS n_toks,
        list_reduce(
@@ -3994,7 +4015,11 @@ def q95_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow on any engine. Map-only (zero shuffle): the fold is a
     per-row HOF whose lambda touches only (acc, element) — none of
     the captured-outer-expression re-evaluation that bit q25."""
-    d = table(spark, sf_dir, "documents")
+    # null-text docs are DROPPED (defined null semantics:
+    # Spark size(NULL) is -1 where DuckDB len(NULL) is NULL)
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     toks = Q.tokens(Q.normalized_text("text"))
     ints = F.transform(
         toks,
@@ -6669,7 +6694,7 @@ WITH s AS (
                                    ORDER BY ts, event_id) AS t2,
          lead(event_type, 2) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS t3
-  FROM events)
+  FROM events WHERE event_type IS NOT NULL)
 SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
        CAST(count(*) AS BIGINT) AS n
 FROM s WHERE t3 IS NOT NULL
@@ -6684,7 +6709,12 @@ def q136_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable aggregate; top-20 plans as TakeOrderedAndProject
     (per-partition heaps, no full sort), ties broken on the trigram
     string so the cut is deterministic."""
-    e = table(spark, sf_dir, "events")
+    # null-typed events are DROPPED before the windows (defined
+    # null semantics: concat_ws SKIPS a null middle part in Spark
+    # while || nulls the whole trigram in SQL)
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = e.select(
         "event_type",
