@@ -173,6 +173,7 @@ UNICODE_SENSITIVE = (
     "q95_rolling_fingerprint",
     "q109_ngram_novelty",
     "q114_nucleus_vocab",
+    "q125_intra_doc_repetition",  # round-4: per-row n-gram arrays
 )
 
 
