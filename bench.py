@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "q137_rolling_dau",
     "q142_cart_abandonment",
     "q143_embedding_outliers",
+    "q144_shipping_priority",
+    "q148_topk_per_group",
 ]
 
 

@@ -467,3 +467,48 @@ def test_interpurchase_gap_planted(spark, tmp_path):
     out = Qr.q140_interpurchase_gap(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0]["n_rows"] == 2 and out[0]["median"] == 2.0
+
+
+def test_equiwidth_histogram_invariants(spark):
+    import vnavc_spark.queries as Qr
+    from tests.conftest import SF_SMALL
+
+    out = sorted(
+        Qr.q146_equiwidth_histogram(spark, SF_SMALL).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert 1 <= len(out) <= 10
+    # bins tile the range contiguously and fracs sum to ~1
+    for a, b in zip(out, out[1:]):
+        assert b["bin_lo"] >= a["bin_lo"]
+    total = sum(r["cnt"] for r in out)
+    assert abs(sum(r["frac"] for r in out) - 1.0) < 1e-4
+    assert total > 0
+
+
+def test_weighted_p90_dominates_weighted_median(spark):
+    import vnavc_spark.queries as Qr
+    from tests.conftest import SF_SMALL
+
+    p90 = {r["l_returnflag"]: r["qvalue"]
+           for r in Qr.q147_weighted_p90(spark, SF_SMALL).collect()}
+    p50 = {r["l_returnflag"]: r["wmedian"]
+           for r in Qr.q123_weighted_median(spark, SF_SMALL).collect()}
+    for g in p90:
+        assert p90[g] >= p50[g]
+
+
+def test_weighted_quantile_heavy_mass_pull(spark):
+    from vnavc_spark.operators.aggregates import weighted_quantile_select
+
+    # 9 rows of value 1 with weight 1, one row of value 100 with
+    # weight 81: p90 rank = ceil(0.9*90) = 81 ... cumulative mass of
+    # value 1 is 9, so the p90 must land on the heavy value
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0)] * 9 + [(1, 100.0, 81.0)],
+        "g int, v double, w double",
+    )
+    out = weighted_quantile_select(
+        df, ["g"], "v", "w", q_num=9, q_den=10, places=2, weight_places=0
+    ).collect()
+    assert out[0]["qvalue"] == 100.0

@@ -32,6 +32,8 @@ SENSITIVE = [
     "q130_max_concurrency",  # two-level sweep prefix regroup
     "q132_pps_sample",  # two-level cumsum + integer step boundaries
     "q133_correlation_matrix",  # integer moments -> double r
+    "q144_shipping_priority",  # top-k cut under ties
+    "q147_weighted_p90",  # weighted narrowing state
 ]
 
 

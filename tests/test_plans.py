@@ -475,3 +475,33 @@ class TestAnalyticsFamilyPlans:
         assert "partial_sum" not in simple or True  # smoke only
         assert simple.count("Exchange SinglePartition") <= 2
         assert "hashpartitioning(_b" in simple
+
+
+class TestClassicQueryPlans:
+    """q144-q148 (round-4 window fillers)."""
+
+    def test_q3_analog_pushes_all_predicates(self, facts):
+        f = facts("q144_shipping_priority")
+        joined = " | ".join(f.pushed_filters)
+        assert "EqualTo(c_mktsegment,BUILDING)" in joined
+        assert "LessThan(o_orderdate" in joined
+        assert "GreaterThan(l_shipdate" in joined
+        assert f.take_ordered  # top-10 is a heap merge, not a sort
+        # lineitem scan pruned to the 4 needed columns
+        li = [s for s in f.read_schemas if "l_orderkey" in s][0]
+        assert "l_tax" not in li and "l_quantity" not in li
+
+    def test_grouped_topk_uses_window_group_limit(self, spark):
+        # the rank<=3 predicate must push into the window sort so no
+        # brand materializes its full sorted part list
+        from vnavc_spark.plans.audit import explain_string
+
+        simple = explain_string(
+            QS["q148_topk_per_group"](spark, SF_SMALL), "simple"
+        )
+        assert "WindowGroupLimit" in simple
+
+    def test_histogram_two_scan_shape(self, facts):
+        # bounds + counts: two parquet scans, bounds broadcast back
+        f = facts("q146_equiwidth_histogram")
+        assert f.parquet_scans <= 2

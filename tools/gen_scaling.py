@@ -86,6 +86,9 @@ SWEEP = [
     ("q131_triangle_count", ("lineitem",), False, False),
     ("q132_pps_sample", ("documents",), False, False),
     ("q133_correlation_matrix", ("lineitem",), True, False),
+    # classic selective join + grouped top-k (WindowGroupLimit)
+    ("q144_shipping_priority", ("lineitem", "orders"), True, False),
+    ("q148_topk_per_group", ("lineitem",), False, False),
 ]
 
 

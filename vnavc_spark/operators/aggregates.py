@@ -1023,3 +1023,57 @@ def weighted_rank_select(
         ]
     )
     return spark.createDataFrame(out_rows, schema)
+
+
+def weighted_quantile_select(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int,
+    q_den: int,
+    places: int = 2,
+    weight_places: int = 2,
+    n_buckets: int = 4096,
+    max_rounds: int = 12,
+    max_groups: int = RANK_MAX_GROUPS,
+) -> DataFrame:
+    """EXACT weighted quantile at unbounded scale — the
+    :func:`weighted_rank_select` machinery generalized to any
+    rational quantile q_num/q_den: the smallest value whose
+    cumulative weight mass reaches ⌈q·W⌉ (lower-value convention;
+    the oracle mirror is ``cum·q_den >= q_num·W + q_den - 1`` ... or
+    equivalently ``cum >= (q_num·W + q_den - 1) div q_den``). Same
+    zero-buffering cost shape as the weighted median (which is the
+    q=1/2 special case).
+
+    Returns (group_cols..., total_weight, qvalue).
+    """
+    from pyspark.sql import types as T
+
+    wscale = 10**weight_places
+    rank_fn = lambda w: (q_num * w + q_den - 1) // q_den  # noqa: E731
+    state, scale, spark = _exact_ranks_core(
+        df,
+        group_cols,
+        value_col,
+        {"_r": rank_fn},
+        places,
+        n_buckets,
+        max_rounds,
+        max_groups,
+        weight_col=weight_col,
+        weight_places=weight_places,
+    )
+    out_rows = [
+        (*s["group"], s["n"] / wscale, s["lo"] / scale)
+        for s in state.values()
+    ]
+    schema = T.StructType(
+        _group_fields(df, group_cols)
+        + [
+            T.StructField("total_weight", T.DoubleType(), False),
+            T.StructField("qvalue", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)

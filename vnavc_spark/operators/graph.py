@@ -99,8 +99,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     from vnavc_spark.cache import tracked_persist
     from vnavc_spark.functions.portable import stable_round
 
+    # defensive dedup: a repeated input edge would inflate every
+    # count downstream (edge-table-sized, costs one tiny shuffle)
     e = tracked_persist(
-        edges.select(F.col("a").cast("long"), F.col("b").cast("long")),
+        edges.select(
+            F.col("a").cast("long"), F.col("b").cast("long")
+        ).distinct(),
         "tri_edges",
     )
     deg = tracked_persist(

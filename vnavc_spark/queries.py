@@ -7191,6 +7191,258 @@ def q143_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q144_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5))
+         / 100.0 AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate  > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def q144_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog (shipping priority): the top 10 highest-value
+    orders not yet shipped at the cutoff for one market segment —
+    the classic selective star join. Both date predicates and the
+    segment filter push into the parquet scans (the lineitem scan
+    reads 4 columns of 11); the customer side shrinks to one segment
+    before its join; top-10 plans as TakeOrderedAndProject with the
+    orderkey tiebreak making the cut deterministic."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-15"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-15"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q145_late_shipment_split",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (
+         WHERE CAST(l_shipdate AS DATE)
+               > CAST(o_orderdate AS DATE) + 90) AS BIGINT) AS late_lines,
+       floor(CAST(count(*) FILTER (
+               WHERE CAST(l_shipdate AS DATE)
+                     > CAST(o_orderdate AS DATE) + 90) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS late_rate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q145_late_shipment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-flavored shipping SLA audit: per order priority, the
+    count and rate of line items shipped more than 90 days after the
+    order date. The lateness flag is an exact DATE comparison
+    (date + integer days — identical calendars on both engines);
+    one fact-fact join on the order key, then a map-side-combinable
+    conditional aggregate; the rate is one terminal division."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    late = F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 90)
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.count(F.when(late, 1)).cast("long").alias("late_lines"),
+        stable_round(
+            F.count(F.when(late, 1)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("late_rate"),
+    )
+
+
+@query(
+    "q146_equiwidth_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM lineitem),
+r AS (SELECT CAST(min(vc) AS BIGINT) AS lo, CAST(max(vc) AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS n FROM b),
+w AS (SELECT lo, hi, n,
+             CAST((hi - lo + 10) // 10 AS BIGINT) AS bw FROM r),
+h AS (
+  SELECT least((vc - lo) // bw, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM b CROSS JOIN w GROUP BY least((vc - lo) // bw, 9))
+SELECT CAST(h.bin AS BIGINT) AS bin,
+       (w.lo + h.bin * w.bw) / 100.0 AS bin_lo,
+       (w.lo + (h.bin + 1) * w.bw) / 100.0 AS bin_hi,
+       h.cnt,
+       floor(CAST(h.cnt AS DOUBLE) / CAST(w.n AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS frac
+FROM h CROSS JOIN w
+""",
+)
+def q146_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of line-item quantity — the
+    data-profiling primitive behind q79's summary stats (the shape,
+    not just the extremes). Bin geometry is all integer arithmetic
+    on cent-scaled values: ceil-width buckets cover the full range
+    (the exact-rank narrowing lesson — floor widths orphan the top
+    band) with the max value clamped into the last bin. Two scans
+    (bounds, counts) with the 1-row bounds broadcast; both
+    aggregates are map-side-combinable."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("vc")
+    )
+    r = b.agg(
+        F.min("vc").cast("long").alias("lo"),
+        F.max("vc").cast("long").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    ).withColumn("bw", F.expr("(hi - lo + 10) div 10").cast("long"))
+    h = (
+        b.crossJoin(F.broadcast(r))
+        .withColumn("bin", F.least(F.expr("(vc - lo) div bw"), F.lit(9)))
+        .groupBy("bin", "lo", "bw", "n")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return h.select(
+        F.col("bin").cast("long").alias("bin"),
+        ((F.col("lo") + F.col("bin") * F.col("bw")) / 100.0).alias("bin_lo"),
+        (
+            (F.col("lo") + (F.col("bin") + 1) * F.col("bw")) / 100.0
+        ).alias("bin_hi"),
+        "cnt",
+        stable_round(
+            F.col("cnt").cast("double") / F.col("n").cast("double"), 6
+        ).alias("frac"),
+    )
+
+
+@query(
+    "q147_weighted_p90",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vc,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS w
+  FROM lineitem WHERE floor(l_quantity * 100.0 + 0.5) > 0),
+a AS (SELECT g, vc, sum(w) AS w FROM v GROUP BY g, vc),
+c AS (SELECT g, vc,
+             sum(w) OVER (PARTITION BY g ORDER BY vc
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY g) AS tot
+      FROM a)
+SELECT g AS l_returnflag,
+       CAST(tot AS BIGINT) / 100.0 AS total_weight,
+       min(vc) / 100.0 AS qvalue
+FROM c WHERE cum >= (9 * tot + 10 - 1) // 10
+GROUP BY g, tot
+""",
+)
+def q147_weighted_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted p90 price per return flag — the
+    volume-weighted tail statistic (what price bound covers 90% of
+    shipped units) on aggregates.weighted_quantile_select: the
+    weighted-median machinery generalized to any rational quantile
+    (rank = ⌈q·W⌉), same zero-buffering narrowing rounds, driver
+    state, and scan count as q123 (which is the q = 1/2 special
+    case). The oracle is the cumulative-mass window form."""
+    li = table(spark, sf_dir, "lineitem")
+    return aggregates.weighted_quantile_select(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+        q_num=9,
+        q_den=10,
+        places=2,
+        weight_places=2,
+        n_buckets=4096,
+    )
+
+
+@query(
+    "q148_topk_per_group",
+    oracle="""
+WITH pr AS (
+  SELECT p_brand AS brand, l_partkey AS partkey,
+         CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT)
+           AS rev_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_partkey),
+r AS (
+  SELECT brand, partkey, rev_c,
+         row_number() OVER (PARTITION BY brand
+                            ORDER BY rev_c DESC, partkey) AS rk
+  FROM pr)
+SELECT brand, CAST(rk AS BIGINT) AS rk, partkey,
+       rev_c / 100.0 AS revenue
+FROM r WHERE rk <= 3
+""",
+)
+def q148_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per brand — grouped top-k, the
+    leaderboard primitive (q18 is the GLOBAL top-k; this is the
+    per-group form that TakeOrdered cannot plan). One fact shuffle
+    to the (brand, part) aggregate, one (brand) window with a
+    deterministic (revenue, partkey) order, rank filter ≤ 3 —
+    Spark pushes the rank predicate into the sort via
+    WindowGroupLimit, so no brand ever materializes its full part
+    list post-sort."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    pr = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("brand").orderBy(
+            F.col("rev_c").desc(), F.col("partkey").asc()
+        )
+    )
+    return (
+        pr.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("brand", "rk", "partkey", (F.col("rev_c") / 100.0).alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
