@@ -5755,7 +5755,7 @@ def q124_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: baskets collapse to DISTINCT (order, part) ids
     first, mega-baskets are CAPPED (2-8 items — the same
     degenerate-bucket cap stance as the LSH band join: an n-item
-    basket emits n(n-2)/2 pairs, so one 10^5-item order would emit
+    basket emits n(n-1)/2 pairs, so one 10^5-item order would emit
     5·10^9 rows), and the pair self-join ships only (order, part)
     ids on the order key. Lift's filter-free display value is one
     terminal division of exact BIGINT products
