@@ -263,3 +263,54 @@ class TestAnalyticsBruteForce:
             if m > 0:
                 expect[i] = m
         assert got == expect
+
+
+class TestWeightedQuantileReference:
+    """Randomized cross-check of weighted_quantile_select against a
+    single-threaded sorted-cumulative reference — guards the
+    narrowing machinery's weighted rank arithmetic on skewed and
+    duplicate-heavy distributions (the ADVICE-bug neighborhood)."""
+
+    def test_random_weighted_quantiles_match_reference(self, spark):
+        import random as rnd
+
+        from vnavc_spark.operators.aggregates import (
+            weighted_quantile_select,
+        )
+
+        rng = rnd.Random(11)
+        for trial, (qn, qd) in enumerate([(1, 2), (9, 10), (1, 4)]):
+            rows = []
+            for g in ("a", "b"):
+                for _ in range(150):
+                    # heavy duplicate mass + occasional extreme
+                    v = rng.choice([1.0, 2.0, 2.0, 3.0, 50.0])
+                    w = float(rng.randrange(1, 6))
+                    rows.append((g, v, w))
+            # mass concentrated at the maximum (the fixed floor-width
+            # stall case)
+            rows += [("c", 0.0, 1.0)] * 10 + [("c", 100.01, 1.0)] * 50
+            df = spark.createDataFrame(rows, "g string, v double, w double")
+            got = {
+                r["g"]: r["qvalue"]
+                for r in weighted_quantile_select(
+                    df, ["g"], "v", "w", q_num=qn, q_den=qd,
+                    places=2, weight_places=0,
+                ).collect()
+            }
+            # reference: sort by value, walk cumulative integer mass
+            from collections import defaultdict
+
+            by_g = defaultdict(list)
+            for g, v, w in rows:
+                by_g[g].append((round(v * 100), int(w)))
+            for g, vals in by_g.items():
+                vals.sort()
+                tot = sum(w for _, w in vals)
+                rank = (qn * tot + qd - 1) // qd
+                cum = 0
+                for vc, w in vals:
+                    cum += w
+                    if cum >= rank:
+                        assert got[g] == vc / 100.0, (trial, g, got[g], vc)
+                        break
