@@ -512,3 +512,22 @@ def test_weighted_quantile_heavy_mass_pull(spark):
         df, ["g"], "v", "w", q_num=9, q_den=10, places=2, weight_places=0
     ).collect()
     assert out[0]["qvalue"] == 100.0
+
+
+def test_embedding_outliers_no_int64_overflow_on_large_label(spark, tmp_path):
+    """Regression (round-4 review): the per-dim squared term used to
+    be squared in int64 — with unit-scale components the square
+    wraps once a label holds ~1.5k vectors, silently corrupting the
+    ranking while the DuckDB oracle errors. The decimal(19)² lift
+    must keep the planted extreme on top at 2k vectors/label."""
+    import vnavc_spark.queries as Qr
+
+    rows = [(i, [1.0 if i % 2 else -1.0, 1.0, -1.0], 1) for i in range(2000)]
+    rows.append((9999, [-1.0, -1.0, 1.0], 1))  # far from the mean
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = Qr.q143_embedding_outliers(spark, str(tmp_path)).collect()
+    assert all(r["dist"] >= 0 for r in out)  # a wrap would go negative
+    top = max(out, key=lambda r: r["dist"])
+    assert top["vec_id"] == 9999

@@ -1453,7 +1453,7 @@ def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (SELECT l_returnflag,
                   floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS x
-           FROM lineitem),
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
 r AS (SELECT l_returnflag, x,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
              count(*) OVER (PARTITION BY l_returnflag) AS n
@@ -5038,7 +5038,7 @@ def q112_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q113_exact_median_scalable",
     oracle="""
 WITH v AS (SELECT l_returnflag, floor(l_extendedprice * 100.0 + 0.5) AS vi
-           FROM lineitem),
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
 r AS (SELECT l_returnflag, vi,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY vi)
                AS rn,
@@ -5117,7 +5117,7 @@ def q114_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (SELECT l_returnflag,
                   floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS x
-           FROM lineitem),
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
 r AS (SELECT l_returnflag, x,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
              count(*) OVER (PARTITION BY l_returnflag) AS n
@@ -5589,11 +5589,13 @@ WITH m AS (
          floor(quantile_disc(l_extendedprice, 0.5) * 100.0 + 0.5)
            / 100.0 AS med,
          CAST(count(*) AS BIGINT) AS n_rows
-  FROM lineitem GROUP BY l_returnflag),
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag),
 d AS (
   SELECT l.l_returnflag,
          abs(l.l_extendedprice - m.med) AS dev
-  FROM lineitem l JOIN m USING (l_returnflag))
+  FROM lineitem l JOIN m USING (l_returnflag)
+  WHERE l.l_extendedprice IS NOT NULL)
 SELECT m.l_returnflag, m.n_rows, m.med,
        floor(quantile_disc(d.dev, 0.5) * 100.0 + 0.5) / 100.0 AS mad
 FROM d JOIN m USING (l_returnflag)
@@ -5691,7 +5693,8 @@ WITH v AS (
   SELECT l_returnflag AS g,
          CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vc,
          CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS w
-  FROM lineitem WHERE floor(l_quantity * 100.0 + 0.5) > 0),
+  FROM lineitem WHERE floor(l_quantity * 100.0 + 0.5) > 0
+    AND l_extendedprice IS NOT NULL),
 a AS (SELECT g, vc, sum(w) AS w FROM v GROUP BY g, vc),
 c AS (SELECT g, vc,
              sum(w) OVER (PARTITION BY g ORDER BY vc
@@ -5729,18 +5732,74 @@ def q123_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q124_market_basket",
-    oracle="""
-WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-sz AS (SELECT ok FROM b GROUP BY ok HAVING count(*) BETWEEN 2 AND 8),
+# Shared basket constants — q124 (association rules) and q131
+# (co-purchase graph) must describe the SAME capped-basket candidate
+# shape; the oracles interpolate these so there is one source of
+# truth for the cap and the support floor.
+BASKET_MIN, BASKET_MAX, PAIR_MIN_SUPPORT = 2, 8, 2
+
+#: Oracle CTE chain for the capped distinct baskets + supported pairs
+#: (shared verbatim by the q124 and q131 oracles).
+_BASKET_PAIRS_SQL = f"""b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+sz AS (SELECT ok FROM b GROUP BY ok
+       HAVING count(*) BETWEEN {BASKET_MIN} AND {BASKET_MAX}),
 bb AS (SELECT b.ok, b.pk FROM b JOIN sz ON b.ok = sz.ok),
-nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM bb),
-ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM bb GROUP BY pk),
 pr AS (
   SELECT a.pk AS part_a, c.pk AS part_b, CAST(count(*) AS BIGINT) AS pair_cnt
   FROM bb a JOIN bb c ON a.ok = c.ok AND a.pk < c.pk
-  GROUP BY a.pk, c.pk HAVING count(*) >= 2)
+  GROUP BY a.pk, c.pk HAVING count(*) >= {PAIR_MIN_SUPPORT})"""
+
+
+def _capped_basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (order, part) basket items with mega-baskets CAPPED
+    ([BASKET_MIN, BASKET_MAX] items — the degenerate-bucket cap
+    stance of the LSH band join: an n-item basket emits n(n-1)/2
+    pairs, so one 10^5-item order would emit 5·10^9 rows). Persisted:
+    it feeds scalar totals, per-item counts, and BOTH pair-join sides
+    — unpersisted, every consumer replays the distinct."""
+    from vnavc_spark.cache import tracked_persist
+
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sz = (
+        b.groupBy("ok")
+        .agg(F.count("*").alias("_n"))
+        .filter(
+            (F.col("_n") >= BASKET_MIN) & (F.col("_n") <= BASKET_MAX)
+        )
+        .select("ok")
+    )
+    # reuse_same_plan: driver testdata is immutable in-session, so
+    # q131 following q124 shares the warm cache instead of
+    # rebuilding the identical plan
+    return tracked_persist(
+        b.join(sz, on="ok"), "basket_items", reuse_same_plan=True
+    )
+
+
+def _basket_pair_counts(bb: DataFrame) -> DataFrame:
+    """Supported co-purchase pairs (part_a < part_b, count ≥
+    PAIR_MIN_SUPPORT) from the capped basket items — the self-join
+    ships only (order, part) ids on the order key."""
+    a = bb.select("ok", F.col("pk").alias("part_a"))
+    c = bb.select("ok", F.col("pk").alias("part_b"))
+    return (
+        a.join(c, on="ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= PAIR_MIN_SUPPORT)
+    )
+
+
+@query(
+    "q124_market_basket",
+    oracle=f"""
+WITH {_BASKET_PAIRS_SQL},
+nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM bb),
+ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM bb GROUP BY pk)
 SELECT part_a, part_b, pair_cnt, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
        floor(CAST(pair_cnt * n_baskets AS DOUBLE)
              / CAST(ia.cnt * ib.cnt AS DOUBLE) * 1000000.0 + 0.5)
@@ -5752,41 +5811,16 @@ CROSS JOIN nb
 def q124_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (co-purchase support + lift)
     over order baskets — the recommendation / affinity primitive.
-    Scale shape: baskets collapse to DISTINCT (order, part) ids
-    first, mega-baskets are CAPPED (2-8 items — the same
-    degenerate-bucket cap stance as the LSH band join: an n-item
-    basket emits n(n-1)/2 pairs, so one 10^5-item order would emit
-    5·10^9 rows), and the pair self-join ships only (order, part)
-    ids on the order key. Lift's filter-free display value is one
-    terminal division of exact BIGINT products
-    (pair·N over cnt_a·cnt_b — the q119 collocation form on baskets
-    instead of token streams)."""
-    from vnavc_spark.cache import tracked_persist
-
-    li = table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    sz = (
-        b.groupBy("ok")
-        .agg(F.count("*").alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= 8))
-        .select("ok")
-    )
-    # feeds the scalar total, per-item counts, and BOTH pair-join
-    # sides — unpersisted, every consumer replays the distinct
-    bb = tracked_persist(b.join(sz, on="ok"), "basket_items")
+    Scale shape: see :func:`_capped_basket_items` /
+    :func:`_basket_pair_counts` (shared with q131's co-purchase
+    graph). Lift's filter-free display value is one terminal
+    division of exact BIGINT products (pair·N over cnt_a·cnt_b —
+    the q119 collocation form on baskets instead of token
+    streams)."""
+    bb = _capped_basket_items(spark, sf_dir)
     nb = bb.agg(F.countDistinct("ok").cast("long").alias("n_baskets"))
     ic = bb.groupBy("pk").agg(F.count("*").cast("long").alias("cnt"))
-    a = bb.select("ok", F.col("pk").alias("part_a"))
-    c = bb.select("ok", F.col("pk").alias("part_b"))
-    pr = (
-        a.join(c, on="ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= 2)
-    )
+    pr = _basket_pair_counts(bb)
     ia = ic.select(F.col("pk").alias("part_a"), F.col("cnt").alias("cnt_a"))
     ib = ic.select(F.col("pk").alias("part_b"), F.col("cnt").alias("cnt_b"))
     return (
@@ -5995,6 +6029,26 @@ def q126_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _brand_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(brand, part) revenue in exact integer cents — the shared
+    aggregate behind q127 (ABC classes) and q148 (grouped top-k);
+    one source of truth for the join and the cent-scaling tree."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+
+
 @query(
     "q127_pareto_abc",
     oracle="""
@@ -6029,23 +6083,11 @@ def q127_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cent cross products ((cum−rev)·5 < tot·4 — no float
     share ever computed), so the class set is engine-exact and every
     brand's top part is always A. One fact shuffle builds the
-    (brand, part) aggregate; both windows share one (brand)
-    partitioning — brands are bounded-cardinality, and a hot brand
-    still holds only its own part list, not raw lineitems."""
-    li = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part")
-    pr = (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .groupBy(
-            F.col("p_brand").alias("brand"),
-            F.col("l_partkey").alias("partkey"),
-        )
-        .agg(
-            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
-            .cast("long")
-            .alias("rev_c")
-        )
-    )
+    (brand, part) aggregate (_brand_part_revenue, shared with
+    q148); both windows share one (brand) partitioning — brands are
+    bounded-cardinality, and a hot brand still holds only its own
+    part list, not raw lineitems."""
+    pr = _brand_part_revenue(spark, sf_dir)
     wo = Window.partitionBy("brand").orderBy(
         F.col("rev_c").desc(), F.col("partkey").asc()
     )
@@ -6297,14 +6339,9 @@ def q130_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q131_triangle_count",
-    oracle="""
-WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-sz AS (SELECT ok FROM b GROUP BY ok HAVING count(*) BETWEEN 2 AND 8),
-bb AS (SELECT b.ok, b.pk FROM b JOIN sz ON b.ok = sz.ok),
-e AS (
-  SELECT a.pk AS a, c.pk AS b
-  FROM bb a JOIN bb c ON a.ok = c.ok AND a.pk < c.pk
-  GROUP BY a.pk, c.pk HAVING count(*) >= 2),
+    oracle=f"""
+WITH {_BASKET_PAIRS_SQL},
+e AS (SELECT part_a AS a, part_b AS b FROM pr),
 deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
         FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)
         GROUP BY x),
@@ -6334,30 +6371,15 @@ def q131_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sqrt(m)) — a raw hub of degree h would emit h² wedges; after
     orientation no node emits more than its forward-degree's worth —
     while the count stays exact and orientation-independent, which
-    is why the oracle can use plain id-ordered 3-way joins."""
+    is why the oracle can use plain id-ordered 3-way joins. Edges
+    come from the SAME persisted capped-basket pipeline as q124
+    (_capped_basket_items / _basket_pair_counts — one source of
+    truth for the cap and support constants)."""
     from vnavc_spark.operators.graph import triangle_stats
 
-    li = table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    sz = (
-        b.groupBy("ok")
-        .agg(F.count("*").alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= 8))
-        .select("ok")
-    )
-    bb = b.join(sz, on="ok")
-    a = bb.select("ok", F.col("pk").alias("a"))
-    c = bb.select("ok", F.col("pk").alias("b"))
-    edges = (
-        a.join(c, on="ok")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("pc"))
-        .filter(F.col("pc") >= 2)
-        .select("a", "b")
-    )
+    edges = _basket_pair_counts(
+        _capped_basket_items(spark, sf_dir)
+    ).select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
     return triangle_stats(edges)
 
 
@@ -6539,10 +6561,12 @@ WITH m AS (
          floor(quantile_disc(l_extendedprice, 0.5) * 100.0 + 0.5)
            / 100.0 AS med,
          CAST(count(*) AS BIGINT) AS n_rows
-  FROM lineitem GROUP BY l_returnflag),
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag),
 dv AS (
   SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS dev
-  FROM lineitem l JOIN m USING (l_returnflag)),
+  FROM lineitem l JOIN m USING (l_returnflag)
+  WHERE l.l_extendedprice IS NOT NULL),
 mm AS (
   SELECT m.l_returnflag, m.n_rows, m.med,
          floor(quantile_disc(dv.dev, 0.5) * 100.0 + 0.5) / 100.0 AS mad
@@ -6553,7 +6577,8 @@ o AS (
          CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vc,
          CAST(floor(mm.med * 100.0 + 0.5) AS BIGINT) AS medc,
          CAST(floor(mm.mad * 100.0 + 0.5) AS BIGINT) AS madc
-  FROM lineitem l JOIN mm USING (l_returnflag))
+  FROM lineitem l JOIN mm USING (l_returnflag)
+  WHERE l.l_extendedprice IS NOT NULL)
 SELECT mm.l_returnflag, mm.n_rows, mm.med, mm.mad,
        CAST(count(*) FILTER (
          WHERE vc < medc - 3 * madc OR vc > medc + 3 * madc)
@@ -7117,8 +7142,8 @@ cen AS (
   FROM xi GROUP BY label, pos),
 t AS (
   SELECT xi.vec_id, xi.label,
-         sum(CAST((cen.n * xi.xi - cen.s) * (cen.n * xi.xi - cen.s)
-                  AS DECIMAL(38,0))) AS d2n2,
+         sum(CAST(cen.n * xi.xi - cen.s AS DECIMAL(19,0))
+             * CAST(cen.n * xi.xi - cen.s AS DECIMAL(19,0))) AS d2n2,
          max(cen.n) AS n
   FROM xi JOIN cen ON xi.label = cen.label AND xi.pos = cen.pos
   GROUP BY xi.vec_id, xi.label),
@@ -7138,9 +7163,11 @@ def q143_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated embedding corpora (SemDeDup's complement: q78 prunes
     redundancy, this surfaces what doesn't belong). The ranking is
     EXACT integer arithmetic end-to-end: with per-dim scaled sums
-    Sᵢ and count n, n²·dist² = Σ(n·xᵢ − Sᵢ)² — per-dim terms fit
-    int64 (≲4·10^17 at 10⁵ vectors/label; lift the squaring to
-    decimal(38) beyond), the cross-dim sum rides decimal(38)
+    Sᵢ and count n, n²·dist² = Σ(n·xᵢ − Sᵢ)² — the per-dim term is
+    int64-safe (|n·xᵢ − Sᵢ| ≤ 2n·10⁶ for unit-norm components) but
+    its SQUARE is not past ~1.5k vectors per label, so the squaring
+    runs in decimal(19)² → decimal(38) on both engines (exact to
+    ~10¹² vectors/label); the cross-dim sum rides decimal(38)
     exactly in any order, and ties break on vec_id. Only the
     DISPLAYED distance touches floating point (sqrt + one division,
     the q118 decimal→double precedent). Shape: posexplode → two
@@ -7164,12 +7191,16 @@ def q143_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xi").cast("long").alias("s"),
         F.count("*").cast("long").alias("n"),
     )
-    term = F.col("n") * F.col("xi") - F.col("s")
+    # square in DECIMAL: the int64 per-dim term n·xᵢ−Sᵢ is ≤ ~2n·10⁶
+    # for unit-norm components, so an int64 SQUARE wraps (silently,
+    # non-ANSI) once a label holds ~1.5k vectors — the decimal(19)²
+    # product is exact to n ≈ 10¹² vectors/label
+    term = (F.col("n") * F.col("xi") - F.col("s")).cast("decimal(19,0)")
     t = (
         x.join(F.broadcast(cen), on=["label", "pos"])
         .groupBy("vec_id", "label")
         .agg(
-            F.sum((term * term).cast("decimal(38,0)")).alias("d2n2"),
+            F.sum(term * term).alias("d2n2"),
             F.max("n").alias("n"),
         )
     )
@@ -7353,7 +7384,8 @@ WITH v AS (
   SELECT l_returnflag AS g,
          CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vc,
          CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS w
-  FROM lineitem WHERE floor(l_quantity * 100.0 + 0.5) > 0),
+  FROM lineitem WHERE floor(l_quantity * 100.0 + 0.5) > 0
+    AND l_extendedprice IS NOT NULL),
 a AS (SELECT g, vc, sum(w) AS w FROM v GROUP BY g, vc),
 c AS (SELECT g, vc,
              sum(w) OVER (PARTITION BY g ORDER BY vc
@@ -7416,21 +7448,9 @@ def q148_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (revenue, partkey) order, rank filter ≤ 3 —
     Spark pushes the rank predicate into the sort via
     WindowGroupLimit, so no brand ever materializes its full part
-    list post-sort."""
-    li = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part")
-    pr = (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .groupBy(
-            F.col("p_brand").alias("brand"),
-            F.col("l_partkey").alias("partkey"),
-        )
-        .agg(
-            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
-            .cast("long")
-            .alias("rev_c")
-        )
-    )
+    list post-sort. Rides _brand_part_revenue (shared with
+    q127)."""
+    pr = _brand_part_revenue(spark, sf_dir)
     rk = F.row_number().over(
         Window.partitionBy("brand").orderBy(
             F.col("rev_c").desc(), F.col("partkey").asc()
