@@ -668,6 +668,13 @@ def _exact_ranks_core(
         # share ONE counting pass. The join ships each base row once
         # per DISTINCT bounds, not once per target, and the count
         # cells key on a compact integer id.
+        #
+        # Keep the BROADCAST JOIN even though the bounds table is
+        # tiny: replacing it with literal CASE chains (bounds baked
+        # into the expressions) was MEASURED SLOWER (q121 4.8→6.0 s)
+        # — the literals change every round, so each round compiles a
+        # fresh janino class, while the join keeps one stable plan
+        # shape that hits the generated-class cache.
         uniq: dict = {}
         for (k, t), s in open_t.items():
             uniq.setdefault((k, s["lo"], s["hi"], ceil_width(s)), len(uniq))
