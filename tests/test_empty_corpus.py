@@ -238,6 +238,7 @@ NULL_SENSITIVE = [
     # review: oracles must drop null-value rows like the Spark core)
     "q42_percentiles",
     "q113_exact_median_scalable",
+    "q115_exact_percentiles_scalable",
     "q121_exact_mad_scalable",
     "q123_weighted_median",
     "q134_mad_fences",

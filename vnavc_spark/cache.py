@@ -56,7 +56,12 @@ def tracked_persist(
             # sameResult is Catalyst's own plan-equivalence check.
             old = prev[0]
             try:
-                if (
+                # sameResult is a pure canonicalized-plan comparison
+                # — it succeeds even for a DataFrame from a STOPPED
+                # session (identical paths analyze identically), so
+                # reuse additionally requires the SAME live session
+                # object or the caller gets a dead-context DataFrame
+                if old.sparkSession is df.sparkSession and (
                     old._jdf.queryExecution()
                     .analyzed()
                     .sameResult(df._jdf.queryExecution().analyzed())

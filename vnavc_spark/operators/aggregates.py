@@ -1048,11 +1048,15 @@ def weighted_quantile_select(
     """EXACT weighted quantile at unbounded scale — the
     :func:`weighted_rank_select` machinery generalized to any
     rational quantile q_num/q_den: the smallest value whose
-    cumulative weight mass reaches ⌈q·W⌉ (lower-value convention;
-    the oracle mirror is ``cum·q_den >= q_num·W + q_den - 1`` ... or
-    equivalently ``cum >= (q_num·W + q_den - 1) div q_den``). Same
-    zero-buffering cost shape as the weighted median (which is the
-    q=1/2 special case).
+    cumulative weight mass reaches rank
+    ``(q_num·W + q_den - 1) div q_den`` (⌈q·W⌉, lower-value
+    convention). An oracle MUST mirror this exact floor-div form —
+    the cross-multiplied rendering ``cum·q_den >= q_num·W + q_den −
+    1`` is NOT equivalent (it demands one extra unit of mass
+    whenever q_den divides q_num·W: q=1/2, W=8 → rank 4 vs cum ≥ 5 —
+    the even-total-mass off-by-one that bit q123's first oracle).
+    Same zero-buffering cost shape as the weighted median (which is
+    the q=1/2 special case).
 
     Returns (group_cols..., total_weight, qvalue).
     """
