@@ -252,7 +252,10 @@ def pps_systematic(
     each bucket takes a local running sum, bucket totals carry
     forward through one 256-row window — so no global single-task
     sort exists. cum·k must fit int64: fine to ~10^14 total mass at
-    k=10^4; the decimal(38) lift applies beyond.
+    k=10^4; the decimal(38) lift applies beyond. ENFORCED at
+    runtime: a plan-side assert_true fails the job if total·k would
+    exceed int64 (non-ANSI Spark would otherwise wrap silently and
+    corrupt the sample; DuckDB raises).
 
     Returns (id_col, weight, cum_weight, mult) for selected rows.
     """
@@ -281,6 +284,20 @@ def pps_systematic(
         local.join(F.broadcast(carry), on="_b")
         .withColumn("_cum", F.col("_carry") + F.col("_lcum"))
         .crossJoin(F.broadcast(tot))
+    )
+    # runtime overflow guard (round-4 advice): cum·k rides int64 and
+    # non-ANSI Spark would WRAP silently past 2^63 (DuckDB raises) —
+    # corrupting the sample with no error. The already-broadcast
+    # total bounds every cum, so one cheap per-row assert makes an
+    # oversize corpus fail loudly instead of sampling wrongly.
+    j = j.filter(
+        F.assert_true(
+            F.col("_t") <= F.lit((2**63 - 1) // max(k, 1)),
+            F.lit(
+                f"pps_systematic: total weight mass * k={k} exceeds "
+                "int64 — rescale weights or lift to decimal(38,0)"
+            ),
+        ).isNull()
     )
     hi = F.expr(f"(_cum * {k}) div _t")
     lo = F.expr(f"((_cum - _w) * {k}) div _t")

@@ -7520,9 +7520,69 @@ _R2_CERTIFIED: frozenset[str] = frozenset({
 _DRIVER_CERTIFIED: frozenset[str] = _certified_from_artifacts() | _R2_CERTIFIED
 
 
+def impl_fingerprint(name: str) -> str:
+    """Implementation fingerprint of a registered query: sha256 of
+    the query function's SOURCE TEXT plus its oracle SQL. A green
+    driver row certifies one specific implementation — if the source
+    (or the oracle it is hashed against) changes, the certification
+    is stale and the query must rotate back into the driver window
+    (round-4 verdict: q42 was rewritten onto the narrowing machinery
+    but kept its r02 certification because the rotation keyed on
+    name alone)."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(QUERIES[name])
+    return hashlib.sha256(
+        (src + "\x00" + ORACLE.get(name, "")).encode("utf-8")
+    ).hexdigest()
+
+
+def _certified_fingerprints() -> dict[str, str]:
+    """Snapshot of each query's fingerprint AS OF its last green
+    driver row (docs/CERT_FINGERPRINTS.json, regenerated by
+    tools/update_fingerprints.py after each round's CORRECTNESS
+    artifact lands). Missing file → empty dict (legacy name-only
+    behavior via _certification_order's fallback)."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "docs", "CERT_FINGERPRINTS.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except Exception:
+        return {}
+    return {k: v for k, v in data.items() if isinstance(v, str)}
+
+
+def _is_certified(
+    name: str,
+    certified_names: frozenset[str],
+    snapshot: dict[str, str],
+    current_fp: Callable[[str], str],
+) -> bool:
+    """A query is certified iff the driver has a green row for its
+    NAME and the snapshot fingerprint for that name matches the
+    CURRENT implementation — a re-implemented query sorts back into
+    the uncertified head even though its name already has a green
+    row. An empty snapshot (file absent) degrades to name-only."""
+    if name not in certified_names:
+        return False
+    if not snapshot:
+        return True
+    return snapshot.get(name) == current_fp(name)
+
+
 def _certification_order(names) -> list[str]:
-    head = [k for k in names if k not in _DRIVER_CERTIFIED]
-    tail = [k for k in names if k in _DRIVER_CERTIFIED]
+    snapshot = _certified_fingerprints()
+    cert = {
+        k: _is_certified(k, _DRIVER_CERTIFIED, snapshot, impl_fingerprint)
+        for k in names
+    }
+    head = [k for k in names if not cert[k]]
+    tail = [k for k in names if cert[k]]
     return head + tail
 
 
