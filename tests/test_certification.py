@@ -105,3 +105,121 @@ def test_live_registry_mutation_moves_query_to_head():
         assert order[0] == name or name in order[:head_size]
     finally:
         qmod._certified_fingerprints = orig_loader
+
+
+# ---------------------------------------------------------------------------
+# regime 2: operator-dependency closure (round-5 verdict item #2 —
+# the pps_systematic guard changed q132's plan without rotating it)
+# ---------------------------------------------------------------------------
+
+
+def test_dep_closure_reaches_local_imports_and_module_attrs():
+    from vnavc_spark import queries as qmod
+
+    # q132 pulls pps_systematic via a function-LOCAL import
+    c132 = qmod.dep_closure(qmod.QUERIES["q132_pps_sample"])
+    assert "vnavc_spark.operators.sampling.pps_systematic" in c132
+    # q131 reaches its operator through module-attribute access
+    # (graph.triangle_stats) and a queries.py-local helper
+    c131 = qmod.dep_closure(qmod.QUERIES["q131_triangle_count"])
+    assert "vnavc_spark.operators.graph.triangle_stats" in c131
+    assert "vnavc_spark.queries._basket_pair_counts" in c131
+
+
+def test_dep_closure_excludes_other_queries():
+    # a query's closure must never include ANOTHER query function —
+    # otherwise editing q01 would rotate unrelated certifications
+    from vnavc_spark import queries as qmod
+
+    for name in list(qmod.QUERIES)[:30]:
+        closure = qmod.dep_closure(qmod.QUERIES[name])
+        leaked = [
+            k
+            for k in closure
+            if k.split(".")[-1] in qmod.QUERIES and k.split(".")[-1] != name
+        ]
+        assert not leaked, f"{name} closure leaked queries: {leaked}"
+
+
+def test_operator_edit_rotates_dependent_query():
+    # simulate an edit to operators/sampling.pps_systematic via the
+    # _source_of seam: q132's fingerprint must change (it would
+    # rotate back into the driver window); q01's must not
+    from vnavc_spark import queries as qmod
+    from vnavc_spark.operators.sampling import pps_systematic
+
+    qmod._FP_CACHE.clear()
+    before_132 = impl_fingerprint("q132_pps_sample")
+    before_01 = impl_fingerprint("q01_region_revenue")
+    orig = qmod._source_of
+
+    def edited(obj):
+        src = orig(obj)
+        if obj is pps_systematic:
+            return src + "\n# simulated operator edit"
+        return src
+
+    qmod._source_of = edited
+    qmod._FP_CACHE.clear()
+    try:
+        assert impl_fingerprint("q132_pps_sample") != before_132
+        assert impl_fingerprint("q01_region_revenue") == before_01
+    finally:
+        qmod._source_of = orig
+        qmod._FP_CACHE.clear()
+
+
+def test_update_tool_refuses_changed_without_green_row(tmp_path):
+    # the tool must not re-stamp a changed fingerprint unless the
+    # NEWEST CORRECTNESS artifact carries a green row for that name
+    # (round-5 ADVICE, medium): q51 is outside the r05 window, so a
+    # fake stale stamp for it must survive regeneration; q01 is
+    # inside, so its fake stale stamp must be refreshed
+    import importlib.util
+
+    from vnavc_spark.queries import FP_REGIME
+
+    spec = importlib.util.spec_from_file_location(
+        "update_fingerprints", os.path.join(ROOT, "tools", "update_fingerprints.py")
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    green = tool.newest_green_rows()
+    assert "q01_region_revenue" in green
+    assert "q51_c4_gate" not in green  # r05 window was q01–q50
+
+    snap = tmp_path / "CERT_FINGERPRINTS.json"
+    fake = {
+        "__regime__": FP_REGIME,
+        "q01_region_revenue": "0" * 64,
+        "q51_c4_gate": "1" * 64,
+    }
+    snap.write_text(json.dumps(fake))
+    tool.SNAP_PATH = str(snap)
+    tool.main()
+    out = json.loads(snap.read_text())
+    assert out["q01_region_revenue"] == impl_fingerprint("q01_region_revenue")
+    assert out["q51_c4_gate"] == "1" * 64, "re-stamped without evidence"
+    assert out["__regime__"] == FP_REGIME
+    # every registered query got an entry; refused one stays stale
+    assert set(QUERIES) <= set(out)
+
+
+def test_update_tool_idempotent_on_pristine_snapshot(tmp_path):
+    # regenerating over the committed snapshot is a no-op (proves the
+    # committed stamps match the current tree)
+    import importlib.util
+    import shutil
+
+    spec = importlib.util.spec_from_file_location(
+        "update_fingerprints2", os.path.join(ROOT, "tools", "update_fingerprints.py")
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    snap = tmp_path / "CERT_FINGERPRINTS.json"
+    shutil.copy(SNAP_PATH, snap)
+    before = json.loads(snap.read_text())
+    tool.SNAP_PATH = str(snap)
+    tool.main()
+    assert json.loads(snap.read_text()) == before

@@ -7520,15 +7520,222 @@ _R2_CERTIFIED: frozenset[str] = frozenset({
 _DRIVER_CERTIFIED: frozenset[str] = _certified_from_artifacts() | _R2_CERTIFIED
 
 
+FP_REGIME = 2
+"""Fingerprint-regime version, stored in docs/CERT_FINGERPRINTS.json
+as ``__regime__``. Bump when the HASH FUNCTION changes (not when
+query code changes) so tools/update_fingerprints.py can distinguish
+"every hash differs because the regime changed" from "the code
+changed" and migrate unchanged-code entries without evidence of a
+fresh driver row. Regime history: 1 = query source + oracle SQL;
+2 = regime 1 + transitive vnavc_spark dependency closure (round-5
+verdict item #2: the pps_systematic guard changed q132's plan but
+not its regime-1 fingerprint, so its certification went stale)."""
+
+
+def _source_of(obj) -> str:
+    """Source text of a dependency object (monkeypatch seam for the
+    rotation tests — lets a test simulate an operator edit without
+    touching files)."""
+    import inspect
+
+    try:
+        return inspect.getsource(obj)
+    except (OSError, TypeError):
+        return repr(obj)
+
+
+def _code_names(code) -> set[str]:
+    """Global/attribute names referenced by a code object, including
+    nested lambdas / comprehensions / local defs."""
+    import types
+
+    names = set(code.co_names)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            names |= _code_names(c)
+    return names
+
+
+def dep_closure(fn) -> dict[str, str]:
+    """Transitive ``vnavc_spark.*`` dependency sources reachable from
+    ``fn``: {qualified name -> source text}.
+
+    Resolution is static-ish: the code object's referenced names are
+    looked up in the function's globals. Three cases are hashed:
+
+    - a directly referenced vnavc_spark function/class (``from m
+      import f`` style, or same-module helpers like
+      ``_brand_part_revenue``) — its source, recursively;
+    - an attribute reached through a referenced vnavc_spark MODULE
+      (``aggregates.exact_rank_multi`` style — queries.py's import
+      idiom): every referenced attribute name that resolves on that
+      module to a vnavc_spark function/class, recursively (attribute
+      names of OTHER objects may over-match; over-inclusion only
+      rotates more, never less);
+    - a referenced vnavc_spark module none of whose referenced
+      attributes resolved (dynamic getattr) — the whole module
+      source as a coarse fallback;
+    - function-LOCAL imports (``from vnavc_spark.x import y`` inside
+      the body — q132's idiom), found by an AST scan of the source,
+      resolved through importlib.
+
+    Class dependencies hash the class source and recurse into its
+    methods' own dependencies.
+    """
+    import inspect
+    import types
+
+    seen: set[int] = set()
+    out: dict[str, str] = {}
+
+    def visit_class(cls) -> None:
+        if id(cls) in seen:
+            return
+        seen.add(id(cls))
+        qual = f"{cls.__module__}.{cls.__qualname__}"
+        out.setdefault(qual, _source_of(cls))
+        for member in vars(cls).values():
+            if isinstance(member, (staticmethod, classmethod)):
+                member = member.__func__
+            if inspect.isfunction(member):
+                visit(member)
+
+    def visit_value(val, names) -> None:
+        import types
+
+        if isinstance(val, types.ModuleType):
+            mod_name = getattr(val, "__name__", "")
+            if not mod_name.startswith("vnavc_spark"):
+                return
+            hit = False
+            for attr in sorted(names):
+                av = getattr(val, attr, None)
+                if av is None:
+                    continue
+                am = getattr(av, "__module__", "") or ""
+                if not am.startswith("vnavc_spark"):
+                    continue
+                if inspect.isfunction(av):
+                    out.setdefault(f"{am}.{av.__qualname__}", _source_of(av))
+                    visit(av)
+                    hit = True
+                elif inspect.isclass(av):
+                    visit_class(av)
+                    hit = True
+            if not hit:
+                out.setdefault(mod_name, _source_of(val))
+            return
+        vm = getattr(val, "__module__", "") or ""
+        if not vm.startswith("vnavc_spark"):
+            return
+        if inspect.isfunction(val):
+            out.setdefault(f"{vm}.{val.__qualname__}", _source_of(val))
+            visit(val)
+        elif inspect.isclass(val):
+            visit_class(val)
+
+    def visit_local_imports(f, names) -> None:
+        """AST scan for vnavc_spark imports inside the body (local
+        imports never reach ``__globals__``)."""
+        import ast
+        import importlib
+        import textwrap
+
+        try:
+            tree = ast.parse(textwrap.dedent(_source_of(f)))
+        except SyntaxError:
+            return
+        pkg = (getattr(f, "__module__", "") or "").rsplit(".", 1)[0]
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                mod = "." * node.level + (node.module or "")
+                try:
+                    m = importlib.import_module(mod, package=pkg or None)
+                except Exception:
+                    continue
+                if not m.__name__.startswith("vnavc_spark"):
+                    continue
+                for alias in node.names:
+                    visit_value(getattr(m, alias.name, m), names)
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if not alias.name.startswith("vnavc_spark"):
+                        continue
+                    try:
+                        m = importlib.import_module(alias.name)
+                    except Exception:
+                        continue
+                    visit_value(m, names)
+
+    def visit(f) -> None:
+        if id(f) in seen:
+            return
+        seen.add(id(f))
+        code = getattr(f, "__code__", None)
+        g = getattr(f, "__globals__", None)
+        if code is None or g is None:
+            return
+        names = _code_names(code)
+        visit_local_imports(f, names)
+        for nm in sorted(names):
+            if nm not in g:
+                continue
+            if g[nm] is fn:
+                continue
+            visit_value(g[nm], names)
+
+    visit(fn)
+    # the root's own source is already the regime-1 component
+    root_qual = (
+        f"{getattr(fn, '__module__', '')}.{getattr(fn, '__qualname__', '')}"
+    )
+    out.pop(root_qual, None)
+    return out
+
+
+_FP_CACHE: dict[tuple[str, int, str], str] = {}
+
+
 def impl_fingerprint(name: str) -> str:
     """Implementation fingerprint of a registered query: sha256 of
-    the query function's SOURCE TEXT plus its oracle SQL. A green
-    driver row certifies one specific implementation — if the source
-    (or the oracle it is hashed against) changes, the certification
-    is stale and the query must rotate back into the driver window
-    (round-4 verdict: q42 was rewritten onto the narrowing machinery
-    but kept its r02 certification because the rotation keyed on
-    name alone)."""
+    the query function's SOURCE TEXT, its oracle SQL, AND the source
+    of every transitively reached vnavc_spark dependency
+    (``dep_closure``). A green driver row certifies one specific
+    implementation — if any of those change, the certification is
+    stale and the query rotates back into the driver window.
+    Regime 1 keyed on the query's own source alone, which round 5
+    showed is one level too shallow: editing a shared operator
+    (sampling.pps_systematic) changed q132's plan without rotating
+    it."""
+    import hashlib
+
+    fn = QUERIES[name]
+    oracle = ORACLE.get(name, "")
+    key = (name, id(fn), oracle)
+    cached = _FP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    src = _source_of(fn)
+    deps = dep_closure(fn)
+    h = hashlib.sha256()
+    h.update(src.encode("utf-8"))
+    h.update(b"\x00")
+    h.update(oracle.encode("utf-8"))
+    for qual in sorted(deps):
+        h.update(b"\x00")
+        h.update(qual.encode("utf-8"))
+        h.update(b"\x01")
+        h.update(deps[qual].encode("utf-8"))
+    fp = h.hexdigest()
+    _FP_CACHE[key] = fp
+    return fp
+
+
+def _impl_fingerprint_v1(name: str) -> str:
+    """Regime-1 fingerprint (query source + oracle only). Kept so
+    tools/update_fingerprints.py can prove, during a regime
+    migration, that a query's own code is unchanged since the old
+    snapshot and migrate its stamp without a fresh driver row."""
     import hashlib
     import inspect
 
