@@ -531,3 +531,100 @@ def test_embedding_outliers_no_int64_overflow_on_large_label(spark, tmp_path):
     assert all(r["dist"] >= 0 for r in out)  # a wrap would go negative
     top = max(out, key=lambda r: r["dist"])
     assert top["vec_id"] == 9999
+
+
+def test_max_concurrency_inverted_interval_dropped(spark):
+    """end < start (malformed input) must contribute NOTHING — the
+    SQL oracle's generate_series is empty for an inverted range,
+    while F.sequence would step BACKWARDS and explode a descending
+    garbage day list (round-5 advice)."""
+    from vnavc_spark.operators.intervals import max_concurrency_by_day
+
+    iv = spark.createDataFrame(
+        [
+            # inverted: a year "backwards" — would explode ~365
+            # bogus days without the guard
+            (_ts("2024-12-31 10:00:00"), _ts("2024-01-01 10:00:00")),
+            (_ts("2024-06-01 09:00:00"), _ts("2024-06-01 10:00:00")),
+        ],
+        "s_start timestamp, s_end timestamp",
+    )
+    rows = {r["day"]: r for r in max_concurrency_by_day(iv).collect()}
+    assert set(rows) == {"2024-06-01"}
+    assert rows["2024-06-01"]["max_concurrent"] == 1
+
+
+def test_pps_overflow_guard_fires_even_when_long_sum_wraps(spark):
+    """The guard total rides decimal(38,0): under non-ANSI Spark a
+    LONG total wraps silently past 2^63 and could arrive small or
+    negative — passing the assert in exactly the regime it exists to
+    catch (round-5 advice). Three 2^62 weights wrap the long sum to
+    a negative; the decimal total must still trip the guard."""
+    import pytest
+
+    from vnavc_spark.operators.sampling import pps_systematic
+
+    d = spark.createDataFrame(
+        [("a", 2**62), ("b", 2**62), ("c", 2**62)], "id string, w long"
+    )
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="pps_systematic|ASSERT"):
+            pps_systematic(d, "id", "w", k=10).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
+def test_reuse_probe_counts_expected_errors_and_raises_unexpected(spark):
+    """The plan-reuse probe must not hide arbitrary exceptions: a
+    bare `except Exception` made a genuine py4j error look like the
+    intended stale-session fallthrough, so reuse could silently never
+    trigger (round-5 advice). Expected bridge errors are counted and
+    fall through to the swap; anything else propagates."""
+    import pytest
+    from py4j.protocol import Py4JError
+
+    from vnavc_spark import cache as C
+
+    df = spark.range(3)
+
+    class _Boom:
+        def __init__(self, exc):
+            self._exc = exc
+
+        def queryExecution(self):
+            raise self._exc
+
+    # seed the slot, then probe with an old df whose JVM handle is
+    # broken in a way the probe should treat as expected
+    C.tracked_persist(df, "reuse_probe_test")
+    C._SLOTS["reuse_probe_test"][0]._jdf = _Boom(Py4JError("gateway dead"))
+    before = C.REUSE_PROBE_FAILURES
+    out = C.tracked_persist(
+        spark.range(3), "reuse_probe_test", reuse_same_plan=True
+    )
+    assert C.REUSE_PROBE_FAILURES == before + 1
+    assert out is not None  # fell through to a fresh persist
+
+    # an UNEXPECTED error type must propagate, not be swallowed
+    C._SLOTS["reuse_probe_test"][0]._jdf = _Boom(ValueError("not a bridge error"))
+    with pytest.raises(ValueError):
+        C.tracked_persist(
+            spark.range(3), "reuse_probe_test", reuse_same_plan=True
+        )
+    # cleanup: drop the broken entry so later tests can't trip on it
+    C._SLOTS.pop("reuse_probe_test", None)
+
+
+def test_reuse_probe_still_reuses_live_identical_plan(spark):
+    from vnavc_spark import cache as C
+
+    a = C.tracked_persist(spark.range(10), "reuse_live_test")
+    a.count()
+    b = C.tracked_persist(
+        spark.range(10), "reuse_live_test", reuse_same_plan=True
+    )
+    assert b is a
+    C._SLOTS.pop("reuse_live_test", None)
+    a.unpersist()

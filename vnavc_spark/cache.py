@@ -28,10 +28,23 @@ from __future__ import annotations
 
 import threading
 
+from py4j.protocol import Py4JError
+from pyspark.errors import PySparkException
 from pyspark.sql import DataFrame
+
+# what a reuse probe against a stale/stopped session legitimately
+# raises: JVM-bridge errors (py4j), captured Spark-side exceptions,
+# and the socket-level failures of a dead gateway
+_REUSE_PROBE_EXPECTED = (Py4JError, PySparkException, ConnectionError)
 
 _SLOTS: dict[str, list] = {}
 _LOCK = threading.Lock()
+
+# count of reuse probes that fell through on an EXPECTED stale-session
+# / JVM-bridge error (observability: a probe that never succeeds and
+# always lands here means plan reuse is silently dead — round-5
+# advice; unexpected exception types now propagate instead of hiding)
+REUSE_PROBE_FAILURES = 0
 
 
 def tracked_persist(
@@ -67,8 +80,15 @@ def tracked_persist(
                     .sameResult(df._jdf.queryExecution().analyzed())
                 ):
                     return old
-            except Exception:
-                pass  # stale session etc. — fall through to swap
+            except _REUSE_PROBE_EXPECTED:
+                # stale/stopped session or JVM bridge failure — fall
+                # through to the normal swap. Counted, not swallowed
+                # blind: a bare `except Exception` here made a genuine
+                # py4j error indistinguishable from the intended
+                # stale-session case, so reuse could silently never
+                # trigger (round-5 advice). Anything else propagates.
+                global REUSE_PROBE_FAILURES
+                REUSE_PROBE_FAILURES += 1
         evicted = list(prev)
         prev.clear()
         prev.append(df)

@@ -84,8 +84,12 @@ def max_concurrency_by_day(
     # feeds both the sweep points and the per-day session counts —
     # unpersisted, the upstream (often a sessionization with its own
     # shuffle) runs once per consumer
+    # inverted intervals (end < start) are dropped, matching the
+    # empty generate_series a SQL oracle produces for them —
+    # F.sequence(start, stop) would otherwise step BACKWARDS and
+    # explode a descending garbage day list (round-5 advice)
     days = tracked_persist(
-        intervals.select(
+        intervals.filter(en >= st).select(
             st.alias("_s"),
             en.alias("_e"),
             F.explode(F.sequence(F.to_date(st), F.to_date(en))).alias("day"),

@@ -279,7 +279,16 @@ def pps_systematic(
     carry = btot.withColumn(
         "_carry", F.coalesce(F.sum("_bt").over(wb), F.lit(0).cast("long"))
     ).select("_b", "_carry")
-    tot = d.agg(F.sum("_w").alias("_t"))
+    # the guard total is summed in decimal(38,0): a plain long sum
+    # itself wraps silently past 2^63 under non-ANSI Spark, so a
+    # long-typed guard total could arrive small/negative and PASS
+    # the assert in exactly the regime it exists to catch (round-5
+    # advice). The long _t stays for the div arithmetic, which the
+    # guard has validated fits.
+    tot = d.agg(
+        F.sum("_w").alias("_t"),
+        F.sum(F.col("_w").cast("decimal(38,0)")).alias("_td"),
+    )
     j = (
         local.join(F.broadcast(carry), on="_b")
         .withColumn("_cum", F.col("_carry") + F.col("_lcum"))
@@ -292,7 +301,8 @@ def pps_systematic(
     # oversize corpus fail loudly instead of sampling wrongly.
     j = j.filter(
         F.assert_true(
-            F.col("_t") <= F.lit((2**63 - 1) // max(k, 1)),
+            F.col("_td")
+            <= F.lit((2**63 - 1) // max(k, 1)).cast("decimal(38,0)"),
             F.lit(
                 f"pps_systematic: total weight mass * k={k} exceeds "
                 "int64 — rescale weights or lift to decimal(38,0)"
