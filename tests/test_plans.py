@@ -504,3 +504,52 @@ class TestClassicQueryPlans:
         # bounds + counts: two parquet scans, bounds broadcast back
         f = facts("q146_equiwidth_histogram")
         assert f.parquet_scans <= 2
+
+
+class TestGlobalWindowPins:
+    """Round-6: every global rank-filter window must keep its
+    WindowGroupLimit pushdown (only q148 was pinned before — a Spark
+    upgrade could silently reintroduce a full single-task vocab
+    sort), and q114's rewritten nucleus cumsum must never regain a
+    corpus-sized unpartitioned window."""
+
+    def test_q57_vocabulary_rank_limit_pushed(self, spark):
+        # for an UNPARTITIONED rank<=k filter the optimizer goes one
+        # better than WindowGroupLimit: it pushes a Limit through the
+        # Window and the sort becomes a TakeOrderedAndProject heap
+        # merge. A cast() wrapped around row_number() used to defeat
+        # the rewrite — the window then sorted the whole vocab in one
+        # task.
+        from vnavc_spark.plans.audit import explain_string
+
+        simple = explain_string(QS["q57_vocabulary"](spark, SF_SMALL), "simple")
+        assert "TakeOrderedAndProject" in simple
+
+    def test_q67_bpe_pairs_rank_limit_pushed(self, spark):
+        from vnavc_spark.plans.audit import explain_string
+
+        simple = explain_string(
+            QS["q67_bpe_merge_pairs"](spark, SF_SMALL), "simple"
+        )
+        assert "TakeOrderedAndProject" in simple
+
+    def test_q114_no_corpus_global_window(self, spark):
+        # exactly two unpartitioned windows survive: the ≤~64-row
+        # log2-band carry and the whole-frame total over the same
+        # band table — both bounded by construction. The corpus- and
+        # vocab-sized layers are all partitioned.
+        f = plan_facts(QS["q114_nucleus_vocab"](spark, SF_SMALL))
+        assert f.global_windows == 2
+        # the vocab-level cumsum partitions by (mass, prefix): its
+        # sort shows up as a partitioned window, not a global one
+        from vnavc_spark.plans.audit import explain_string
+
+        simple = explain_string(
+            QS["q114_nucleus_vocab"](spark, SF_SMALL), "simple"
+        )
+        import re
+
+        wins = [
+            ln for ln in simple.splitlines() if re.search(r"\bWindow\s+\[", ln)
+        ]
+        assert len(wins) == 5  # lcum, pfx carry, mass carry, band carry, total

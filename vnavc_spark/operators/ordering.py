@@ -274,3 +274,107 @@ def gap_fill_locf(
         F.col(value_col).isNull().alias("was_gap"),
         F.last(value_col, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+def ranked_mass_cumsum(
+    df: DataFrame,
+    key_col: str,
+    mass_col: str,
+    pfx_chars: int = 2,
+) -> DataFrame:
+    """Exact running sum of ``mass_col`` over the global order
+    (mass DESC, key ASC) with NO single-task global sort — the
+    frequency-ranked-cumsum primitive behind nucleus-vocabulary
+    truncation (q114) and any "mass before this row" statistic over a
+    corpus-derived ranking.
+
+    A plain ``Window.orderBy(desc(mass))`` running sum funnels every
+    distinct key through ONE task's sort (10^8–10^9 vocab rows at
+    web scale). Here the global order is decomposed into a hierarchy
+    whose levels are each small or partitioned:
+
+      band DESC  >  mass DESC within band  >  key-prefix ASC within
+      mass  >  key ASC within prefix
+
+    (band = floor(log2(mass)) is monotone in mass; a fixed-length
+    character prefix is monotone in the key — so the composite order
+    equals the global one exactly.) Each level contributes a carry:
+
+      lcum   — sum over (mass, prefix) partitions ordered by key
+                (partitioned window, no global sort);
+      c_pfx  — per-mass prefix carry: ≤ alphabet^pfx_chars rows per
+                mass partition;
+      c_mass — per-band mass carry: distinct masses per band, and
+                Σ distinct masses ≤ √(2·total) by the sum bound;
+      c_band — ≤ ~64-row global carry window, bounded by
+                construction (the lone unpartitioned window, over
+                log2 bands, never corpus-sized).
+
+    cum = c_band + c_mass + c_pfx + lcum. Returns the input columns
+    plus ``cum`` (long) and ``total`` (long, same on every row).
+    All arithmetic is integer — engine-exact, hash-certifiable.
+    """
+    key, mass = F.col(key_col), F.col(mass_col)
+    base = df.select(
+        key,
+        mass.cast("long").alias("_m"),
+        F.substring(key.cast("string"), 1, pfx_chars).alias("_p"),
+    )
+    # level 0: within (mass, prefix), ordered by key
+    w0 = (
+        Window.partitionBy("_m", "_p")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lvl0 = base.withColumn("_lcum", F.sum("_m").over(w0))
+
+    # level 1: prefix totals within each mass; carry = mass-local
+    # running sum over prefixes that sort BEFORE this one
+    g1 = base.groupBy("_m", "_p").agg(F.sum("_m").alias("_g1"))
+    w1 = (
+        Window.partitionBy("_m")
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g1 = g1.withColumn(
+        "_cp", F.coalesce(F.sum("_g1").over(w1), F.lit(0).cast("long"))
+    )
+
+    # level 2: mass totals within each log2 band; carry over HEAVIER
+    # masses in the same band (DESC — heavier mass sorts first)
+    g2 = g1.groupBy("_m").agg(F.sum("_g1").alias("_g2"))
+    g2 = g2.withColumn("_fb", F.floor(F.log2(F.col("_m").cast("double"))))
+    w2 = (
+        Window.partitionBy("_fb")
+        .orderBy(F.desc("_m"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = g2.withColumn(
+        "_cm", F.coalesce(F.sum("_g2").over(w2), F.lit(0).cast("long"))
+    )
+
+    # level 3: band totals; ≤ ~64 rows — the only unpartitioned
+    # window, bounded by construction
+    g3 = g2.groupBy("_fb").agg(F.sum("_g2").alias("_g3"))
+    w3 = Window.orderBy(F.desc("_fb")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g3 = g3.withColumn(
+        "_cb", F.coalesce(F.sum("_g3").over(w3), F.lit(0).cast("long"))
+    ).withColumn("_total", F.sum("_g3").over(Window.partitionBy()))
+
+    # compose carries downward: band → mass → (mass, prefix)
+    mass_carry = g2.join(F.broadcast(g3.select("_fb", "_cb", "_total")), "_fb")
+    mass_carry = mass_carry.select(
+        "_m", (F.col("_cb") + F.col("_cm")).alias("_cin"), "_total"
+    )
+    pfx_carry = g1.join(mass_carry, "_m").select(
+        "_m", "_p", (F.col("_cin") + F.col("_cp")).alias("_carry"), "_total"
+    )
+    out = lvl0.join(pfx_carry, ["_m", "_p"])
+    return out.select(
+        key_col,
+        F.col("_m").alias(mass_col),
+        (F.col("_carry") + F.col("_lcum")).cast("long").alias("cum"),
+        F.col("_total").cast("long").alias("total"),
+    )

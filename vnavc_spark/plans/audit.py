@@ -37,6 +37,51 @@ class PlanFacts:
     python_nodes: int = 0
     parquet_scans: int = 0
     in_memory_scans: int = 0
+    # Window nodes with NO partition spec — each one funnels its
+    # whole input through a single task's sort (or a single
+    # partition, for the unordered whole-frame form). Acceptable
+    # ONLY over bounded-by-construction inputs (a ≤64-row band-carry
+    # table) or when WindowGroupLimit pushes a rank<=k limit into
+    # the sort; a global window over a corpus-derived table is the
+    # canonical 100 TB scale killer (round-5 verdict: q114).
+    global_windows: int = 0
+    window_group_limits: int = 0
+
+
+def _is_global_window(line: str) -> bool:
+    """True when a simple-plan line is a Window node with no
+    partition spec. The discriminator lives inside
+    ``windowspecdefinition(part..., order ASC/DESC..., frame)``:
+    partition columns print WITHOUT a sort-direction marker, order
+    columns WITH one, and the frame is the trailing
+    ``specifiedwindowframe(...)`` arg — so the spec is global iff
+    every arg before the frame carries ASC/DESC (or there are none).
+    Counting trailing bracket groups is NOT reliable: a partitioned
+    window with no orderBy prints only two groups, same as a global
+    ordered one."""
+    if "WindowGroupLimit" in line or not re.search(r"\bWindow\s+\[", line):
+        return False
+    m = re.search(r"windowspecdefinition\(", line)
+    if m is None:
+        return False
+    # split the first spec's args on TOP-LEVEL commas
+    args, depth, cur = [], 0, []
+    for ch in line[m.end():]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    pre_frame = [a for a in args if not a.startswith("specifiedwindowframe")]
+    return all(" ASC " in a or " DESC " in a for a in pre_frame)
 
 
 def plan_facts(df: DataFrame, executed: bool = False) -> PlanFacts:
@@ -82,6 +127,17 @@ def plan_facts(df: DataFrame, executed: bool = False) -> PlanFacts:
     # them to contextualize: scans INSIDE a cached subtree run once.
     f.parquet_scans = len(re.findall(r"Scan parquet", simple))
     f.in_memory_scans = len(re.findall(r"InMemoryTableScan", simple))
+    # count UNIQUE global windows (expr ids stripped): a persisted
+    # subtree's lineage reprints under every InMemoryTableScan, so a
+    # raw line count would report one window ten times (q33)
+    f.global_windows = len(
+        {
+            re.sub(r"#\d+L?", "#x", line[line.index("Window") :])
+            for line in simple.splitlines()
+            if _is_global_window(line)
+        }
+    )
+    f.window_group_limits = len(re.findall(r"WindowGroupLimit", simple))
     f.python_nodes = len(
         re.findall(
             r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|BatchEvalPython",
