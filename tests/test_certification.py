@@ -169,57 +169,106 @@ def test_operator_edit_rotates_dependent_query():
         qmod._FP_CACHE.clear()
 
 
-def test_update_tool_refuses_changed_without_green_row(tmp_path):
-    # the tool must not re-stamp a changed fingerprint unless the
-    # NEWEST CORRECTNESS artifact carries a green row for that name
-    # (round-5 ADVICE, medium): q51 is outside the r05 window, so a
-    # fake stale stamp for it must survive regeneration; q01 is
-    # inside, so its fake stale stamp must be refreshed
+def _load_tool(modname="update_fingerprints"):
     import importlib.util
 
-    from vnavc_spark.queries import FP_REGIME
-
     spec = importlib.util.spec_from_file_location(
-        "update_fingerprints", os.path.join(ROOT, "tools", "update_fingerprints.py")
+        modname, os.path.join(ROOT, "tools", "update_fingerprints.py")
     )
     tool = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(tool)
+    return tool
 
+
+def test_update_tool_refuses_changed_without_green_row(tmp_path):
+    # the tool must not re-stamp a changed fingerprint unless the
+    # NEWEST CORRECTNESS artifact carries a green row for that name
+    # (round-5 ADVICE, medium). Derive in/out-of-window names from
+    # the artifact itself — window composition shifts every round
+    # (round-6 ADVICE #8: the q51 hardcode broke the round it rotated
+    # in).
+    from vnavc_spark.queries import FP_REGIME
+
+    tool = _load_tool()
     green = tool.newest_green_rows()
-    assert "q01_region_revenue" in green
-    assert "q51_c4_gate" not in green  # r05 window was q01–q50
+    in_window = next(k for k in QUERIES if k in green)
+    out_window = next(k for k in QUERIES if k not in green)
 
     snap = tmp_path / "CERT_FINGERPRINTS.json"
     fake = {
         "__regime__": FP_REGIME,
-        "q01_region_revenue": "0" * 64,
-        "q51_c4_gate": "1" * 64,
+        in_window: "0" * 64,
+        out_window: "1" * 64,
     }
     snap.write_text(json.dumps(fake))
     tool.SNAP_PATH = str(snap)
+    # the in-window query is unchanged vs the tested tree here (its
+    # CURRENT fp matches what the driver certified), so evidence holds
+    tool.tested_tree_fingerprints = lambda names, regime: {
+        n: impl_fingerprint(n) for n in names
+    }
     tool.main()
     out = json.loads(snap.read_text())
-    assert out["q01_region_revenue"] == impl_fingerprint("q01_region_revenue")
-    assert out["q51_c4_gate"] == "1" * 64, "re-stamped without evidence"
+    assert out[in_window] == impl_fingerprint(in_window)
+    assert out[out_window] == "1" * 64, "re-stamped without evidence"
     assert out["__regime__"] == FP_REGIME
     # every registered query got an entry; refused one stays stale
     assert set(QUERIES) <= set(out)
 
 
-def test_update_tool_idempotent_on_pristine_snapshot(tmp_path):
-    # regenerating over the committed snapshot is a no-op (proves the
-    # committed stamps match the current tree)
-    import importlib.util
+def test_update_tool_refuses_stale_green_evidence(tmp_path):
+    # round-6 ADVICE (medium): a green row certifies the tree the
+    # driver RAN, not the current one. If the query changed again
+    # after that tree, the row is stale evidence and the re-stamp
+    # must be refused even though the name is green.
+    from vnavc_spark.queries import FP_REGIME
+
+    tool = _load_tool("update_fingerprints_stale")
+    green = tool.newest_green_rows()
+    victim = next(k for k in QUERIES if k in green)
+
+    snap = tmp_path / "CERT_FINGERPRINTS.json"
+    snap.write_text(json.dumps({"__regime__": FP_REGIME, victim: "0" * 64}))
+    tool.SNAP_PATH = str(snap)
+    # tested tree had yet ANOTHER fingerprint -> current impl was
+    # never certified by the green row
+    tool.tested_tree_fingerprints = lambda names, regime: {
+        n: "2" * 64 for n in names
+    }
+    tool.main()
+    out = json.loads(snap.read_text())
+    assert out[victim] == "0" * 64, "stale green row honoured"
+
+
+def test_update_tool_fixed_point(tmp_path):
+    # fixed-point form of the idempotence guarantee (round-6 verdict
+    # item #1): the FIRST regeneration over the committed snapshot may
+    # legitimately refresh entries (the driver lands CORRECTNESS
+    # artifacts AFTER the end-of-round commit), but a SECOND
+    # regeneration immediately after must be a no-op.
     import shutil
 
-    spec = importlib.util.spec_from_file_location(
-        "update_fingerprints2", os.path.join(ROOT, "tools", "update_fingerprints.py")
-    )
-    tool = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(tool)
+    tool = _load_tool("update_fingerprints_fp")
     snap = tmp_path / "CERT_FINGERPRINTS.json"
     shutil.copy(SNAP_PATH, snap)
-    before = json.loads(snap.read_text())
     tool.SNAP_PATH = str(snap)
     tool.main()
-    assert json.loads(snap.read_text()) == before
+    first = json.loads(snap.read_text())
+    tool.main()
+    assert json.loads(snap.read_text()) == first
+
+
+def test_update_tool_check_mode_on_current_snapshot():
+    # after the round-start regeneration the committed snapshot is a
+    # fixed point, so --check must pass without touching the file
+    import sys
+
+    tool = _load_tool("update_fingerprints_chk")
+    before = open(SNAP_PATH).read()
+    argv = sys.argv
+    sys.argv = ["update_fingerprints.py", "--check"]
+    try:
+        tool.main()  # sys.exit(1) would raise SystemExit -> test fails
+    finally:
+        sys.argv = argv
+    assert open(SNAP_PATH).read() == before

@@ -16,13 +16,27 @@ marked certified, reintroducing the q42 stale-certification bug this
 snapshot exists to prevent. Refused names keep their old stamp (so
 they stay rotated into the uncertified head) unless --force.
 
+Evidence validity (round-6 ADVICE, medium): a green row proves the
+driver certified the implementation AT THE TREE IT RAN — the parent
+of the commit that added the newest artifact (the driver commits
+verdict/correctness/bench on top of the end-of-round snapshot). A
+query edited AFTER that tree must NOT inherit the row's evidence, so
+when git history is available we recompute fingerprints at that
+tested tree in a throwaway worktree and require
+``current_fp == tested_fp`` before honouring a green row. Without
+usable history (shallow clone, regime changed between trees) we fall
+back to name-only evidence with a printed warning.
+
 Regime migrations are the one legitimate no-evidence restamp: when
 the stored ``__regime__`` differs from the current
 ``queries.FP_REGIME``, every hash differs by construction. A name
 whose OLD-regime fingerprint still matches the old snapshot has
 unchanged code, so its certification transfers to the new regime.
 
-Usage: python tools/update_fingerprints.py [--force]
+Usage: python tools/update_fingerprints.py [--force] [--check]
+  --check  exit 1 (changing nothing) if regeneration would alter the
+           committed snapshot — run at round end to catch stale
+           stamps before the end-of-round commit.
 """
 
 from __future__ import annotations
@@ -30,21 +44,48 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+import shutil
+import subprocess
 import sys
+import tempfile
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 SNAP_PATH = os.path.join(ROOT, "docs", "CERT_FINGERPRINTS.json")
 
+# Script run inside the tested-tree worktree: prints {"__regime__": N,
+# "fps": {name: fp}} for every requested name registered at that tree.
+_WORKTREE_SCRIPT = """\
+import json, sys
+sys.path.insert(0, sys.argv[1])
+from vnavc_spark.queries import FP_REGIME, QUERIES, impl_fingerprint
+names = json.loads(sys.argv[2])
+fps = {n: impl_fingerprint(n) for n in names if n in QUERIES}
+print(json.dumps({"__regime__": FP_REGIME, "fps": fps}))
+"""
+
+
+def newest_artifact_path() -> str | None:
+    """Newest CORRECTNESS_r*.json by parsed round number (lexicographic
+    sort breaks at r100 vs r99 — round-6 ADVICE, low)."""
+
+    def round_no(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")), key=round_no)
+    return paths[-1] if paths else None
+
 
 def newest_green_rows() -> set[str]:
     """Names with a green row (full hash match, or the documented
     rows-only ``no_oracle`` path) in the newest CORRECTNESS_r*.json."""
-    paths = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
-    if not paths:
+    newest = newest_artifact_path()
+    if newest is None:
         return set()
-    with open(paths[-1]) as fh:
+    with open(newest) as fh:
         data = json.load(fh)
     green: set[str] = set()
     for k, v in data.items():
@@ -57,6 +98,62 @@ def newest_green_rows() -> set[str]:
     return green
 
 
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=ROOT, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
+def tested_tree_fingerprints(names: list[str], current_regime: int):
+    """Fingerprints at the tree the newest CORRECTNESS artifact
+    certified, or None when that evidence link can't be established
+    (no git history, dirty bootstrap, or a fingerprint-regime change
+    between the trees, which makes cross-tree hashes incomparable)."""
+    newest = newest_artifact_path()
+    if newest is None:
+        return None
+    rel = os.path.relpath(newest, ROOT)
+    try:
+        commits = _git(
+            "log", "--diff-filter=A", "--format=%H", "--", rel
+        ).splitlines()
+        if not commits:
+            return None
+        tested_rev = commits[0] + "~1"
+        _git("rev-parse", "--verify", tested_rev)  # parent must exist
+        tmp = tempfile.mkdtemp(prefix="certwt_", dir=ROOT)
+        wt = os.path.join(tmp, "tree")
+        try:
+            _git("worktree", "add", "--detach", wt, tested_rev)
+            out = subprocess.run(
+                [sys.executable, "-c", _WORKTREE_SCRIPT, wt, json.dumps(names)],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=wt,
+            ).stdout
+            payload = json.loads(out.strip().splitlines()[-1])
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=ROOT,
+                capture_output=True,
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+        if payload["__regime__"] != current_regime:
+            print(
+                "note: fingerprint regime changed since the tested tree "
+                f"({payload['__regime__']} -> {current_regime}); cross-tree "
+                "comparison skipped"
+            )
+            return None
+        return payload["fps"]
+    except (subprocess.CalledProcessError, OSError, ValueError, KeyError) as exc:
+        print(f"warning: could not fingerprint the tested tree ({exc}); "
+              "falling back to name-only green-row evidence")
+        return None
+
+
 def main() -> None:
     from vnavc_spark.queries import (
         FP_REGIME,
@@ -66,6 +163,7 @@ def main() -> None:
     )
 
     force = "--force" in sys.argv[1:]
+    check = "--check" in sys.argv[1:]
     old: dict[str, object] = {}
     try:
         with open(SNAP_PATH) as fh:
@@ -78,10 +176,21 @@ def main() -> None:
     legacy = {1: _impl_fingerprint_v1}.get(old_regime)
     green = newest_green_rows()
 
+    current = {name: impl_fingerprint(name) for name in sorted(QUERIES)}
+    changed_names = [
+        n for n, fp in current.items() if n in old_fps and old_fps[n] != fp
+    ]
+    # only changed+green names need the tested-tree evidence check
+    need_evidence = [n for n in changed_names if n in green and not force]
+    tested = (
+        tested_tree_fingerprints(need_evidence, FP_REGIME)
+        if need_evidence
+        else {}
+    )
+
     new: dict[str, object] = {"__regime__": FP_REGIME}
-    added, refreshed, migrated, refused = [], [], [], []
-    for name in sorted(QUERIES):
-        fp = impl_fingerprint(name)
+    added, refreshed, migrated, refused, stale_evidence = [], [], [], [], []
+    for name, fp in current.items():
         if name not in old_fps:
             new[name] = fp
             added.append(name)
@@ -97,12 +206,33 @@ def main() -> None:
         ):
             new[name] = fp
             migrated.append(name)
-        elif name in green or force:
+        elif force:
             new[name] = fp
             refreshed.append(name)
+        elif name in green:
+            if tested is not None and tested.get(name) != fp:
+                # green row certified a DIFFERENT implementation than
+                # the current one (edited after the driver ran, or not
+                # registered at the tested tree) — evidence is stale
+                new[name] = old_fps[name]
+                stale_evidence.append(name)
+            else:
+                new[name] = fp
+                refreshed.append(name)
         else:
             new[name] = old_fps[name]
             refused.append(name)
+
+    if check:
+        would_change = new != {"__regime__": old_regime, **old_fps}
+        if would_change:
+            diffs = sorted(
+                set(added) | set(refreshed) | set(migrated)
+            )
+            print(f"STALE snapshot — regeneration would change: {diffs}")
+            sys.exit(1)
+        print("snapshot is current")
+        return
 
     with open(SNAP_PATH, "w") as fh:
         json.dump(new, fh, indent=1, sort_keys=True)
@@ -117,8 +247,15 @@ def main() -> None:
         )
     if refreshed:
         print(
-            "refreshed (changed, green row in newest CORRECTNESS or "
-            f"--force) ({len(refreshed)}): {refreshed}"
+            "refreshed (changed, green row in newest CORRECTNESS for this "
+            f"implementation, or --force) ({len(refreshed)}): {refreshed}"
+        )
+    if stale_evidence:
+        print(
+            f"REFUSED stale evidence ({len(stale_evidence)}) — green row "
+            "exists but certified a different implementation (edited after "
+            "the driver run); kept the old stamp so these stay in the "
+            f"uncertified head: {stale_evidence}"
         )
     if refused:
         print(
