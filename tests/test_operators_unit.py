@@ -1085,3 +1085,83 @@ class TestWeightedRankSelect:
             df, ["g"], "x", "w", weight_places=0
         ).collect()[0]
         assert (out.total_weight, out.wmedian) == (2.0, 7.0)
+
+
+class TestRankBucketClassify:
+    """Exact quintile/decile assignment without a group-wide sort —
+    must reproduce the row_number window form bit-for-bit, including
+    tie runs at bucket boundaries and degenerate all-equal groups."""
+
+    @staticmethod
+    def _reference(df, k):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("g")
+        return {
+            (r.g, r.id): r.bucket
+            for r in df.withColumn(
+                "r",
+                F.row_number().over(
+                    w.orderBy(F.col("val").asc(), F.col("id").asc())
+                ),
+            )
+            .withColumn("n", F.count("*").over(w))
+            .withColumn("bucket", F.expr(f"({k} * (r - 1)) div n").cast("long"))
+            .collect()
+        }
+
+    def test_matches_window_reference(self, spark):
+        import random
+
+        from vnavc_spark.operators.aggregates import rank_bucket_classify
+
+        random.seed(7)
+        rows = (
+            # heavy ties: only 21 distinct values over 500 rows, so
+            # bucket boundaries land inside tie runs
+            [("A", i, random.randint(0, 20)) for i in range(1, 501)]
+            # degenerate: every row identical (whole group is one tie
+            # run — the banded two-level rank must still be exact)
+            + [("B", i, 7) for i in range(1, 301)]
+            # fewer rows than buckets
+            + [("C", i, i * 10) for i in range(1, 4)]
+            # negative values (descending-order callers negate)
+            + [("D", i, -i * 3) for i in range(1, 40)]
+        )
+        df = spark.createDataFrame(rows, "g string, id long, val long")
+        for k in (5, 10):
+            got = {
+                (r.g, r.id): r.bucket
+                for r in rank_bucket_classify(
+                    df, ["g"], "val", "id", k
+                ).collect()
+            }
+            ref = self._reference(df, k)
+            assert got == ref, f"k={k}"
+
+    def test_small_tie_band_exercises_carry(self, spark):
+        # tie_band smaller than the tie runs forces the band-carry
+        # window to do real work (default 8192 would put every test
+        # row in band 0)
+        from vnavc_spark.operators.aggregates import rank_bucket_classify
+
+        df = spark.createDataFrame(
+            [("A", i, i % 3) for i in range(1, 201)],
+            "g string, id long, val long",
+        )
+        got = {
+            (r.g, r.id): r.bucket
+            for r in rank_bucket_classify(
+                df, ["g"], "val", "id", 5, tie_band=16
+            ).collect()
+        }
+        assert got == self._reference(df, 5)
+
+    def test_rejects_k_below_two(self, spark):
+        import pytest
+
+        from vnavc_spark.operators.aggregates import rank_bucket_classify
+
+        df = spark.createDataFrame([("A", 1, 1)], "g string, id long, val long")
+        with pytest.raises(ValueError, match="k must be"):
+            rank_bucket_classify(df, ["g"], "val", "id", 1)

@@ -533,6 +533,35 @@ class TestGlobalWindowPins:
         )
         assert "TakeOrderedAndProject" in simple
 
+    def test_q126_no_dimension_partition_corpus_sort(self, spark):
+        # round-4/5/6 verdicts' last `weak` plan: quintile ranks used
+        # to ride row_number windows partitioned by nationkey alone
+        # (~25 tasks forever). After the rank_bucket_classify rewrite
+        # the only windows are the boundary-tie ranks, partitioned by
+        # the corpus-cardinality VALUE column — assert every window
+        # partition includes it.
+        from vnavc_spark.plans.audit import window_partition_specs
+
+        specs = window_partition_specs(
+            QS["q126_rfm_segments"](spark, SF_SMALL)
+        )
+        assert specs, "expected tie-rank windows in the plan"
+        for part in specs:
+            assert "val" in part, f"dimension-only window partition: {part}"
+
+    def test_q138_no_dimension_partition_corpus_sort(self, spark):
+        # same pin for the decile gains table: customer-spend ranks
+        # must never sort under the 5-key segment partition. The one
+        # allowed seg-only window is the cumulative share over the
+        # ≤10-row-per-seg decile table (bounded by construction).
+        from vnavc_spark.plans.audit import window_partition_specs
+
+        specs = window_partition_specs(QS["q138_decile_lift"](spark, SF_SMALL))
+        seg_only = [p for p in specs if "nspend" not in p]
+        assert seg_only == [["seg"]], f"unexpected windows: {specs}"
+        tie = [p for p in specs if "nspend" in p]
+        assert tie, "expected tie-rank windows partitioned by value"
+
     def test_q114_no_corpus_global_window(self, spark):
         # exactly two unpartitioned windows survive: the ≤~64-row
         # log2-band carry and the whole-frame total over the same

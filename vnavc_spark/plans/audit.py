@@ -48,23 +48,17 @@ class PlanFacts:
     window_group_limits: int = 0
 
 
-def _is_global_window(line: str) -> bool:
-    """True when a simple-plan line is a Window node with no
-    partition spec. The discriminator lives inside
-    ``windowspecdefinition(part..., order ASC/DESC..., frame)``:
-    partition columns print WITHOUT a sort-direction marker, order
-    columns WITH one, and the frame is the trailing
-    ``specifiedwindowframe(...)`` arg — so the spec is global iff
-    every arg before the frame carries ASC/DESC (or there are none).
-    Counting trailing bracket groups is NOT reliable: a partitioned
-    window with no orderBy prints only two groups, same as a global
-    ordered one."""
+def _window_spec_args(line: str) -> list[str] | None:
+    """Top-level args of the first ``windowspecdefinition(...)`` on a
+    simple-plan Window line, or None when the line is not a Window
+    node. Partition columns print WITHOUT a sort-direction marker,
+    order columns WITH one, and the frame is the trailing
+    ``specifiedwindowframe(...)`` arg."""
     if "WindowGroupLimit" in line or not re.search(r"\bWindow\s+\[", line):
-        return False
+        return None
     m = re.search(r"windowspecdefinition\(", line)
     if m is None:
-        return False
-    # split the first spec's args on TOP-LEVEL commas
+        return None
     args, depth, cur = [], 0, []
     for ch in line[m.end():]:
         if ch == "(":
@@ -80,6 +74,49 @@ def _is_global_window(line: str) -> bool:
         cur.append(ch)
     if cur:
         args.append("".join(cur).strip())
+    return args
+
+
+def window_partition_specs(df: DataFrame) -> list[list[str]]:
+    """Per unique Window node in the simple plan, the PARTITION BY
+    column expressions (order columns and the frame stripped; expr
+    ids normalized). Lets tests pin that a window's partitioning
+    includes a corpus-cardinality key — e.g. q126/q138's tie-rank
+    windows must partition by the VALUE column, never by the
+    dimension key alone (the ≤25-task sort the round-6 verdict
+    flagged)."""
+    simple = explain_string(df, "simple")
+    specs = {}
+    for line in simple.splitlines():
+        args = _window_spec_args(line)
+        if args is None:
+            continue
+        part = [
+            re.sub(r"#\d+L?", "", a)
+            for a in args
+            if not a.startswith("specifiedwindowframe")
+            and " ASC " not in a
+            and " DESC " not in a
+        ]
+        key = re.sub(r"#\d+L?", "#x", line[line.index("Window"):])
+        specs[key] = part
+    return list(specs.values())
+
+
+def _is_global_window(line: str) -> bool:
+    """True when a simple-plan line is a Window node with no
+    partition spec. The discriminator lives inside
+    ``windowspecdefinition(part..., order ASC/DESC..., frame)``:
+    partition columns print WITHOUT a sort-direction marker, order
+    columns WITH one, and the frame is the trailing
+    ``specifiedwindowframe(...)`` arg — so the spec is global iff
+    every arg before the frame carries ASC/DESC (or there are none).
+    Counting trailing bracket groups is NOT reliable: a partitioned
+    window with no orderBy prints only two groups, same as a global
+    ordered one."""
+    args = _window_spec_args(line)
+    if args is None:
+        return False
     pre_frame = [a for a in args if not a.startswith("specifiedwindowframe")]
     return all(" ASC " in a or " DESC " in a for a in pre_frame)
 
