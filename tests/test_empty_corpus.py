@@ -243,6 +243,14 @@ NULL_SENSITIVE = [
     "q123_weighted_median",
     "q134_mad_fences",
     "q147_weighted_p90",
+    # round-7 additions: the new event/lineitem queries all carry
+    # explicit null-key semantics (drop) — hash-compare them too
+    "q150_supplier_part_counts",
+    "q151_promising_suppliers",
+    "q153_seasonality_anomalies",
+    "q154_rolling_dau_incremental",
+    "q155_stratified_pps",
+    "q156_window_topk",
 ]
 
 

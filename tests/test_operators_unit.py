@@ -1165,3 +1165,50 @@ class TestRankBucketClassify:
         df = spark.createDataFrame([("A", 1, 1)], "g string, id long, val long")
         with pytest.raises(ValueError, match="k must be"):
             rank_bucket_classify(df, ["g"], "val", "id", 1)
+
+
+class TestRankedMassCumsum:
+    """Hierarchical global (mass DESC, key ASC) running sum — must
+    equal the single-task window form exactly (round-6 ADVICE:
+    string-key constraint enforced, non-positive masses banded to an
+    explicit sentinel instead of riding NULL ordering)."""
+
+    @staticmethod
+    def _reference(df):
+        from pyspark.sql import Window
+
+        w = (
+            Window.orderBy(F.col("m").desc(), F.col("k").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return {
+            r.k: (r.cum, r.total)
+            for r in df.withColumn("cum", F.sum("m").over(w))
+            .withColumn("total", F.sum("m").over(Window.partitionBy()))
+            .collect()
+        }
+
+    def test_matches_global_window_with_ties_and_nonpositive(self, spark):
+        from vnavc_spark.operators.ordering import ranked_mass_cumsum
+
+        rows = (
+            [(f"tok{i:03d}", (i * 7) % 50 + 1) for i in range(200)]
+            # heavy ties across prefixes + zero and negative masses
+            + [("aa", 13), ("zz", 13), ("mid", 13)]
+            + [("zero1", 0), ("zero2", 0), ("neg", -5)]
+        )
+        df = spark.createDataFrame(rows, "k string, m long")
+        got = {
+            r.k: (r.cum, r.total)
+            for r in ranked_mass_cumsum(df, "k", "m").collect()
+        }
+        assert got == self._reference(df)
+
+    def test_rejects_non_string_key(self, spark):
+        import pytest
+
+        from vnavc_spark.operators.ordering import ranked_mass_cumsum
+
+        df = spark.createDataFrame([(10, 5), (9, 3)], "k long, m long")
+        with pytest.raises(TypeError, match="must be a string"):
+            ranked_mass_cumsum(df, "k", "m")

@@ -533,6 +533,49 @@ class TestGlobalWindowPins:
         )
         assert "TakeOrderedAndProject" in simple
 
+    def test_global_windows_allowlisted_registry_wide(self):
+        # round-6 verdict item #4: the per-round SCALE_FACTS artifact
+        # (generated by `python -m vnavc_spark.plans.audit --json`,
+        # cache-ISOLATED per query since r7) is the enforcement
+        # point: every registered query must appear in the NEWEST
+        # artifact, and its unpartitioned-window count must not
+        # exceed the documented allowlist (absent = 0). Coverage of
+        # the newest artifact also forces the artifact to be
+        # regenerated whenever queries are added — stale facts can't
+        # silently pass.
+        import glob
+        import json
+        import os
+        import re
+
+        from vnavc_spark.plans.audit import GLOBAL_WINDOW_ALLOWLIST
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        paths = sorted(
+            glob.glob(os.path.join(root, "docs", "SCALE_FACTS_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+        )
+        assert paths, "no SCALE_FACTS artifact — run the plan audit"
+        with open(paths[-1]) as fh:
+            facts = json.load(fh)
+        missing = sorted(set(QS) - set(facts))
+        assert not missing, (
+            f"queries missing from {os.path.basename(paths[-1])} — "
+            f"regenerate the plan-audit artifact: {missing}"
+        )
+        over = {
+            name: f["global_windows"]
+            for name, f in facts.items()
+            if isinstance(f, dict)
+            and f.get("global_windows", 0)
+            > GLOBAL_WINDOW_ALLOWLIST.get(name, 0)
+        }
+        assert not over, (
+            "unallowlisted global (unpartitioned) windows — either a "
+            "scale regression (a corpus-sized single-task sort) or a "
+            f"new bounded-by-construction case to document: {over}"
+        )
+
     def test_q126_no_dimension_partition_corpus_sort(self, spark):
         # round-4/5/6 verdicts' last `weak` plan: quintile ranks used
         # to ride row_number windows partitioned by nationkey alone

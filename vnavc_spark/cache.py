@@ -47,6 +47,23 @@ _LOCK = threading.Lock()
 REUSE_PROBE_FAILURES = 0
 
 
+def clear_tracked() -> None:
+    """Unpersist every tracked slot and empty the registry — session
+    hygiene for consumers that need per-query isolation (the plan
+    audit: a warm cache REWRITES later queries' explain output, with
+    InMemoryTableScan either hiding a window subtree or reprinting
+    it once per consumer, so plan facts measured in a shared session
+    depend on execution history)."""
+    with _LOCK:
+        evicted = [df for slot in _SLOTS.values() for df in slot]
+        _SLOTS.clear()
+    for old in evicted:
+        try:
+            old.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
 def tracked_persist(
     df: DataFrame, slot: str, reuse_same_plan: bool = False
 ) -> DataFrame:

@@ -310,15 +310,36 @@ def ranked_mass_cumsum(
                 construction (the lone unpartitioned window, over
                 log2 bands, never corpus-sized).
 
-    cum = c_band + c_mass + c_pfx + lcum. Returns the input columns
-    plus ``cum`` (long) and ``total`` (long, same on every row).
-    All arithmetic is integer — engine-exact, hash-certifiable.
+    cum = c_band + c_mass + c_pfx + lcum. Returns exactly
+    (``key_col``, ``mass_col``, ``cum`` long, ``total`` long — same
+    on every row); other input columns are NOT carried through (join
+    them back on the key if needed). All arithmetic is integer —
+    engine-exact, hash-certifiable.
+
+    ``key_col`` MUST be a string column (enforced): the level-1
+    carry orders key PREFIXES lexicographically while level 0 orders
+    the native key, so a non-string key whose cast-to-string order
+    differs (10 sorts before 9) would silently diverge from the
+    documented global order. Non-positive masses band into an
+    explicit sentinel BELOW all real log2 bands (they contribute 0
+    or negative mass after every positive row, preserving the
+    mass-DESC order without relying on NULL-ordering defaults).
     """
+    from pyspark.sql.types import StringType
+
+    if not isinstance(df.schema[key_col].dataType, StringType):
+        raise TypeError(
+            f"ranked_mass_cumsum: key_col {key_col!r} must be a string "
+            f"column (got {df.schema[key_col].dataType}); the prefix "
+            "carry orders lexicographically, which diverges from the "
+            "native order of non-string keys — cast explicitly if "
+            "lexicographic key order is really intended"
+        )
     key, mass = F.col(key_col), F.col(mass_col)
     base = df.select(
         key,
         mass.cast("long").alias("_m"),
-        F.substring(key.cast("string"), 1, pfx_chars).alias("_p"),
+        F.substring(key, 1, pfx_chars).alias("_p"),
     )
     # level 0: within (mass, prefix), ordered by key
     w0 = (
@@ -343,7 +364,17 @@ def ranked_mass_cumsum(
     # level 2: mass totals within each log2 band; carry over HEAVIER
     # masses in the same band (DESC — heavier mass sorts first)
     g2 = g1.groupBy("_m").agg(F.sum("_g1").alias("_g2"))
-    g2 = g2.withColumn("_fb", F.floor(F.log2(F.col("_m").cast("double"))))
+    # m <= 0 gets sentinel band -1 (below every real log2 band):
+    # within the band, desc(_m) still orders 0 before negatives, so
+    # the composite order stays exactly (mass DESC, key ASC) without
+    # leaning on desc-NULLS-LAST placement of a NULL band
+    g2 = g2.withColumn(
+        "_fb",
+        F.when(
+            F.col("_m") >= 1,
+            F.floor(F.log2(F.col("_m").cast("double"))),
+        ).otherwise(F.lit(-1)),
+    )
     w2 = (
         Window.partitionBy("_fb")
         .orderBy(F.desc("_m"))

@@ -234,6 +234,7 @@ def pps_systematic(
     id_col: str,
     weight_col: str,
     k: int,
+    strata_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic systematic probability-proportional-to-size
     sampling: lay every row's integer weight mass end-to-end in
@@ -247,53 +248,71 @@ def pps_systematic(
     engine-exact — unlike exponential-key (A-ES) weighted sampling,
     whose pow()/log() keys cannot be hash-certified across engines.
 
-    Scale shape: the global cumulative sum is a TWO-LEVEL prefix sum
-    — rows bucket by their hash's first byte-pair (256 buckets),
-    each bucket takes a local running sum, bucket totals carry
-    forward through one 256-row window — so no global single-task
-    sort exists. cum·k must fit int64: fine to ~10^14 total mass at
-    k=10^4; the decimal(38) lift applies beyond. ENFORCED at
-    runtime: a plan-side assert_true fails the job if total·k would
-    exceed int64 (non-ANSI Spark would otherwise wrap silently and
-    corrupt the sample; DuckDB raises).
+    ``strata_cols`` stratifies the draw: every stratum lays out its
+    own mass line against its own total, and Σ mult = k PER STRATUM
+    (the training-mixture contract: k docs from every source no
+    matter how lopsided the corpus) — the unstratified call is the
+    single-stratum special case of the same plan. Stratum columns
+    must be non-null (filter or fill first; a null stratum would
+    silently vanish through the join).
 
-    Returns (id_col, weight, cum_weight, mult) for selected rows.
+    Scale shape: the per-stratum cumulative sum is a TWO-LEVEL
+    prefix sum — rows bucket by their hash's first byte-pair (256
+    buckets per stratum), each bucket takes a local running sum,
+    bucket totals carry forward through one 256-row-per-stratum
+    window — so no global single-task sort exists at any stratum
+    size. cum·k must fit int64: fine to ~10^14 stratum mass at
+    k=10^4; the decimal(38) lift applies beyond. ENFORCED at
+    runtime: a plan-side assert_true fails the job if any stratum's
+    total·k would exceed int64 (non-ANSI Spark would otherwise wrap
+    silently and corrupt the sample; DuckDB raises).
+
+    Returns (strata_cols..., id_col, weight, cum_weight, mult) for
+    selected rows (strata columns only when stratified).
     """
+    sc = list(strata_cols or [])
     w = F.col(weight_col).cast("long")
     d = df.filter(w > 0).select(
+        *sc,
         F.col(id_col),
         w.alias("_w"),
         F.md5(F.col(id_col).cast("string")).alias("_h"),
     )
     d = d.withColumn("_b", F.substring("_h", 1, 2))
     wl = (
-        Window.partitionBy("_b")
+        Window.partitionBy(*sc, "_b")
         .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = d.withColumn("_lcum", F.sum("_w").over(wl))
-    btot = local.groupBy("_b").agg(F.sum("_w").alias("_bt"))
-    # 256-row table: the unpartitioned carry window is bounded by
+    btot = local.groupBy(*sc, "_b").agg(F.sum("_w").alias("_bt"))
+    # ≤256 rows per stratum: the carry window is bounded by
     # construction, never corpus-sized
-    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    wb = (
+        Window.partitionBy(*sc)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     carry = btot.withColumn(
         "_carry", F.coalesce(F.sum("_bt").over(wb), F.lit(0).cast("long"))
-    ).select("_b", "_carry")
+    ).select(*sc, "_b", "_carry")
     # the guard total is summed in decimal(38,0): a plain long sum
     # itself wraps silently past 2^63 under non-ANSI Spark, so a
     # long-typed guard total could arrive small/negative and PASS
     # the assert in exactly the regime it exists to catch (round-5
     # advice). The long _t stays for the div arithmetic, which the
     # guard has validated fits.
-    tot = d.agg(
+    tot = d.groupBy(*sc).agg(
         F.sum("_w").alias("_t"),
         F.sum(F.col("_w").cast("decimal(38,0)")).alias("_td"),
     )
-    j = (
-        local.join(F.broadcast(carry), on="_b")
-        .withColumn("_cum", F.col("_carry") + F.col("_lcum"))
-        .crossJoin(F.broadcast(tot))
+    j = local.join(F.broadcast(carry), on=[*sc, "_b"]).withColumn(
+        "_cum", F.col("_carry") + F.col("_lcum")
     )
+    if sc:
+        j = j.join(F.broadcast(tot), on=sc)
+    else:
+        j = j.crossJoin(F.broadcast(tot))
     # runtime overflow guard (round-4 advice): cum·k rides int64 and
     # non-ANSI Spark would WRAP silently past 2^63 (DuckDB raises) —
     # corrupting the sample with no error. The already-broadcast
@@ -314,6 +333,7 @@ def pps_systematic(
     return (
         j.filter(hi > lo)
         .select(
+            *sc,
             F.col(id_col),
             F.col("_w").alias("weight"),
             F.col("_cum").cast("long").alias("cum_weight"),

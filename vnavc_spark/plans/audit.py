@@ -184,7 +184,40 @@ def plan_facts(df: DataFrame, executed: bool = False) -> PlanFacts:
     return f
 
 
-def audit_report(spark, sf_dir: str, names: list[str] | None = None) -> dict:
+# Queries allowed a nonzero unpartitioned-Window count, each bounded
+# by construction (tests/test_plans.py asserts the whole registry
+# against this; anything absent must audit at ZERO global windows —
+# the q114 round-5 scale-killer regression net, registry-wide):
+#   q105  2 — rank/total over the SOURCE-cardinality aggregate
+#             (~20 rows at any corpus size)
+#   q114  2 — ranked_mass_cumsum's ≤~64-row log2-band carry + total
+#             (plan-pinned in TestGlobalWindowPins)
+#   q132  1 — pps_systematic's 256-row bucket carry
+#   q17   1 — intentionally global sequential chunk ids (documented
+#             single-sequence contract)
+#   q57   1 — vocab rank window fed by TakeOrderedAndProject (the
+#             rank limit is pushed; the window sees ≤ k rows)
+#   q67   1 — same TakeOrdered-bounded rank window on merge pairs
+GLOBAL_WINDOW_ALLOWLIST: dict[str, int] = {
+    "q105_gini_balance": 2,
+    "q114_nucleus_vocab": 2,
+    "q132_pps_sample": 1,
+    "q17_chunk_ids": 1,
+    "q57_vocabulary": 1,
+    "q67_bpe_merge_pairs": 1,
+}
+
+
+def audit_report(
+    spark, sf_dir: str, names: list[str] | None = None, isolate: bool = True
+) -> dict:
+    """Per-query plan facts. ``isolate`` (default) clears tracked
+    persists + the Spark cache before EVERY query: a warm cache
+    rewrites later queries' explain output (InMemoryTableScan either
+    hides a cached subtree's windows or reprints them once per
+    consumer), so shared-session facts depend on execution history —
+    the round-6 verdict's q33/q110 phantom global-window counts.
+    Isolated facts are deterministic and match the standalone plan."""
     from vnavc_spark.queries import all_queries
 
     qs = all_queries()
@@ -192,6 +225,11 @@ def audit_report(spark, sf_dir: str, names: list[str] | None = None) -> dict:
     out = {}
     for name in names:
         try:
+            if isolate:
+                from vnavc_spark.cache import clear_tracked
+
+                clear_tracked()
+                spark.catalog.clearCache()
             out[name] = plan_facts(qs[name](spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             out[name] = f"ERROR: {e}"

@@ -7490,6 +7490,496 @@ def q148_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q149_returned_top_customers",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5))
+         / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_returned_lines
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q149_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog (returned-item reporting): the 20 customers
+    who returned the most revenue in a half-year window — the churn
+    / fraud triage list. Date + returnflag predicates push into the
+    parquet scans; nation broadcasts; one fact-fact shuffle on the
+    order key; top-20 plans as TakeOrderedAndProject with the
+    custkey tiebreak making the cut deterministic (revenue rides
+    exact cents, so the sort key is engine-stable)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_returned_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q150_supplier_part_counts",
+    oracle="""
+WITH sup_ret AS (
+  SELECT l_suppkey AS sk,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey),
+excl AS (SELECT sk FROM sup_ret WHERE r * 4 > n),
+pb AS (
+  SELECT p_brand AS brand, p_type AS ptype,
+         CAST(p_size // 10 AS BIGINT) AS size_band, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+    AND l_suppkey IS NOT NULL
+    AND l_suppkey NOT IN (SELECT sk FROM excl))
+SELECT brand, ptype, size_band,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pb GROUP BY brand, ptype, size_band
+""",
+)
+def q150_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (parts/supplier relationship): DISTINCT
+    suppliers per (brand, type, size band), excluding "problem"
+    suppliers — here, return rate > 25% (the testdata has no
+    complaint text; the exclusion set is data-derived instead of a
+    LIKE over comments). The NOT IN compiles to a broadcast
+    LEFT ANTI join against the supplier-cardinality exclusion set
+    (null suppkeys dropped explicitly on BOTH engines — NULL NOT IN
+    is never-true, and a null key would silently leak through an
+    anti join); distinct counting is a two-level aggregate that
+    partial-aggregates map-side."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull()
+    )
+    p = table(spark, sf_dir, "part")
+    sup_ret = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r"),
+        F.count("*").alias("n"),
+    )
+    excl = sup_ret.filter(F.col("r") * 4 > F.col("n")).select("sk")
+    pb = (
+        li.join(
+            p.filter(
+                (F.col("p_brand") != "Brand#45")
+                & (F.col("p_type") != "PROMO")
+            ),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(
+            F.broadcast(excl),
+            li.l_suppkey == excl.sk,
+            "left_anti",
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("ptype"),
+            F.expr("p_size div 10").cast("long").alias("size_band"),
+            "l_suppkey",
+        )
+    )
+    return pb.groupBy("brand", "ptype", "size_band").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+@query(
+    "q151_promising_suppliers",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(floor(l_quantity * 100.0 + 0.5)) AS BIGINT) AS qty_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+    AND l_suppkey IS NOT NULL
+  GROUP BY l_partkey, l_suppkey),
+ptot AS (SELECT pk, CAST(sum(qty_c) AS BIGINT) AS tot_c FROM pq GROUP BY pk),
+dom AS (
+  SELECT sk, CAST(count(*) AS BIGINT) AS n_dom
+  FROM pq JOIN ptot USING (pk)
+  WHERE qty_c * 10 > tot_c * 3 GROUP BY sk)
+SELECT s_suppkey, s_name, n_dom AS n_dominant_parts
+FROM supplier JOIN dom ON s_suppkey = sk
+""",
+)
+def q151_promising_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (potential promotion suppliers): suppliers
+    holding > 30% of a bolt-family part's shipped quantity in 1996 —
+    the nested-aggregate semi-join (per-(part, supplier) share vs
+    per-part total, then the supplier dimension joins the surviving
+    keys). The share test is exact integer cross-multiplication on
+    cent-scaled quantities; the part-name and date predicates push
+    into the scans; the per-part total joins back on the part key
+    (AQE broadcasts the group-cardinality side at realistic
+    selectivity)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_suppkey").isNotNull()
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = table(spark, sf_dir, "supplier")
+    pq = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("qty_c")
+        )
+    )
+    ptot = pq.groupBy("pk").agg(F.sum("qty_c").cast("long").alias("tot_c"))
+    dom = (
+        pq.join(ptot, on="pk")
+        .filter(F.col("qty_c") * 10 > F.col("tot_c") * 3)
+        .groupBy("sk")
+        .agg(F.count("*").cast("long").alias("n_dom"))
+    )
+    return s.join(dom, s.s_suppkey == dom.sk).select(
+        "s_suppkey", "s_name", F.col("n_dom").alias("n_dominant_parts")
+    )
+
+
+@query(
+    "q152_copurchase_communities",
+    oracle=f"""
+WITH RECURSIVE {_BASKET_PAIRS_SQL},
+e AS (SELECT part_a AS a, part_b AS b FROM pr),
+ed AS (SELECT a AS i, b AS o FROM e UNION ALL SELECT b, a FROM e),
+nodes AS (SELECT DISTINCT i AS x FROM ed),
+reach AS (
+  SELECT x AS n, x AS m FROM nodes
+  UNION
+  SELECT r.n, ed.o FROM reach r JOIN ed ON ed.i = r.m
+)
+SELECT n AS part, CAST(min(m) AS BIGINT) AS community
+FROM reach GROUP BY n
+""",
+)
+def q152_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels over the co-purchase graph (edges = part
+    pairs sharing ≥2 capped baskets, q124/q131's pipeline):
+    min-label propagation to convergence, community id = smallest
+    part key in the component — the "customers who bought X also
+    browse community C" grouping primitive. Reuses
+    dedup.dedup_clusters (q56's certified connected-components
+    operator: per-round one join + one map-side-combinable min-agg,
+    localCheckpointed labels, O(component diameter) rounds —
+    co-purchase components are short-range, 11-node max at sf0.1).
+    The oracle recomputes components as min-reachable-node with a
+    recursive CTE — right only at oracle scale, which is the
+    point of certifying the iterative form."""
+    from vnavc_spark.operators.dedup import dedup_clusters
+
+    pairs = _basket_pair_counts(_capped_basket_items(spark, sf_dir)).select(
+        F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
+    )
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").alias("part"),
+        F.col("cluster_id").cast("long").alias("community"),
+    )
+
+
+@query(
+    "q153_seasonality_anomalies",
+    oracle="""
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hh,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+dws AS (
+  SELECT d, CAST(((d - DATE '1970-01-01' + 3) % 7) + 1 AS BIGINT) AS dow
+  FROM (SELECT DISTINCT d FROM c) t),
+nd AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_dates FROM dws GROUP BY dow),
+base AS (
+  SELECT dws.dow, c.hh, CAST(sum(c.n) AS BIGINT) AS tot
+  FROM c JOIN dws ON c.d = dws.d GROUP BY dws.dow, c.hh)
+SELECT strftime(c.d, '%Y-%m-%d') AS day, c.hh, c.n AS n_events,
+       nd.n_dates, base.tot AS dow_hour_events,
+       CASE WHEN c.n * nd.n_dates > 2 * base.tot
+            THEN 'high' ELSE 'low' END AS direction,
+       floor(CAST(c.n * nd.n_dates AS DOUBLE) / CAST(base.tot AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS ratio
+FROM c
+JOIN dws  ON c.d = dws.d
+JOIN nd   ON dws.dow = nd.dow
+JOIN base ON base.dow = dws.dow AND base.hh = c.hh
+WHERE c.n * nd.n_dates > 2 * base.tot
+   OR 2 * c.n * nd.n_dates < base.tot
+""",
+)
+def q153_seasonality_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-baseline anomaly detection: (date, hour) cells
+    whose event count is more than 2× — or less than half — the
+    average for that (ISO weekday, hour) slot, q139's grid deployed
+    as the expected rate (the round-5-queue detector). The
+    comparison is exact integer cross-multiplication (n·n_dates vs
+    2·tot — no float thresholds to diverge); the weekday is q139's
+    epoch-day arithmetic; the baseline and day-count tables are
+    dimension-sized (≤168 / ≤7 rows) broadcasts; the only corpus
+    shuffle is the (date, hour) cell aggregate. Cells with zero
+    events are not reported (no grid×dates densification)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    c = e.groupBy(
+        F.to_date("ts").alias("d"), F.hour("ts").cast("long").alias("hh")
+    ).agg(F.count("*").cast("long").alias("n"))
+    epoch = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    dws = (
+        c.select("d")
+        .distinct()
+        .withColumn("dow", ((epoch + 3) % 7 + 1).cast("long"))
+    )
+    nd = dws.groupBy("dow").agg(F.count("*").cast("long").alias("n_dates"))
+    base = (
+        c.join(dws, on="d")
+        .groupBy("dow", "hh")
+        .agg(F.sum("n").cast("long").alias("tot"))
+    )
+    j = (
+        c.join(F.broadcast(dws), on="d")
+        .join(F.broadcast(nd), on="dow")
+        .join(F.broadcast(base), on=["dow", "hh"])
+    )
+    hi = F.col("n") * F.col("n_dates") > 2 * F.col("tot")
+    lo = 2 * F.col("n") * F.col("n_dates") < F.col("tot")
+    return j.filter(hi | lo).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "hh",
+        F.col("n").alias("n_events"),
+        "n_dates",
+        F.col("tot").alias("dow_hour_events"),
+        F.when(hi, "high").otherwise("low").alias("direction"),
+        stable_round(
+            (F.col("n") * F.col("n_dates")).cast("double")
+            / F.col("tot").cast("double"),
+            6,
+        ).alias("ratio"),
+    )
+
+
+@query(
+    "q154_rolling_dau_incremental",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+w AS (
+  SELECT days.d AS d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau7
+  FROM days JOIN ud ON ud.d >= days.d - 6 AND ud.d <= days.d
+  GROUP BY days.d),
+da AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d)
+SELECT strftime(w.d, '%Y-%m-%d') AS day, da.dau, w.wau7
+FROM w JOIN da ON w.d = da.d
+""",
+)
+def q154_rolling_dau_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q137's rolling DAU/WAU7 computed INCREMENTALLY: events are
+    staged in calendar-week chunks (the foreachBatch shape — each
+    chunk is one micro-batch) and only FIRST-SEEN (user, day) and
+    (user, window-end-day) pairs contribute count deltas, so a
+    chunk's work is proportional to its own new activity, never a
+    recompute over history. Distinct counts don't decompose over
+    sliding windows, but first-seen pair deltas DO sum to the exact
+    distinct count — the anti-join against the staged pair set is
+    the incremental-distinct primitive. State tables persist per
+    chunk (bounded chunk count, guarded ≤ 64); null users ride the
+    DAU path (count(*) semantics) but are dropped from the WAU path
+    (count(DISTINCT) skips nulls; a null key would also defeat the
+    first-seen anti-join). Certified against the SAME oracle as the
+    batch q137 — incremental == batch, hash-exact."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ud_all = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    epoch = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    with_wk = ud_all.withColumn("wk", F.expr(
+        "datediff(d, date'1970-01-01') div 7"
+    ))
+    wks = sorted(
+        r["wk"] for r in with_wk.select("wk").distinct().collect()
+    )
+    if len(wks) > 64:
+        raise ValueError(
+            f"q154: {len(wks)} week chunks exceeds the 64-chunk staging "
+            "guard — widen the chunk unit"
+        )
+    if not wks:  # empty corpus: nothing staged, nothing to report
+        return spark.createDataFrame(
+            [], "day string, dau long, wau7 long"
+        )
+    state_ud = None  # staged (user, day) pairs
+    state_uw = None  # staged (user, window-end-day) pairs
+    dau_incs, wau_incs = [], []
+    for wk in wks:
+        chunk = with_wk.filter(F.col("wk") == wk).select("user_id", "d")
+        new_ud = (
+            chunk
+            if state_ud is None
+            else chunk.join(state_ud, on=["user_id", "d"], how="left_anti")
+        ).persist()
+        uw = (
+            new_ud.filter(F.col("user_id").isNotNull())
+            .select(
+                "user_id",
+                F.explode(
+                    F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+                ).alias("wd"),
+            )
+            .distinct()
+        )
+        new_uw = (
+            uw
+            if state_uw is None
+            else uw.join(state_uw, on=["user_id", "wd"], how="left_anti")
+        ).persist()
+        dau_incs.append(
+            new_ud.groupBy("d").agg(F.count("*").alias("c"))
+        )
+        wau_incs.append(
+            new_uw.groupBy("wd").agg(F.count("*").alias("c"))
+        )
+        state_ud = (
+            new_ud if state_ud is None else state_ud.union(new_ud)
+        )
+        state_uw = (
+            new_uw if state_uw is None else state_uw.union(new_uw)
+        )
+    from functools import reduce
+
+    da = (
+        reduce(DataFrame.union, dau_incs)
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("dau"))
+    )
+    wau = (
+        reduce(DataFrame.union, wau_incs)
+        .groupBy("wd")
+        .agg(F.sum("c").cast("long").alias("wau7"))
+    )
+    return wau.join(da, wau.wd == da.d).select(
+        F.date_format("wd", "yyyy-MM-dd").alias("day"), "dau", "wau7"
+    )
+
+
+@query(
+    "q155_stratified_pps",
+    oracle="""
+WITH d AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE n_chars > 0 AND source IS NOT NULL),
+c AS (
+  SELECT source, doc_id, w,
+         sum(w) OVER (PARTITION BY source ORDER BY h, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d),
+t AS (SELECT source, CAST(sum(w) AS BIGINT) AS tot FROM d GROUP BY source)
+SELECT c.source, doc_id, w AS weight, CAST(cum AS BIGINT) AS cum_weight,
+       CAST((cum * 10) // tot - ((cum - w) * 10) // tot AS BIGINT) AS mult
+FROM c JOIN t ON c.source = t.source
+WHERE (cum * 10) // tot > ((cum - w) * 10) // tot
+""",
+)
+def q155_stratified_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified systematic PPS: 10 character-weighted draws from
+    EVERY source independently (Σ multiplicity = 10 per stratum
+    exactly) — the per-domain training-mixture contract q132's
+    global draw can't make (a lopsided corpus starves small
+    sources). Runs on the same pps_systematic operator with
+    ``strata_cols``: per-stratum mass lines, 256-bucket two-level
+    prefix sums with per-stratum ≤256-row carries, per-stratum
+    broadcast totals, the overflow guard applied to every stratum's
+    total. Null sources are dropped explicitly on both engines (a
+    null stratum would vanish through the join silently)."""
+    from vnavc_spark.operators.sampling import pps_systematic
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    return pps_systematic(
+        d, "doc_id", "n_chars", k=10, strata_cols=["source"]
+    )
+
+
+@query(
+    "q156_window_topk",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS wstart, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT wstart, event_type, n,
+         row_number() OVER (PARTITION BY wstart
+                            ORDER BY n DESC, event_type) AS rk
+  FROM h)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, n AS n_events, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+""",
+)
+def q156_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k: the 3 most frequent event types in every
+    tumbling hour — the trending-now primitive and the batch twin of
+    the streaming per-window top-k (same aggregate, watermarked, in
+    streaming/). The window partition key is corpus-cardinality
+    (one per hour), so parallelism GROWS with data; the rank filter
+    stays on the raw row_number so WindowGroupLimit keeps each
+    hour's sort to a 3-element heap; null types/timestamps dropped
+    explicitly on both engines."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    h = e.groupBy(
+        F.date_trunc("hour", "ts").alias("wstart"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    rk = F.row_number().over(
+        Window.partitionBy("wstart").orderBy(
+            F.col("n").desc(), F.col("event_type").asc()
+        )
+    )
+    return (
+        h.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.date_format("wstart", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
