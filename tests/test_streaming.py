@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from vnavc_spark.streaming import ingest
 
 
@@ -431,3 +433,108 @@ class TestStreamingCms:
             for r in cms_cells(corpus, width=64, depth=2).collect()
         }
         assert snap == ref
+
+
+class TestWindowedTopK:
+    def test_streaming_topk_equals_batch_q156(self, spark, tmp_path):
+        # two micro-batches (the second carrying a LATE row for the
+        # first hour) staged through the additive partials path must
+        # reproduce q156's batch answer over the union of the rows —
+        # streaming == batch, column-for-column
+        import random
+
+        from vnavc_spark.queries import QUERIES
+
+        random.seed(11)
+        types = ["click", "view", "purchase", "signup", "error"]
+        rows = [
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T{h:02d}:{i % 60:02d}:00",
+                "user_id": i % 7,
+                "event_type": types[random.randrange(len(types))],
+                "value": 1.0,
+            }
+            for i, h in enumerate(
+                [0] * 40 + [1] * 35 + [2] * 25, start=1
+            )
+        ]
+        # one null type + one null ts (dropped on both paths)
+        rows.append({"event_id": 999, "ts": "2024-01-01T00:30:00",
+                     "user_id": 1, "event_type": None, "value": 0.0})
+        rows.append({"event_id": 998, "ts": None, "user_id": 1,
+                     "event_type": "click", "value": 0.0})
+
+        src = tmp_path / "ev"
+        src.mkdir()
+        _write_batch(src, "b1.json", rows[:60])
+        stream = ingest.read_json_stream(
+            spark, str(src), schema=ingest.EVENT_STREAM_SCHEMA
+        )
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        q = ingest.start_windowed_type_counts(stream, partials, ckpt)
+        q.awaitTermination(60)
+        # batch 2: remainder + the late hour-0 row at the end
+        _write_batch(src, "b2.json", rows[60:])
+        stream2 = ingest.read_json_stream(
+            spark, str(src), schema=ingest.EVENT_STREAM_SCHEMA
+        )
+        q2 = ingest.start_windowed_type_counts(stream2, partials, ckpt)
+        q2.awaitTermination(60)
+
+        got = sorted(
+            tuple(r)
+            for r in ingest.windowed_topk_snapshot(spark, partials).collect()
+        )
+
+        # batch reference: the SAME rows as an events table through
+        # the registered q156
+        sf_dir = tmp_path / "sf"
+        sf_dir.mkdir()
+        spark.createDataFrame(
+            [
+                (
+                    r["event_id"],
+                    r["ts"].replace("T", " ") if r["ts"] else None,
+                    r["user_id"],
+                    r["event_type"],
+                    r["value"],
+                )
+                for r in rows
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double",
+        ).withColumn("ts", F.to_timestamp("ts")).write.parquet(
+            str(sf_dir / "events.parquet")
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q156_window_topk"](spark, str(sf_dir)).collect()
+        )
+        assert got == want
+        assert len(want) > 0
+
+    def test_replayed_batch_partial_is_idempotent(self, spark, tmp_path):
+        # a batch id's partial overwrites in place: re-running the
+        # same foreachBatch body must not double-count
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:05:00", 1, "click", 1.0)],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        partials = str(tmp_path / "p")
+        for _ in range(2):  # replay
+            (
+                df.groupBy(
+                    F.date_trunc("hour", "ts").alias("wstart"),
+                    F.col("event_type"),
+                )
+                .agg(F.count("*").cast("long").alias("n"))
+                .write.mode("overwrite")
+                .parquet(f"{partials}/batch_id=0")
+            )
+        out = ingest.windowed_topk_snapshot(spark, partials).collect()
+        assert [(r.event_type, r.n_events, r.rk) for r in out] == [
+            ("click", 1, 1)
+        ]

@@ -281,6 +281,80 @@ def start_streaming_cms(
     )
 
 
+def start_windowed_type_counts(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Stream side of the per-window top-k (queries.q156's streaming
+    twin): each micro-batch aggregates ITS OWN rows to (hour-window,
+    type, n) partial counts and stages them under
+    ``partials_path/batch_id=N`` — counts are ADDITIVE, so the
+    cumulative table is a sum over batch partials and the pipeline
+    needs NO streaming aggregation state at all (the q156-shape
+    top-k ranking can't run inside a streaming agg anyway — window
+    functions aren't supported on streaming DataFrames). Late rows
+    simply land in their event-time window via whatever batch they
+    arrive in; a batch id's partial is overwritten in place on
+    replay, so checkpoint recovery never double-counts (the
+    streaming-CMS exactly-once stance)."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(
+                F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+            )
+            .groupBy(
+                F.date_trunc("hour", ts_col).alias("wstart"),
+                F.col(type_col).alias("event_type"),
+            )
+            .agg(F.count("*").cast("long").alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_topk_snapshot(spark, partials_path: str, k: int = 3) -> DataFrame:
+    """Top-k event types per hour window from the staged partials —
+    identical output contract to queries.q156 (window_start string,
+    event_type, n_events, rk). The partial sum is a map-side
+    combinable aggregate over (windows × types × batches) rows; the
+    rank window partitions on the corpus-cardinality window key."""
+    from pyspark.sql import Window
+
+    agg = (
+        spark.read.parquet(partials_path)
+        .groupBy("wstart", "event_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("wstart").orderBy(
+            F.col("n").desc(), F.col("event_type").asc()
+        )
+    )
+    return (
+        agg.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select(
+            F.date_format("wstart", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 def cms_cells_snapshot(spark, cells_path: str) -> DataFrame:
     """Cumulative sketch = per-(seed, bucket) sum over all staged
     batch partials. Input is ≤ n_batches · depth · width rows —
