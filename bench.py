@@ -75,6 +75,15 @@ BENCH_QUERIES = [
     "q143_embedding_outliers",
     "q144_shipping_priority",
     "q148_topk_per_group",
+    # round 7 additions (new queries + the q138 rewrite; appended so
+    # the pre-r7 per-query series stays comparable)
+    "q138_decile_lift",
+    "q149_returned_top_customers",
+    "q150_supplier_part_counts",
+    "q152_copurchase_communities",
+    "q153_seasonality_anomalies",
+    "q154_rolling_dau_incremental",
+    "q156_window_topk",
 ]
 
 

@@ -89,6 +89,19 @@ SWEEP = [
     # classic selective join + grouped top-k (WindowGroupLimit)
     ("q144_shipping_priority", ("lineitem", "orders"), True, False),
     ("q148_topk_per_group", ("lineitem",), False, False),
+    # round 7: rank-bucket classification (narrowing boundaries +
+    # broadcast classify -> expect ~linear in the fact scan; the old
+    # window form was the dimension-partition scale-killer), the new
+    # query family (communities ride disjoint replicated subgraphs;
+    # incremental DAU's chunk count is time-span-bound, so replicated
+    # users grow each chunk linearly; window top-k is one fact agg)
+    ("q126_rfm_segments", ("orders",), True, False),
+    ("q138_decile_lift", ("orders",), True, False),
+    ("q149_returned_top_customers", ("lineitem", "orders"), True, False),
+    ("q150_supplier_part_counts", ("lineitem",), True, False),
+    ("q152_copurchase_communities", ("lineitem",), False, False),
+    ("q154_rolling_dau_incremental", ("events",), True, False),
+    ("q156_window_topk", ("events",), True, False),
 ]
 
 
