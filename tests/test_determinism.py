@@ -34,6 +34,15 @@ SENSITIVE = [
     "q133_correlation_matrix",  # integer moments -> double r
     "q144_shipping_priority",  # top-k cut under ties
     "q147_weighted_p90",  # weighted narrowing state
+    # round 7: narrowing-boundary classification (driver state +
+    # banded tie ranks), min-label propagation (per-round convergence
+    # counts), chunked incremental staging (anti-join deltas),
+    # per-stratum two-level cumsum boundaries
+    "q126_rfm_segments",
+    "q138_decile_lift",
+    "q152_copurchase_communities",
+    "q154_rolling_dau_incremental",
+    "q155_stratified_pps",
 ]
 
 
