@@ -628,3 +628,67 @@ def test_reuse_probe_still_reuses_live_identical_plan(spark):
     assert b is a
     C._SLOTS.pop("reuse_live_test", None)
     a.unpersist()
+
+
+def test_incremental_dau_chunk_guard_and_parity(spark, tmp_path):
+    # >64 weekly chunks must fail fast (staging loop is driver-side);
+    # and at a sane span the incremental result equals the batch
+    # day-explode form on the same parquet
+    import pytest
+
+    from vnavc_spark.queries import QUERIES
+
+    # 65 weeks of single events -> guard trips
+    wide = tmp_path / "wide"
+    wide.mkdir()
+    spark.createDataFrame(
+        [
+            (i, f"2024-01-01 00:00:{0:02d}", i, "click", 1.0)
+            for i in range(1)
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn(
+        "ts", F.to_timestamp("ts") + F.expr("make_interval(0,0,event_id*65,0,0,0)")
+    ).write.parquet(str(wide / "events.parquet"))
+    # one row can't trip it; build 65 rows a week apart
+    import shutil
+
+    shutil.rmtree(wide / "events.parquet")
+    spark.createDataFrame(
+        [(i, i) for i in range(65)], "event_id long, wk long"
+    ).select(
+        "event_id",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.expr("make_interval(0,0,wk,0,0,0)")).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    ).write.parquet(str(wide / "events.parquet"))
+    with pytest.raises(ValueError, match="chunk"):
+        QUERIES["q154_rolling_dau_incremental"](spark, str(wide)).count()
+
+    # parity on a 3-week span crossing chunk boundaries
+    ok = tmp_path / "ok"
+    ok.mkdir()
+    spark.createDataFrame(
+        [(i, i % 20, i % 5) for i in range(200)],
+        "event_id long, day long, user_id long",
+    ).select(
+        "event_id",
+        (F.to_timestamp(F.lit("2024-01-01 08:00:00"))
+         + F.expr("make_interval(0,0,0,day,0,0)")).alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    ).write.parquet(str(ok / "events.parquet"))
+    inc = {
+        (r.day, r.dau, r.wau7)
+        for r in QUERIES["q154_rolling_dau_incremental"](
+            spark, str(ok)
+        ).collect()
+    }
+    batch = {
+        (r.day, r.dau, r.wau7)
+        for r in QUERIES["q137_rolling_dau"](spark, str(ok)).collect()
+    }
+    assert inc == batch and len(inc) == 20

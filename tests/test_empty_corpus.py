@@ -251,6 +251,7 @@ NULL_SENSITIVE = [
     "q154_rolling_dau_incremental",
     "q155_stratified_pps",
     "q156_window_topk",
+    "q157_doc_length_deciles",
 ]
 
 

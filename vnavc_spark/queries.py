@@ -7980,6 +7980,65 @@ def q156_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q157_doc_length_deciles",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    AND n_chars IS NOT NULL),
+r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM d)
+SELECT doc_id, source, n_chars,
+       CAST(1 + (10 * (rk - 1)) // n AS BIGINT) AS decile
+FROM r
+""",
+)
+def q157_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length deciles (1 = longest) — the
+    curriculum / mixture-binning primitive: training pipelines
+    stratify sampling by a difficulty proxy inside each domain, and
+    source is a DIMENSION key (~20 values at any corpus size), which
+    is exactly the partition shape where a row_number window caps
+    parallelism at the domain count forever. Runs on
+    rank_bucket_classify (narrowing boundaries + broadcast
+    classification + banded tie ranks; length ties are REAL here —
+    n_chars has few distinct values relative to docs). Null doc_id /
+    source / n_chars dropped explicitly on both engines."""
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.operators.aggregates import rank_bucket_classify
+
+    d = tracked_persist(
+        table(spark, sf_dir, "documents")
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn("nlen", -F.col("n_chars")),
+        "doc_len_deciles",
+    )
+    return (
+        rank_bucket_classify(d, ["source"], "nlen", "doc_id", 10)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("bucket") + F.lit(1)).cast("long").alias("decile"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
