@@ -7981,6 +7981,75 @@ def q156_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q158_split_leakage",
+    oracle=f"""
+WITH {_shingle_cte()},
+{_minhash_bands_sql(cap=1000)},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_c a JOIN bands_c b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id),
+p AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b),
+nd AS (
+  SELECT doc_a, doc_b,
+         n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+  FROM p
+  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('split' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN rn <= floor(CAST(n AS DOUBLE) * 0.8) THEN 'train'
+              WHEN rn <= floor(CAST(n AS DOUBLE) * 0.9) THEN 'val'
+              ELSE 'test' END AS split
+  FROM r)
+SELECT doc_a, doc_b, jaccard, pa.split AS split_a, pb.split AS split_b
+FROM nd JOIN sp pa ON pa.doc_id = doc_a JOIN sp pb ON pb.doc_id = doc_b
+WHERE pa.split <> pb.split
+""",
+)
+def q158_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination audit: VERIFIED near-duplicate
+    pairs (MinHash-LSH candidates → exact Jaccard ≥ 0.8, q33's
+    certified pipeline) whose two docs landed in DIFFERENT splits of
+    q66's deterministic stratified 80/10/10 — the leakage that
+    silently inflates eval scores when dedup runs after splitting.
+    Composes two certified operators end-to-end: the pair table is
+    candidate-bounded (capped LSH buckets, text never shuffles) and
+    the split join touches only the near-dup doc ids. ~34% of
+    near-dup pairs cross splits under hash-random assignment, so a
+    clean corpus shows them and a dedup-first corpus shows zero."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d)
+    sp = sampling.stratified_split(
+        d.select("source", "doc_id"), strata="source", key="doc_id"
+    ).select("doc_id", "split")
+    pa = sp.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    pb = sp.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(pa, on="doc_a")
+        .join(pb, on="doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
+
+
+@query(
     "q157_doc_length_deciles",
     oracle="""
 WITH d AS (
