@@ -533,6 +533,30 @@ class TestGlobalWindowPins:
         )
         assert "TakeOrderedAndProject" in simple
 
+    def test_isolated_audit_is_history_independent(self, spark):
+        # the r06 artifact reported 10 phantom global windows for
+        # q33/q110 because a warm cache rewrote their explain output
+        # (InMemoryTableScan lineage reprints). The isolated audit
+        # must report the same facts whether or not another query's
+        # cache is warm.
+        from vnavc_spark.cache import clear_tracked
+        from vnavc_spark.plans.audit import audit_report
+
+        clear_tracked()
+        spark.catalog.clearCache()
+        clean = audit_report(
+            spark, SF_SMALL, ["q131_triangle_count"]
+        )["q131_triangle_count"]
+        # warm the shared basket cache through q124, then re-audit
+        QS["q124_market_basket"](spark, SF_SMALL).count()
+        warm = audit_report(
+            spark, SF_SMALL, ["q131_triangle_count"]
+        )["q131_triangle_count"]
+        assert (clean.global_windows, clean.parquet_scans) == (
+            warm.global_windows,
+            warm.parquet_scans,
+        )
+
     def test_global_windows_allowlisted_registry_wide(self):
         # round-6 verdict item #4: the per-round SCALE_FACTS artifact
         # (generated by `python -m vnavc_spark.plans.audit --json`,
