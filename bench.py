@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "q153_seasonality_anomalies",
     "q154_rolling_dau_incremental",
     "q156_window_topk",
+    # round 7 TPC-H completion wave (join-heavy representatives)
+    "q160_local_supplier_volume",
+    "q163_cust_order_distribution",
+    "q168_waiting_suppliers",
+    "q169_dormant_high_balance",
 ]
 
 

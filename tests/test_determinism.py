@@ -43,6 +43,13 @@ SENSITIVE = [
     "q152_copurchase_communities",
     "q154_rolling_dau_incremental",
     "q155_stratified_pps",
+    # round 7 TPC-H completion wave: exact-cent revenue sums with a
+    # single terminal division (market share), top-k cuts under ties
+    # with unique-key tiebreaks, cross-multiplied above-average test
+    "q162_market_share",
+    "q166_large_volume_customers",
+    "q168_waiting_suppliers",
+    "q169_dormant_high_balance",
 ]
 
 

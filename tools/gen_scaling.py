@@ -102,6 +102,15 @@ SWEEP = [
     ("q152_copurchase_communities", ("lineitem",), False, False),
     ("q154_rolling_dau_incremental", ("events",), True, False),
     ("q156_window_topk", ("events",), True, False),
+    # round 7 TPC-H completion wave: multi-way fact joins fan out
+    # onto fixed dims (Q5 analog), outer-join distribution per fixed
+    # customer set grows counts not keys, per-order self-joins see
+    # disjoint replicated orders (Q21 analog), anti-join against the
+    # replicated recent-buyer set (Q22 analog)
+    ("q160_local_supplier_volume", ("lineitem", "orders"), True, False),
+    ("q163_cust_order_distribution", ("orders",), True, False),
+    ("q168_waiting_suppliers", ("lineitem", "orders"), True, False),
+    ("q169_dormant_high_balance", ("orders",), True, False),
 ]
 
 

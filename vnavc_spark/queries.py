@@ -8108,6 +8108,666 @@ def q157_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# TPC-H completion wave (round 7): the classic analogs q144/q145/
+# q149-q151 left unclaimed — Q4/Q5/Q7/Q8/Q13/Q14/Q17/Q18/Q19/Q21/Q22
+# adapted to the partsupp-less, comment-less testdata schema. Money
+# rides exact integer cents end-to-end (shares/ratios are single
+# terminal divisions of those integers — IEEE-identical on both
+# engines); every LIMIT carries a unique-key tiebreak so the cut is
+# deterministic; date arithmetic is DATE + integer days (identical
+# calendars).
+# ===========================================================================
+
+
+@query(
+    "q159_order_priority_check",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90)
+GROUP BY o_orderpriority
+""",
+)
+def q159_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (order priority checking): orders placed in a
+    quarter where at least one line shipped >90 days after the order
+    date, counted per priority. The correlated EXISTS decorrelates to
+    a LEFT SEMI join with the equi-key (orderkey) carrying the
+    shuffle and the date comparison as a residual — no duplicate
+    inflation, no distinct. The quarter predicate pushes into the
+    orders scan, shrinking the semi-join's build side ~25x before
+    any shuffle."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (
+            F.to_date(li.l_shipdate)
+            > F.date_add(F.to_date(o.o_orderdate), 90)
+        ),
+        "leftsemi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@query(
+    "q160_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)) / 100.0
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY n_name
+""",
+)
+def q160_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog (local supplier volume): revenue per nation
+    from orders where the supplier and customer share a nation, one
+    region, one year. The year predicate pushes into the orders
+    scan; nation/region broadcast; the supplier join carries BOTH
+    the suppkey equi-key and the same-nation condition (the equi-key
+    drives the hash join, the nation equality is a residual). The
+    only corpus-scale shuffles are the two fact-fact joins on
+    orderkey/custkey."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q161_bilateral_trade",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)) / 100.0
+         AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+""",
+)
+def q161_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog (volume shipping): bilateral trade between two
+    nations per ship year. The nation table broadcasts TWICE under
+    different column names (supplier side / customer side); the pair
+    predicate is evaluated after both broadcasts, so the only
+    corpus-scale work is the two fact shuffles — and the shipdate
+    window pushes into the lineitem scan first."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3")
+        & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7")
+        & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q162_market_share",
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS cents,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part      ON l_partkey = p_partkey
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region    ON cn.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+SELECT o_year,
+       sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) / 100.0
+         AS nation_revenue,
+       sum(cents) / 100.0 AS total_revenue,
+       floor(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END)
+             / sum(cents) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+FROM base GROUP BY o_year
+""",
+)
+def q162_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog (national market share): the share of one
+    nation's suppliers in a region's market for one part type, per
+    year. Both numerator and denominator accumulate the SAME integer
+    cents in one aggregate (a conditional sum, map-side combinable);
+    the share is a single terminal division of those two integers —
+    order-free and engine-identical. The nation table broadcasts
+    twice (customer region path / supplier name path)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_rkey"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+        + F.lit(0.5)
+    )
+    nat_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(0.0)
+    )
+    tot_cents = F.sum(cents)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (nat_cents / 100.0).alias("nation_revenue"),
+            (tot_cents / 100.0).alias("total_revenue"),
+            stable_round(nat_cents / tot_cents, 6).alias("mkt_share"),
+        )
+    )
+
+
+@query(
+    "q163_cust_order_distribution",
+    oracle="""
+WITH oc AS (
+  SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders
+  WHERE o_orderpriority <> '1-URGENT' AND o_custkey IS NOT NULL
+  GROUP BY o_custkey),
+pc AS (
+  SELECT c_custkey, coalesce(cnt, 0) AS c_count
+  FROM customer LEFT JOIN oc ON c_custkey = ck)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM pc GROUP BY c_count
+""",
+)
+def q163_cust_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 analog (customer order distribution): how many
+    customers placed how many (non-urgent) orders — zero-order
+    customers included. Orders pre-aggregate to one row per customer
+    (map-side combinable) BEFORE touching the customer table, so the
+    left join matches two customer-cardinality sides instead of
+    joining raw orders; null custkeys drop on both engines (a null
+    key never matches the left join, and the explicit IS NOT NULL
+    keeps the aggregate from building a dead null group)."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") != "1-URGENT")
+        & F.col("o_custkey").isNotNull()
+    )
+    oc = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    pc = c.join(oc, c.c_custkey == oc.ck, "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c_count")
+    )
+    return pc.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "q164_promo_revenue",
+    oracle="""
+WITH b AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+         floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS cents,
+         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01')
+SELECT ym,
+       sum(CASE WHEN promo = 1 THEN cents ELSE 0 END) / 100.0
+         AS promo_revenue,
+       sum(cents) / 100.0 AS total_revenue,
+       floor(sum(CASE WHEN promo = 1 THEN cents ELSE 0 END) / sum(cents)
+             * 1000000.0 + 0.5) / 1000000.0 AS promo_share
+FROM b GROUP BY ym
+""",
+)
+def q164_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog (promotion effect), widened to a monthly
+    series: the promo-part share of revenue per ship month. One
+    fact-dim join (the part side prunes to two columns at the scan),
+    one conditional-sum aggregate on integer cents, shares as
+    terminal divisions. The ship-year predicate pushes into the
+    lineitem scan."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+        + F.lit(0.5)
+    )
+    promo_cents = F.sum(
+        F.when(F.col("p_type") == "PROMO", cents).otherwise(0.0)
+    )
+    tot_cents = F.sum(cents)
+    ym = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(ym.alias("ym"))
+        .agg(
+            (promo_cents / 100.0).alias("promo_revenue"),
+            (tot_cents / 100.0).alias("total_revenue"),
+            stable_round(promo_cents / tot_cents, 6).alias("promo_share"),
+        )
+    )
+
+
+@query(
+    "q165_small_quantity_revenue",
+    oracle="""
+WITH pl AS (
+  SELECT l_partkey, p_brand,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc,
+         l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN ('Brand#2', 'Brand#8', 'Brand#19')),
+pa AS (
+  SELECT l_partkey AS pk, CAST(sum(qc) AS BIGINT) AS sum_qc,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM pl GROUP BY l_partkey)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_small_lines,
+       sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 AS lost_revenue
+FROM pl JOIN pa ON l_partkey = pk
+WHERE qc * 5 * cnt < sum_qc
+GROUP BY p_brand
+""",
+)
+def q165_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 analog (small-quantity-order revenue): lines whose
+    quantity is below 20% of their part's average, per brand. The
+    correlated avg subquery decorrelates to a per-part (sum, count)
+    aggregate joined back to the same brand-filtered line set; the
+    threshold test cross-multiplies to integers
+    (qc * 5 * cnt < sum_qc), so no engine ever divides. The brand
+    predicate pushes into the part scan and prunes lineitem via the
+    join before the per-part aggregate runs."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#2", "Brand#8", "Brand#19")
+    ).select("p_partkey", "p_brand")
+    pl = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey",
+        "p_brand",
+        F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("qc"),
+        "l_extendedprice",
+    )
+    pa = pl.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qc").cast("long").alias("sum_qc"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    return (
+        pl.join(pa, pl.l_partkey == pa.pk)
+        .filter(F.col("qc") * 5 * F.col("cnt") < F.col("sum_qc"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_small_lines"),
+            exact_sum(F.col("l_extendedprice"), 2).alias("lost_revenue"),
+        )
+    )
+
+
+@query(
+    "q166_large_volume_customers",
+    oracle="""
+WITH oq AS (
+  SELECT l_orderkey AS ok,
+         CAST(sum(floor(l_quantity * 100.0 + 0.5)) AS BIGINT) AS sum_qc
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(floor(l_quantity * 100.0 + 0.5)) > 25000)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_totalprice, sum_qc / 100.0 AS sum_qty
+FROM oq
+JOIN orders   ON ok = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+""",
+)
+def q166_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18 analog (large-volume customers): the top 100 orders
+    by price among those totalling >250 quantity units. The HAVING
+    aggregate runs on lineitem alone (map-side combinable integer
+    sum) and only the few surviving orderkeys join back to
+    orders/customer — at any scale the join input after the HAVING
+    filter is a tiny fraction of orders, and AQE broadcasts it. The
+    top-100 plans as TakeOrderedAndProject (no global sort); the
+    unique orderkey tiebreak makes the cut deterministic under price
+    ties."""
+    li = table(spark, sf_dir, "lineitem")
+    oq = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)))
+            .cast("long")
+            .alias("sum_qc")
+        )
+        .filter(F.col("sum_qc") > 25000)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        oq.join(o, oq.ok == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+            (F.col("sum_qc") / 100.0).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q167_disjunctive_revenue",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)) / 100.0
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#8' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 40
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q167_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog (discounted revenue, disjunctive
+    predicates): three OR'd brand/size/quantity branches. The union
+    of the three brand predicates (p_brand IN ...) pushes into the
+    part scan — Catalyst derives it from the disjunction — so the
+    join build side holds only the three brands' parts at any scale;
+    the full OR evaluates as a residual after the join. One scalar
+    output row."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#8")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(1, 40)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q168_waiting_suppliers",
+    oracle="""
+WITH fl AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_suppkey IS NOT NULL),
+po AS (
+  SELECT l_orderkey AS ok,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+         CAST(count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+              AS BIGINT) AS n_late
+  FROM fl GROUP BY l_orderkey),
+ps AS (
+  SELECT l_orderkey, l_suppkey FROM fl WHERE late = 1
+  GROUP BY l_orderkey, l_suppkey)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ps
+JOIN po ON ps.l_orderkey = po.ok
+JOIN supplier ON ps.l_suppkey = s_suppkey
+WHERE po.n_supp > 1 AND po.n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC LIMIT 25
+""",
+)
+def q168_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (suppliers who kept orders waiting): for
+    finalized orders with >1 supplier, the supplier who was the ONLY
+    late one, ranked by how often. The classic
+    EXISTS + NOT-EXISTS pair decorrelates to ONE per-order aggregate
+    (distinct suppliers, distinct late suppliers) — no self-join of
+    lineitem against itself, which at corpus scale would shuffle the
+    fact table twice more. The (order, supplier) late pairs then
+    join the per-order counts on the orderkey they already share,
+    and the top-25 plans as TakeOrderedAndProject with the unique
+    suppkey tiebreak."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    fl = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_suppkey").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.to_date("l_shipdate")
+                > F.date_add(F.to_date("o_orderdate"), 90),
+                1,
+            )
+            .otherwise(0)
+            .alias("late"),
+        )
+    )
+    po = fl.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        )
+        .cast("long")
+        .alias("n_late"),
+    )
+    ps = (
+        fl.filter(F.col("late") == 1)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(po, ps.l_orderkey == po.ok)
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(s, ps.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "q169_dormant_high_balance",
+    oracle="""
+WITH sub AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey % 4 = 3),
+a AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM sub WHERE bal_c > 0),
+rec AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= '2000-01-01'),
+d AS (
+  SELECT sub.* FROM sub, a
+  WHERE bal_c * c > s
+    AND NOT EXISTS (SELECT 1 FROM rec WHERE o_custkey = c_custkey))
+SELECT nk AS nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       sum(bal_c) / 100.0 AS totacctbal
+FROM d GROUP BY nk
+""",
+)
+def q169_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog (global sales opportunity): customers in a
+    nation subset whose balance beats the subset's positive-balance
+    average but who placed no recent order, per nation. The scalar
+    avg subquery becomes a 1-row aggregate broadcast-crossJoined to
+    every candidate, and the above-average test cross-multiplies to
+    integer cents (bal_c * count > sum) so neither engine divides;
+    the NOT EXISTS is a LEFT ANTI join against the deduplicated
+    recent-buyer keys. The nation-subset predicate (an arithmetic
+    filter, the analog of Q22's phone-prefix list) pushes into the
+    customer scan."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") % 4 == 3
+    )
+    sub = c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_c"),
+    )
+    a = sub.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").cast("long").alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    rec = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    d = (
+        sub.crossJoin(F.broadcast(a))
+        .filter(F.col("bal_c") * F.col("c") > F.col("s"))
+        .join(rec, sub.c_custkey == rec.o_custkey, "left_anti")
+    )
+    return d.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("numcust"),
+        (F.sum("bal_c") / 100.0).alias("totacctbal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
