@@ -409,3 +409,131 @@ def ranked_mass_cumsum(
         (F.col("_carry") + F.col("_lcum")).cast("long").alias("cum"),
         F.col("_total").cast("long").alias("total"),
     )
+
+
+def ordered_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    mass_cols: list[str] | None = None,
+    num_parts: int | None = None,
+    slot: str | None = None,
+) -> DataFrame:
+    """Exact per-group running sum over a NUMERIC key ascending —
+    the CDF / distributed-rank primitive (empirical CDFs for KS
+    drift, rank(v) = cum - mass + 1 for rank statistics) — with no
+    single-task global sort.
+
+    A plain ``Window.partitionBy(group).orderBy(value)`` running sum
+    funnels each group through ONE task (and groups here are often
+    low-cardinality dimensions: the q126/q138 lesson). Instead:
+
+    1. pre-aggregate to DISTINCT (group, value) rows with the mass
+       summed per value (map-side combinable; the cumsum input is
+       vocabulary-sized, not corpus-sized);
+    2. ``repartitionByRange(group..., value)`` — Spark's range
+       sampler balances partitions by DATA density, so clustered
+       values spread across tasks (a fixed value-space banding such
+       as log2/digit-prefix buckets concentrates uniform data in the
+       top band);
+    3. local running sum in a window partitioned by
+       (group..., partition id) — never group-global;
+    4. per-(group, pid) totals carried by a window over at most
+       ``num_parts`` rows per group — bounded by CLUSTER CONFIG, not
+       data (ungrouped calls: one global window over <= num_parts
+       rows, allowlisted in plans/audit).
+
+    cum(v) = carry(earlier pids) + local cum — algebraically equal to
+    "total mass at values <= v in the group" for ANY disjoint ordered
+    partitioning, so the result is independent of where the sampled
+    range boundaries fall (partition-independence is pin-testable).
+    The pid-stamped frame is persisted once (``tracked_persist``):
+    steps 3 and 4 are two consumers of the SAME range exchange, and a
+    re-evaluated exchange may re-sample boundaries, which would
+    misalign the carry with the local sums. The persisted frame is
+    the distinct-value table — at 100 TB that is the value-domain
+    aggregate (vocabulary-sized), not the corpus.
+
+    ``value_col`` must already be integer-typed (pre-scale doubles
+    with the cents convention); masses sum as long — lift to
+    decimal(38,0) upstream past ~10^18 total mass. NULL values drop
+    (a NULL key holds no rank). Returns the distinct-value rows:
+    group cols + ``value_col`` + one ``<m>`` (mass at the value) and
+    ``cum_<m>`` (mass at values <= it) per mass column; with
+    ``mass_cols=None`` a count mass named ``mass`` / ``cum``.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        df.schema[value_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        raise TypeError(
+            f"ordered_cumsum: value_col {value_col!r} must be integer-typed "
+            f"(got {df.schema[value_col].dataType}); scale doubles to exact "
+            "integers first (the cents convention) so cumulation and the "
+            "downstream rank arithmetic stay engine-exact"
+        )
+    spark = df.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if mass_cols is None:
+        masses = {"mass": F.count(F.lit(1)).cast("long")}
+    else:
+        masses = {
+            m: F.sum(F.col(m).cast("long")).alias(m) for m in mass_cols
+        }
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(*[expr.alias(name) for name, expr in masses.items()])
+    )
+    ranged = base.repartitionByRange(
+        num_parts, *[F.col(c) for c in (*group_cols, value_col)]
+    ).withColumn("_pid", F.spark_partition_id())
+    from vnavc_spark.cache import tracked_persist
+
+    ranged = tracked_persist(ranged, slot or f"ordered_cumsum:{value_col}")
+
+    w_loc = (
+        Window.partitionBy(*group_cols, "_pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = ranged
+    for name in masses:
+        loc = loc.withColumn(f"_l_{name}", F.sum(name).over(w_loc))
+
+    totals = ranged.groupBy(*group_cols, "_pid").agg(
+        *[F.sum(name).alias(f"_t_{name}") for name in masses]
+    )
+    w_carry = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for name in masses:
+        totals = totals.withColumn(
+            f"_c_{name}",
+            F.coalesce(
+                F.sum(f"_t_{name}").over(w_carry), F.lit(0).cast("long")
+            ),
+        )
+    out = loc.join(
+        totals.select(*group_cols, "_pid", *[f"_c_{n}" for n in masses]),
+        [*group_cols, "_pid"],
+    )
+    return out.select(
+        *group_cols,
+        value_col,
+        *[
+            c
+            for name in masses
+            for c in (
+                F.col(name).cast("long").alias(name),
+                (F.col(f"_c_{name}") + F.col(f"_l_{name}"))
+                .cast("long")
+                .alias(f"cum_{name}" if mass_cols else "cum"),
+            )
+        ],
+    )
