@@ -35,8 +35,13 @@ unchanged code, so its certification transfers to the new regime.
 
 Usage: python tools/update_fingerprints.py [--force] [--check]
   --check  exit 1 (changing nothing) if regeneration would alter the
-           committed snapshot — run at round end to catch stale
-           stamps before the end-of-round commit.
+           committed snapshot WITHOUT tree-validated evidence — run
+           at round end to catch stale stamps before the end-of-round
+           commit. Refreshes whose green row was verified against the
+           tested tree (the legitimate just-after-artifact-landed
+           state) exit 0 with a "pending refresh" note, so the test
+           suite stays green across the round boundary (round-7
+           verdict item #1).
 """
 
 from __future__ import annotations
@@ -117,10 +122,17 @@ def tested_tree_fingerprints(names: list[str], current_regime: int):
         commits = _git(
             "log", "--diff-filter=A", "--format=%H", "--", rel
         ).splitlines()
-        if not commits:
-            return None
-        tested_rev = commits[0] + "~1"
-        _git("rev-parse", "--verify", tested_rev)  # parent must exist
+        if commits:
+            tested_rev = commits[0] + "~1"
+        else:
+            # Newest artifact not in git history — the round-start
+            # state: the driver runs the correctness head at HEAD and
+            # drops the artifact UNTRACKED on top. HEAD is the tested
+            # tree; falling back to name-only evidence here would let
+            # a query edited before the regeneration inherit the green
+            # row (round-7 verdict item #3).
+            tested_rev = "HEAD"
+        _git("rev-parse", "--verify", tested_rev)  # rev must exist
         tmp = tempfile.mkdtemp(prefix="certwt_", dir=ROOT)
         wt = os.path.join(tmp, "tree")
         try:
@@ -190,6 +202,7 @@ def main() -> None:
 
     new: dict[str, object] = {"__regime__": FP_REGIME}
     added, refreshed, migrated, refused, stale_evidence = [], [], [], [], []
+    tree_validated: set[str] = set()
     for name, fp in current.items():
         if name not in old_fps:
             new[name] = fp
@@ -219,18 +232,39 @@ def main() -> None:
             else:
                 new[name] = fp
                 refreshed.append(name)
+                if tested is not None:
+                    tree_validated.add(name)
         else:
             new[name] = old_fps[name]
             refused.append(name)
 
     if check:
-        would_change = new != {"__regime__": old_regime, **old_fps}
-        if would_change:
-            diffs = sorted(
-                set(added) | set(refreshed) | set(migrated)
+        pending = sorted(set(added) | set(refreshed) | set(migrated))
+        # A refresh whose green row was validated against the tested
+        # tree (and a regime migration, evidence-backed by
+        # construction) is the LEGITIMATE round-boundary state — the
+        # driver's artifact landed after the last regeneration and
+        # certifies the exact current implementation. That is pending
+        # mechanical work, not unexplained drift, so --check passes
+        # (round-7 verdict item #1: three rounds running the suite was
+        # red precisely when the artifact had just landed).
+        unexplained = sorted(
+            set(pending) - set(migrated) - tree_validated
+        )
+        if unexplained:
+            print(
+                "STALE snapshot — regeneration would change with no "
+                f"tree-validated evidence: {unexplained}"
             )
-            print(f"STALE snapshot — regeneration would change: {diffs}")
             sys.exit(1)
+        if pending:
+            print(
+                "snapshot pending evidence-backed refresh (green rows in "
+                "the newest CORRECTNESS certify the current "
+                "implementations) — run tools/update_fingerprints.py: "
+                f"{pending}"
+            )
+            return
         print("snapshot is current")
         return
 
