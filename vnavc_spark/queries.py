@@ -8341,7 +8341,7 @@ def q162_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     )
     nat_cents = F.sum(
-        F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(0.0)
+        F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(F.lit(0))
     )
     tot_cents = F.sum(cents)
     return (
@@ -8438,7 +8438,7 @@ def q164_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     )
     promo_cents = F.sum(
-        F.when(F.col("p_type") == "PROMO", cents).otherwise(0.0)
+        F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
     )
     tot_cents = F.sum(cents)
     ym = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
