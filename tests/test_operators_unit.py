@@ -1212,3 +1212,93 @@ class TestRankedMassCumsum:
         df = spark.createDataFrame([(10, 5), (9, 3)], "k long, m long")
         with pytest.raises(TypeError, match="must be a string"):
             ranked_mass_cumsum(df, "k", "m")
+
+
+class TestOrderedCumsum:
+    """ordered_cumsum (operators/ordering.py) — the CDF / distributed-
+    rank primitive behind q170_ks_drift. The docstring's central claim
+    is partition-independence: cum(v) = total mass at values <= v for
+    ANY disjoint ordered range partitioning, so varying num_parts must
+    not change a single output row (the carry would misalign if the
+    pid stamp and the local sums ever came from different sampled
+    boundaries)."""
+
+    def _reference(self, rows):
+        # per-group running sum over value ascending, pure Python
+        out = {}
+        for g in {r[0] for r in rows}:
+            cum = 0
+            for v, m in sorted(
+                (r[1], r[2]) for r in rows if r[0] == g
+            ):
+                cum += m
+                out[(g, v)] = cum
+        return out
+
+    def _rows(self):
+        # clustered values (dense band at 100..120) + outliers + a
+        # group absent from most of the value range + zero masses
+        rows = [("a", 100 + (i % 21), 1 + i % 3) for i in range(300)]
+        rows += [("a", 10, 5), ("a", 10_000, 7), ("a", 500, 0)]
+        rows += [("b", 100, 2), ("b", 101, 2), ("b", 9_999, 4)]
+        rows += [("c", 42, 1)]
+        return rows
+
+    def test_matches_reference_and_partition_independent(self, spark):
+        from vnavc_spark.operators.ordering import ordered_cumsum
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "g string, v long, m long")
+        ref = self._reference(rows)
+        results = []
+        for np_ in (1, 3, 32):
+            got = {
+                (r.g, r.v): (r.m, r.cum_m)
+                for r in ordered_cumsum(
+                    df, ["g"], "v", mass_cols=["m"], num_parts=np_,
+                    slot=f"t_oc_{np_}",
+                ).collect()
+            }
+            assert {k: c for k, (_, c) in got.items()} == ref, np_
+            results.append(got)
+        assert results[0] == results[1] == results[2]
+
+    def test_count_mass_and_null_drop(self, spark):
+        from vnavc_spark.operators.ordering import ordered_cumsum
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2), ("a", None), ("b", 5)],
+            "g string, v long",
+        )
+        got = {
+            (r.g, r.v): (r.mass, r.cum)
+            for r in ordered_cumsum(df, ["g"], "v", num_parts=3,
+                                    slot="t_oc_cnt").collect()
+        }
+        assert got == {
+            ("a", 1): (2, 2),
+            ("a", 2): (1, 3),
+            ("b", 5): (1, 1),
+        }
+
+    def test_ungrouped_global_cdf(self, spark):
+        from vnavc_spark.operators.ordering import ordered_cumsum
+
+        df = spark.createDataFrame(
+            [(v,) for v in (3, 1, 2, 2, 9)], "v long"
+        )
+        got = {
+            r.v: r.cum
+            for r in ordered_cumsum(df, [], "v", num_parts=4,
+                                    slot="t_oc_glob").collect()
+        }
+        assert got == {1: 1, 2: 3, 3: 4, 9: 5}
+
+    def test_rejects_non_integer_value(self, spark):
+        import pytest
+
+        from vnavc_spark.operators.ordering import ordered_cumsum
+
+        df = spark.createDataFrame([(1.5, 1)], "v double, m long")
+        with pytest.raises(TypeError, match="integer-typed"):
+            ordered_cumsum(df, [], "v", mass_cols=["m"])

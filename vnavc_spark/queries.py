@@ -8768,6 +8768,120 @@ def q169_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q170_ks_drift",
+    oracle="""
+WITH sv AS (
+  SELECT source, n_chars, CAST(count(*) AS HUGEINT) AS cnt
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source, n_chars),
+vals AS (SELECT DISTINCT n_chars FROM sv),
+srcs AS (SELECT source, CAST(sum(cnt) AS HUGEINT) AS n_s FROM sv
+         GROUP BY source),
+grid AS (
+  SELECT s.source, v.n_chars, COALESCE(sv.cnt, 0) AS cnt
+  FROM srcs s CROSS JOIN vals v
+  LEFT JOIN sv ON sv.source = s.source AND sv.n_chars = v.n_chars),
+cums AS (
+  SELECT source, n_chars,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars)
+              AS HUGEINT) AS cum_s
+  FROM grid),
+corp AS (SELECT n_chars, CAST(sum(cum_s) AS HUGEINT) AS cum FROM cums
+         GROUP BY n_chars),
+tot AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n FROM sv)
+SELECT c.source,
+       CAST(s.n_s AS BIGINT) AS n_docs,
+       floor(CAST(max(abs(c.cum_s * t.n - co.cum * s.n_s)) AS DOUBLE)
+             / CAST(s.n_s * t.n AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS ks_stat
+FROM cums c
+JOIN corp co ON co.n_chars = c.n_chars
+JOIN srcs s ON s.source = c.source
+CROSS JOIN tot t
+GROUP BY c.source, s.n_s, t.n
+""",
+)
+def q170_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-distribution drift as the EXACT two-sample
+    Kolmogorov–Smirnov statistic vs the whole corpus — the empirical-
+    CDF complement of q118's total-variation distance (TVD sees
+    unigram mass shifts; KS sees where the doc-length distribution
+    itself moved, the corpus-QA signal behind length-based curriculum
+    and truncation policies). D_s = sup_v |F_s(v) − F(v)|; both ECDFs
+    are right-continuous step functions whose jump points all lie in
+    the corpus value set, so the sup is EXACTLY the max over distinct
+    corpus values — no approximation, no sampling.
+
+    Shape (the ``ordered_cumsum`` CDF primitive, operators/ordering):
+    the raw corpus collapses to per-(source, value) counts first
+    (map-side combinable), then a source × value-domain grid zero-
+    fills absent values so F_s is evaluated at EVERY corpus jump
+    point; the grid is (value-domain × source-dimension)-sized —
+    bounded by the length domain, never the corpus. The running sum
+    runs through ordered_cumsum: range-repartitioned by (source,
+    value), per-partition local window, per-source carry over ≤
+    num_parts rows — no source-global single-task sort (the q126
+    lesson). Corpus cum(v) = Σ_s cum_s(v) — a reuse of the per-source
+    cums, not a second pass. |cum_s·n − cum·n_s| stays a
+    decimal(38,0) integer (long overflows past ~10^18 doc-pairs); max
+    of exact integers, ONE double division at the end, same
+    expression tree as the oracle. Reference parity: the reference's
+    dataset QA is pandas ``describe()`` over duration/word-count
+    columns (pre_processing/process_all.py:770-844); this is that
+    health check, distribution-shaped and exact at scale."""
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.operators.ordering import ordered_cumsum
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    # sv feeds the grid join, the per-source totals, and the corpus
+    # total — persist the vocabulary-sized aggregate, not the corpus
+    sv = tracked_persist(
+        d.groupBy("source", "n_chars").agg(
+            F.count("*").cast("long").alias("cnt")
+        ),
+        "ks_sv",
+    )
+    vals = sv.select("n_chars").distinct()
+    srcs = sv.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    n = sv.agg(F.sum("cnt").cast("decimal(38,0)").alias("n"))
+    grid = (
+        vals.crossJoin(F.broadcast(srcs.select("source")))
+        .join(sv, ["source", "n_chars"], "left")
+        .select(
+            "source", "n_chars", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    cums = ordered_cumsum(
+        grid, ["source"], "n_chars", mass_cols=["cnt"], slot="ks_cums"
+    )
+    corp = cums.groupBy("n_chars").agg(F.sum("cum_cnt").alias("cum"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        cums.join(corp, "n_chars")
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source", "n_s", "n")
+        .agg(
+            F.max(
+                F.abs(dec("cum_cnt") * dec("n") - dec("cum") * dec("n_s"))
+            ).alias("max_diff")
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_docs"),
+            stable_round(
+                F.col("max_diff").cast("double")
+                / (dec("n_s") * dec("n")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
