@@ -883,16 +883,27 @@ class TestContainmentPairs:
         from vnavc_spark.operators import aggregates as agg
         from vnavc_spark.operators.aggregates import exact_rank_select
 
-        # 8 open groups x 4096 buckets = 32768 cells > a 10k budget:
-        # the per-round collect bound trips BEFORE any bucket pass
+        # The adaptive round sizing SHRINKS nb_eff to the minimum that
+        # keeps the round count (range 5601 at places=2 → ~75 buckets
+        # over 2 rounds), so a budget the old always-n_buckets rounds
+        # would blow (8 × 4096 = 32768 cells) now passes legitimately.
+        # The fail-fast must still trip when open bounds × MINIMAL
+        # width exceeds the budget: 8 × ~75 = ~600 cells > 500.
         df = spark.createDataFrame(
             [(str(i % 8), float(i)) for i in range(64)], "g string, x double"
         )
         orig = agg.RANK_MAX_CELLS
-        agg.RANK_MAX_CELLS = 10_000
+        agg.RANK_MAX_CELLS = 500
         try:
             with pytest.raises(ValueError, match="bucket-count cells"):
                 exact_rank_select(df, ["g"], "x", n_buckets=4096)
+        finally:
+            agg.RANK_MAX_CELLS = orig
+        # and the 10k budget that only the non-adaptive form exceeded
+        # now resolves fine (2 narrow rounds instead of an error)
+        agg.RANK_MAX_CELLS = 10_000
+        try:
+            assert exact_rank_select(df, ["g"], "x", n_buckets=4096).count() == 8
         finally:
             agg.RANK_MAX_CELLS = orig
 

@@ -10,7 +10,7 @@ collect_list aggregations bound per-group state to file counts
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -530,13 +530,27 @@ def grouped_trend(
 # keys are categorical). The cap makes the contract fail-fast
 # instead of silently building unbounded driver state.
 RANK_MAX_GROUPS = 1_000_000
-# per-round bucket-count collect is bounded by open_bounds × n_buckets
-# cells (the worst case when every group's range is dense) — the
-# group cap alone doesn't bound it (1M groups × 4096 buckets is 4e9
-# cells). Fail fast above this product; callers with many groups
-# lower n_buckets (more, cheaper rounds) instead of melting the
-# driver.
+# per-round bucket-count cell budget: open_bounds × effective buckets
+# (the worst case when every group's range is dense). The crossing
+# bin is detected executor-side, so this bounds the per-round SHUFFLE
+# (map-side combine caps cells at this product; ~400 MB of cells at
+# the cap), not a driver collect — the driver receives one row per
+# open target. Fail fast above the product; callers with many groups
+# lower n_buckets (more, cheaper rounds) instead of blowing shuffle.
 RANK_MAX_CELLS = 16_777_216
+# ceiling for the ADAPTIVE per-round bucket count: when few bounds
+# are open, the cell budget buys wider rounds (fewer corpus passes —
+# each round is a full scan + driver sync); the cap keeps any single
+# bounds id's window partition at ≤ 2^18 rows (config-bounded, one
+# task) and keeps sparse-data hash maps sane.
+ADAPTIVE_BUCKET_CAP = 1 << 18
+# below this many POTENTIAL cells (bounds × nb_eff) the round
+# resolves with a driver-side walk over the collected bucket counts
+# — one stage, no window/join (measured faster than the executor
+# path by ~0.5 s/round at local scale); above it, the executor-side
+# crossing join keeps the collect at one row per open target no
+# matter how wide the round is.
+DRIVER_WALK_CELLS = 1 << 16
 
 
 def _nullsafe_group_key(group_cols: list[str]) -> Column:
@@ -565,6 +579,7 @@ def _exact_ranks_core(
     max_groups: int,
     weight_col: str | None = None,
     weight_places: int = 0,
+    minmax_shortcut: bool = True,
 ):
     """Shared narrowing loop behind :func:`exact_rank_select` and
     :func:`exact_rank_multi`.
@@ -588,6 +603,20 @@ def _exact_ranks_core(
     Returns ``(state, scale, spark)`` — state values carry the
     original-typed group tuple, target name, n and the resolved
     scaled-integer value.
+
+    With ``minmax_shortcut`` (default) rank-1 / rank-n targets close
+    directly from the first aggregate's min/max and cost zero rounds.
+    Disable it when the caller needs the CONVERGENCE INVARIANT of the
+    final state: at lo == hi, ``s["rank"]`` is the target's residual
+    rank WITHIN the tie run at the resolved value, i.e. the mass
+    strictly below the value is exactly ``original_rank − s["rank"]``
+    (each descent subtracts the mass of the bins passed over). The
+    shortcut breaks that bookkeeping for the rank-n-at-max case (the
+    below-max mass is unknown without narrowing), so callers that
+    read residual ranks — :func:`rank_bucket_classify`'s strictly-
+    below counts — must run every target through the rounds; the
+    extra targets ride the SAME shared per-round aggregate, so the
+    marginal cost is at most one tail round, not a pass per target.
     """
     scale = 10**places
     key = _nullsafe_group_key(group_cols)
@@ -639,9 +668,10 @@ def _exact_ranks_core(
             # rank 1 / rank n resolve directly from the first
             # aggregate's min/max — close them immediately so
             # min/max-style targets cost ZERO narrowing rounds
-            if rk == 1:
+            # (unless the caller needs residual ranks; see docstring)
+            if minmax_shortcut and rk == 1:
                 lo = hi = r["lo"]
-            elif rk == r["n"]:
+            elif minmax_shortcut and rk == r["n"]:
                 lo = hi = r["hi"]
             else:
                 lo, hi = r["lo"], r["hi"]
@@ -653,11 +683,6 @@ def _exact_ranks_core(
                 "group": tuple(r[c] for c in group_cols),
             }
     spark = df.sparkSession
-
-    def ceil_width(s) -> int:
-        # ceil((hi - lo + 1) / n_buckets), always ≥ 1
-        return max(1, (s["hi"] - s["lo"] + n_buckets) // n_buckets)
-
     for _ in range(max_rounds):
         open_t = {kt: s for kt, s in state.items() if s["lo"] < s["hi"]}
         if not open_t:
@@ -675,16 +700,48 @@ def _exact_ranks_core(
         # — the literals change every round, so each round compiles a
         # fresh janino class, while the join keeps one stable plan
         # shape that hits the generated-class cache.
-        uniq: dict = {}
-        for (k, t), s in open_t.items():
-            uniq.setdefault((k, s["lo"], s["hi"], ceil_width(s)), len(uniq))
-        if len(uniq) * n_buckets > RANK_MAX_CELLS:
+        # ADAPTIVE bucket count, two-step. (1) The per-round budget:
+        # few open bounds ⇒ the cell cap buys wider rounds (the
+        # crossing bin is found on EXECUTORS, so the driver receives
+        # one row per open target — width never widens the collect).
+        # (2) Spend the MINIMUM that still achieves the minimum
+        # round count: rounds = ceil(log_budget(max range)) is fixed
+        # by the budget, so nb_eff = ceil(range^(1/rounds)) converges
+        # in exactly that many rounds while shuffling ~sqrt-of-range
+        # cells instead of budget cells (measured on the sf0.1 MAD
+        # profile: 3×262k-cell rounds → 2×~3k-cell rounds; an
+        # always-max width was SLOWER than the 256-bucket driver walk
+        # it replaced because partial aggregation stops combining
+        # once bins outnumber values).
+        bkeys = {(k, s["lo"], s["hi"]) for (k, _t), s in open_t.items()}
+        budget = max(
+            n_buckets,
+            min(ADAPTIVE_BUCKET_CAP, RANK_MAX_CELLS // max(1, len(bkeys))),
+        )
+        r_max = max(hi - lo + 1 for (_k, lo, hi) in bkeys)
+        rounds_needed = 1
+        while budget**rounds_needed < r_max:
+            rounds_needed += 1
+        nb_eff = max(2, int(round(r_max ** (1.0 / rounds_needed))))
+        while nb_eff**rounds_needed < r_max:
+            nb_eff += 1
+        nb_eff = min(nb_eff, budget)
+        if len(bkeys) * nb_eff > RANK_MAX_CELLS:
             raise ValueError(
-                f"exact_rank: {len(uniq)} open group bounds x "
-                f"{n_buckets} buckets exceeds {RANK_MAX_CELLS} "
+                f"exact_rank: {len(bkeys)} open group bounds x "
+                f"{nb_eff} buckets exceeds {RANK_MAX_CELLS} "
                 "bucket-count cells per round; lower n_buckets (more, "
                 "cheaper rounds) or reduce group cardinality."
             )
+
+        def cw(s) -> int:
+            # ceil((hi - lo + 1) / nb_eff), always ≥ 1
+            return max(1, (s["hi"] - s["lo"] + nb_eff) // nb_eff)
+
+        uniq: dict = {}
+        for (k, t), s in open_t.items():
+            uniq.setdefault((k, s["lo"], s["hi"], cw(s)), len(uniq))
+        open_items = list(open_t.items())
         bounds = spark.createDataFrame(
             [
                 (bid, k, lo, hi, bw)
@@ -692,7 +749,7 @@ def _exact_ranks_core(
             ],
             "_bid long, _k string, _blo long, _bhi long, _bw long",
         )
-        b = (
+        cells = (
             base.join(F.broadcast(bounds), on="_k")
             .filter(
                 (F.col("_v") >= F.col("_blo"))
@@ -707,28 +764,72 @@ def _exact_ranks_core(
             .withColumn("_bin", F.expr("(_v - _blo) div _bw"))
             .groupBy("_bid", "_bin")
             .agg(F.sum("_w").alias("c"))
+        )
+        if len(bkeys) * nb_eff <= DRIVER_WALK_CELLS:
+            # small round: collect the (bounded) bucket counts and
+            # walk them on the driver — one stage per round
+            counts: dict = {}
+            for r in cells.collect():
+                counts.setdefault(r["_bid"], {})[r["_bin"]] = r["c"]
+            for (k, t), s in open_items:
+                width = cw(s)
+                cmap = counts.get(uniq[(k, s["lo"], s["hi"], width)], {})
+                run = 0
+                for i in sorted(cmap):
+                    c = cmap[i]
+                    if run + c >= s["rank"]:
+                        s["rank"] -= run
+                        s["lo"] = s["lo"] + i * width
+                        s["hi"] = min(s["hi"], s["lo"] + width - 1)
+                        break
+                    run += c
+                else:  # pragma: no cover — bins cover [lo, hi]
+                    raise RuntimeError(
+                        "exact_rank: rank not found in any bucket "
+                        "(invariant violation)"
+                    )
+            continue
+        # big round: find the crossing bin on EXECUTORS — cum over
+        # ≤ nb_eff nonzero bins per bounds id (config-bounded window
+        # partitions, never data-bounded); the target rank lands in
+        # the bin where the running mass first reaches it, and the
+        # driver receives ONE row per open target
+        ranks = spark.createDataFrame(
+            [
+                (tid, uniq[(k, s["lo"], s["hi"], cw(s))], s["rank"])
+                for tid, ((k, _t), s) in enumerate(open_items)
+            ],
+            "_tid long, _bid long, _rank long",
+        )
+        wcum = (
+            Window.partitionBy("_bid")
+            .orderBy("_bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        hits = (
+            cells.withColumn("_cum", F.sum("c").over(wcum))
+            .join(F.broadcast(ranks), on="_bid")
+            .filter(
+                (F.col("_cum") - F.col("c") < F.col("_rank"))
+                & (F.col("_rank") <= F.col("_cum"))
+            )
+            .select(
+                "_tid", "_bin", (F.col("_cum") - F.col("c")).alias("_below")
+            )
             .collect()
         )
-        counts: dict = {}
-        for r in b:
-            counts.setdefault(r["_bid"], {})[r["_bin"]] = r["c"]
-        for (k, t), s in open_t.items():
-            width = ceil_width(s)
-            cmap = counts.get(uniq[(k, s["lo"], s["hi"], width)], {})
-            run = 0
-            for i in range(n_buckets):
-                c = cmap.get(i, 0)
-                if run + c >= s["rank"]:
-                    s["rank"] -= run
-                    s["lo"] = s["lo"] + i * width
-                    s["hi"] = min(s["hi"], s["lo"] + width - 1)
-                    break
-                run += c
-            else:  # pragma: no cover — bins cover [lo, hi] entirely
-                raise RuntimeError(
-                    "exact_rank: rank not found in any bucket (invariant "
-                    "violation)"
-                )
+        if len(hits) != len(open_items):  # pragma: no cover — bins
+            # cover [lo, hi] entirely and hold ≥ rank mass
+            raise RuntimeError(
+                "exact_rank: rank not found in any bucket (invariant "
+                "violation)"
+            )
+        for r in hits:
+            s = open_items[r["_tid"]][1]
+            width = cw(s)
+            s["rank"] -= r["_below"]
+            s["lo"] = s["lo"] + r["_bin"] * width
+            s["hi"] = min(s["hi"], s["lo"] + width - 1)
 
     return state, scale, spark
 
@@ -857,12 +958,16 @@ def rank_bucket_classify(
 
     Scale shape (no corpus-proportional sort anywhere):
 
-    1. the k−1 bucket-boundary VALUES per group come from
-       :func:`exact_rank_multi`'s narrowing selection — map-side
+    1. the k−1 bucket-boundary VALUES per group come from the
+       :func:`_exact_ranks_core` narrowing selection — map-side
        combinable bucket counts, driver state is (lo, hi, rank) per
        (group, boundary), zero value buffering;
-    2. ONE conditional-count aggregate computes ``C_i`` = rows
-       strictly below each boundary value;
+    2. ``C_i`` (rows strictly below each boundary value) falls out of
+       the SAME narrowing for free: with the min/max shortcut
+       disabled, the converged state's residual rank is the
+       boundary's rank within its tie run, so C_i = R_i − residual —
+       no separate strictly-below corpus pass (the r07 profile spent
+       a full extra scan + shuffle on it);
     3. rows whose value differs from every boundary value classify
        in a broadcast array fold: with v ≠ v_i, rank ≤ R_i ⟺
        v < v_i (v_i is the value AT rank R_i, so fewer than R_i rows
@@ -874,6 +979,13 @@ def rank_bucket_classify(
        (|tie run| / tie_band rows, partitioned by (group, value)) —
        so even an all-equal degenerate group never funnels its rows
        through one task.
+
+    The boundary table is (group × (k−1))-sized driver state, so the
+    classify array builds DRIVER-SIDE and broadcasts — no boundary
+    join, no collect_list aggregation round (both were in the r07
+    plan; together with the C_i fusion and the adaptive round widths
+    this cut the sf0.1 profiles ~25-40% — q126 7.6→5.8 s, q138
+    8.4→5.2 s, same environment, output hashes unchanged).
 
     Constraints: ``value_col`` must be integer-valued (long-safe;
     scale decimals to cents first — the boundary values round-trip
@@ -892,6 +1004,7 @@ def rank_bucket_classify(
     defined (tie and non-tie branches are unioned).
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     if k < 2:
         raise ValueError("rank_bucket_classify: k must be >= 2")
@@ -902,49 +1015,57 @@ def rank_bucket_classify(
         f"b{i:03d}": (lambda n, _i=i: (n * (_i + 1) - 1) // k + 1)
         for i in range(k - 1)
     }
-    bnd = (
-        exact_rank_multi(
-            df,
-            group_cols,
-            value_col,
-            targets,
-            places=0,
-            n_buckets=n_buckets,
-            max_rounds=max_rounds,
-            max_groups=max_groups,
-        )
-        .select(
-            *group_cols,
-            F.substring("target", 2, 3).cast("int").alias("_i"),
-            F.col("n_rows").alias("_n"),
-            F.col("value").cast("long").alias("_bv"),
-        )
-        .withColumn("_R", F.expr(f"(_n * (_i + 1) - 1) div {k} + 1"))
+    state, _scale, spark = _exact_ranks_core(
+        df,
+        group_cols,
+        value_col,
+        targets,
+        places=0,
+        n_buckets=n_buckets,
+        max_rounds=max_rounds,
+        max_groups=max_groups,
+        minmax_shortcut=False,  # residual ranks carry the C_i counts
     )
-    # C_i per (group, boundary): rows strictly below the boundary
-    # value. One broadcast join (k−1 boundary rows per group) + one
-    # map-side-combinable aggregate; every (group, i) pair appears
-    # because every group has data rows and k−1 boundaries.
-    cless = (
-        df.select(*group_cols, value_col)
-        .join(F.broadcast(bnd.select(*group_cols, "_i", "_bv")), on=group_cols)
-        .groupBy(*group_cols, "_i")
-        .agg(
-            F.coalesce(F.sum(F.when(v < F.col("_bv"), F.lit(1))), F.lit(0))
-            .cast("long")
-            .alias("_C")
+    # classify array per group, built from driver state: per boundary
+    # (_bv = value at rank R_i, _RC = R_i − C_i = the boundary's rank
+    # within its tie run). Duplicate boundary values are kept as
+    # separate entries — the fold counts each crossed boundary once,
+    # which is exactly how adjacent buckets collapse to zero width.
+    per_group: dict = {}
+    for (gk, t), s in state.items():
+        i = int(t[1:])
+        r_i = (s["n"] * (i + 1) - 1) // k + 1
+        per_group.setdefault(gk, {"group": s["group"], "b": []})[
+            "b"
+        ].append((i, s["lo"], s["rank"], r_i))
+    arr_rows = []
+    for d in per_group.values():
+        arr_rows.append(
+            (
+                *d["group"],
+                [(bv, res) for _i, bv, res, _r in sorted(d["b"])],
+                sorted({bv for _i, bv, _res, _r in d["b"]}),
+            )
         )
+    arr_schema = T.StructType(
+        _group_fields(df, group_cols)
+        + [
+            T.StructField(
+                "_arr",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("_bv", T.LongType(), False),
+                            T.StructField("_RC", T.LongType(), False),
+                        ]
+                    )
+                ),
+                False,
+            ),
+            T.StructField("_bvals", T.ArrayType(T.LongType()), False),
+        ]
     )
-    garr = (
-        bnd.join(cless, on=[*group_cols, "_i"])
-        .groupBy(*group_cols)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("_i", "_bv", "_R", "_C"))
-            ).alias("_arr")
-        )
-        .withColumn("_bvals", F.transform("_arr", lambda x: x["_bv"]))
-    )
+    garr = spark.createDataFrame(arr_rows, arr_schema)
     base = df.join(F.broadcast(garr), on=group_cols)
     is_tie = F.array_contains(F.col("_bvals"), v)
     nontie = base.filter(~is_tie).withColumn(
@@ -977,7 +1098,7 @@ def rank_bucket_classify(
                 F.filter(
                     "_arr",
                     lambda x: (v > x["_bv"])
-                    | ((v == x["_bv"]) & (F.col("_tr") > x["_R"] - x["_C"])),
+                    | ((v == x["_bv"]) & (F.col("_tr") > x["_RC"])),
                 )
             ).cast("long"),
         )
