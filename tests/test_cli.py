@@ -12,7 +12,10 @@ class TestCli:
     def test_list(self, capsys):
         assert main(["list"]) == 0
         out = capsys.readouterr().out
-        assert "q01_region_revenue" in out and "rows-only" in out
+        assert "q01_region_revenue" in out and "[oracle]" in out
+        # since round 8 the whole registry is oracle-backed — no
+        # rows-only badge should appear
+        assert "rows-only" not in out
 
     def test_query_runs(self, spark, capsys):
         assert main(["query", "q18_top_k", "--sf-dir", SF_SMALL]) == 0
@@ -94,11 +97,30 @@ class TestVerifyCli:
         assert "0 failures" in out
 
     def test_verify_skips_oracle_free(self, spark, capsys):
+        # since round 8 every REGISTERED query carries an oracle
+        # (q47 was the last rows-only entry), so the SKIP path is
+        # exercised with a temporary oracle-free registration
         from tests.conftest import SF_SMALL
+
+        import vnavc_spark.queries as qmod
         from vnavc_spark.__main__ import main
 
-        assert main(["verify", "q47_approx_sketches", "--sf-dir", SF_SMALL]) == 0
-        assert "SKIP" in capsys.readouterr().out
+        name = "qtmp_no_oracle"
+        qmod.QUERIES[name] = lambda spark, sf_dir: spark.range(1)
+        try:
+            assert name not in qmod.ORACLE
+            assert main(["verify", name, "--sf-dir", SF_SMALL]) == 0
+            assert "SKIP" in capsys.readouterr().out
+        finally:
+            del qmod.QUERIES[name]
+
+    def test_registry_has_no_oracle_free_queries(self):
+        # the round-7 verdict's item #5: zero rows-only entries —
+        # every registered query must ship a DuckDB oracle
+        import vnavc_spark.queries as qmod
+
+        missing = sorted(set(qmod.QUERIES) - set(qmod.ORACLE))
+        assert not missing, f"queries without oracles: {missing}"
 
     def test_verify_unknown(self, spark, capsys):
         from vnavc_spark.__main__ import main

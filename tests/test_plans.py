@@ -395,9 +395,9 @@ class TestRound4Plans:
         plan = explain_string(QS["q42_percentiles"](spark, SF_SMALL), "simple")
         assert "percentile(" not in plan
 
-        # registry-wide, at the source level: the only percentile
-        # callable in the query registry is the fixed-size
-        # approx_percentile sketch (q47)
+        # registry-wide, at the source level: no exact percentile()
+        # aggregate anywhere (since round 8 even q47's sketch is the
+        # oracle-checkable md5-HLL, not approx_percentile)
         import inspect
 
         import vnavc_spark.queries as qmod

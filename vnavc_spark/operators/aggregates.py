@@ -214,6 +214,93 @@ def kmv_distinct(
     )
 
 
+def hll_deterministic(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 6,
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch per group
+    (Flajolet et al. 2007), fully ORACLE-CHECKABLE: the hash is md5
+    (any engine reproduces every register bit-for-bit), the register
+    state and harmonic accumulator are EXACT integers, and the only
+    float is one terminal division by a shared literal constant — so
+    unlike the engine-internal ``approx_count_distinct`` (whose HLL++
+    seed/encoding is implementation-private, forcing a rows-only
+    check), this sketch hash-certifies against DuckDB.
+
+    Layout: 15 md5 hex chars → 60-bit hash; low ``b`` bits pick one
+    of m = 2^b registers, the remaining 60−b bits feed
+    ρ = (trailing-zero count) + 1 — the Durand–Flajolet geometric
+    observable on the reversed bit order, same distribution as the
+    leading-zero form but computable with one integer identity
+    (``w & −w`` isolates the lowest set bit; log2 of an exact power
+    of two is ulp-safe under the +0.5 floor). ρ(0) = 60−b+1 caps the
+    all-zero suffix. The harmonic mean Σ 2^−M_j is scaled by
+    2^(60−b+1) so it accumulates as an EXACT long (m·2^55 < 2^62 at
+    b = 6): ``harmonic_sum`` is engine-portable integer state, and
+    the estimate α_m·m²·2^55 / S is one IEEE division by a Python-
+    formatted double literal. No small-range linear-counting branch —
+    it needs ln(), which is not bit-portable across libm; raw-HLL
+    bias below ~2.5m is the documented trade for certifiability
+    (``n_exact`` rides along as the error anchor, q86 convention).
+
+    Scale shape: one map-side-combinable (group, register) max
+    aggregate — register maxima merge across partitions, the 100 TB
+    partial-aggregation story; the exact anchor is the only distinct
+    shuffle and drops for production use.
+
+    Returns (group_cols..., n_registers_hit, harmonic_sum,
+    hll_estimate, n_exact)."""
+    from vnavc_spark.functions.portable import stable_round
+
+    m = 1 << b
+    wbits = 60 - b
+    sent = wbits + 1  # rho when the whole w suffix is zero
+    alpha_num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << sent)
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rw = df.select(*group_cols, h.alias("_h")).select(
+        *group_cols,
+        F.pmod(F.col("_h"), F.lit(m)).alias("_reg"),
+        F.expr(f"_h div {m}").alias("_w"),
+    )
+    rho = F.expr(
+        f"CASE WHEN _w = 0 THEN {sent} ELSE "
+        "CAST(floor(log2(CAST(_w & -_w AS DOUBLE)) + 0.5) AS BIGINT) + 1 "
+        "END"
+    )
+    regs = rw.withColumn("_rho", rho).groupBy(*group_cols, "_reg").agg(
+        F.max("_rho").alias("_M")
+    )
+    ga = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_registers_hit"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({sent} - _M AS INT))")
+        ).alias("_s_present"),
+    )
+    ex = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).cast("long").alias("n_exact")
+    )
+    s_total = (
+        F.col("_s_present")
+        + (F.lit(m) - F.col("n_registers_hit")) * F.lit(1 << sent)
+    ).cast("long")
+    return (
+        ga.join(ex, on=group_cols)
+        .select(
+            *group_cols,
+            "n_registers_hit",
+            s_total.alias("harmonic_sum"),
+            stable_round(
+                F.lit(alpha_num) / s_total.cast("double"), 6
+            ).alias("hll_estimate"),
+            "n_exact",
+        )
+    )
+
+
 def histogram_median(
     df: DataFrame,
     group_cols: list[str],

@@ -1785,19 +1785,62 @@ def q46_text_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics
 
 
-@query("q47_approx_sketches")  # sketch results — rows-only check
+_HLL_ALPHA_NUM = 0.7213 / (1.0 + 1.079 / 64) * 64 * 64 * float(1 << 55)
+
+
+@query(
+    "q47_approx_sketches",
+    oracle=f"""
+WITH hv AS (
+  SELECT o_orderpriority,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM orders),
+rw AS (
+  SELECT o_orderpriority, h % 64 AS reg,
+         CASE WHEN h // 64 = 0 THEN 55 ELSE
+           CAST(floor(log2(CAST((h // 64) & -(h // 64) AS DOUBLE)) + 0.5)
+                AS BIGINT) + 1 END AS rho
+  FROM hv),
+regs AS (SELECT o_orderpriority, reg, max(rho) AS m FROM rw
+         GROUP BY o_orderpriority, reg),
+ga AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_registers_hit,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY o_orderpriority),
+ex AS (SELECT o_orderpriority,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+       FROM orders GROUP BY o_orderpriority)
+SELECT g.o_orderpriority, n_registers_hit,
+       CAST(s_present + (64 - n_registers_hit)
+            * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS harmonic_sum,
+       floor({_HLL_ALPHA_NUM!r}
+             / CAST(s_present + (64 - n_registers_hit)
+                    * (CAST(1 AS BIGINT) << 55) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
+       n_exact
+FROM ga g JOIN ex USING (o_orderpriority)
+""",
+)
 def q47_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch path for q42/q44 at 100 TB: HyperLogLog++ distinct
-    counts and quantile-sketch percentiles — single-pass, fixed
-    memory, mergeable across partitions (exact variants need expand/
-    sort). Sketches are estimation → no SQL oracle; the test asserts
-    bounded relative error against the exact queries."""
+    """The sketch path for q44's distinct counts at 100 TB, now with
+    a FULL hash oracle (the registry's last rows-only entry until
+    round 8): a deterministic md5-keyed HyperLogLog — register
+    maxima and the harmonic accumulator are exact integers, the
+    estimate is one IEEE division by a shared literal, so DuckDB
+    reproduces every row bit-for-bit (operators/aggregates.
+    hll_deterministic; the engine-internal approx_count_distinct
+    HLL++ this replaces was implementation-private and uncheckable).
+    Register maxima merge across partitions — the mergeable-sketch
+    story the reference's pandas describe() QC
+    (pre_processing/process_all.py:770-844) has no answer to.
+    Companions: q86 KMV/theta, q87 histogram median. The pytest
+    error-bound check (m=64 → ~13% std error) still runs against
+    n_exact."""
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
-        F.count("*").alias("n_orders"),
-    )
+    return aggregates.hll_deterministic(o, ["o_orderpriority"], "o_custkey")
 
 
 # ===========================================================================
