@@ -89,6 +89,13 @@ BENCH_QUERIES = [
     "q163_cust_order_distribution",
     "q168_waiting_suppliers",
     "q169_dormant_high_balance",
+    # round 8 additions: the rank-bucket primitive's only other
+    # latency witnesses (q157/q158 were unbenched in r7), the
+    # ordered_cumsum KS drift, and the oracle-backed HLL sketch
+    "q157_doc_length_deciles",
+    "q158_split_leakage",
+    "q170_ks_drift",
+    "q47_approx_sketches",
 ]
 
 
