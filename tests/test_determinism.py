@@ -50,6 +50,12 @@ SENSITIVE = [
     "q166_large_volume_customers",
     "q168_waiting_suppliers",
     "q169_dormant_high_balance",
+    # round 8: range-partitioned CDF carries (partition-independence
+    # is the operator's core claim), md5-HLL register maxima (order-
+    # free by construction — max is commutative — but the harmonic
+    # sum and single division must not drift either)
+    "q170_ks_drift",
+    "q47_approx_sketches",
 ]
 
 
