@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q158_split_leakage",
     "q170_ks_drift",
     "q47_approx_sketches",
+    "q171_hybrid_rrf",
 ]
 
 

@@ -1323,3 +1323,56 @@ class TestOrderedCumsum:
         df = spark.createDataFrame([(1.5, 1)], "v double, m long")
         with pytest.raises(TypeError, match="integer-typed"):
             ordered_cumsum(df, [], "v", mass_cols=["m"])
+
+
+class TestRrfFuse:
+    """rrf_fuse (operators/retrieval.py) — hybrid-retrieval rank
+    fusion behind q171. Pure list-sized math: both-list candidates
+    get both reciprocal terms, single-list candidates one; ranks are
+    1-based; k cuts the fused list; score ties break on candidate id."""
+
+    def test_fusion_math_and_order(self, spark):
+        from vnavc_spark.operators.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+            "qid long, cand long, lex_rank long",
+        )
+        dense = spark.createDataFrame(
+            [(0, 11, 1), (0, 13, 2)],
+            "qid long, cand long, dense_rank long",
+        )
+        rows = {
+            r.cand: r for r in rrf_fuse(lex, dense, k=10).collect()
+        }
+        # cand 11 appears in both lists: 1/62 + 1/61
+        def rr(x):
+            import math
+            return math.floor((x) * 1e6 + 0.5) / 1e6
+
+        assert rows[11].n_lists == 2
+        assert rows[11].score_rrf == rr(1.0 / 62 + 1.0 / 61)
+        assert rows[10].n_lists == 1
+        assert rows[10].score_rrf == rr(1.0 / 61)
+        assert rows[13].score_rrf == rr(1.0 / 62)
+        # fused order: 11 (both) > 10 (lex#1) > 13 (dense#2) > 12
+        order = sorted(rows.values(), key=lambda r: r.fused_rank)
+        assert [r.cand for r in order] == [11, 10, 13, 12]
+
+    def test_tie_breaks_on_cand_and_k_cut(self, spark):
+        from vnavc_spark.operators.retrieval import rrf_fuse
+
+        # same rank in disjoint lists -> equal scores -> cand asc
+        lex = spark.createDataFrame(
+            [(0, 7, 1), (0, 9, 2)], "qid long, cand long, lex_rank long"
+        )
+        dense = spark.createDataFrame(
+            [(0, 3, 1), (0, 8, 2)], "qid long, cand long, dense_rank long"
+        )
+        out = rrf_fuse(lex, dense, k=3).collect()
+        assert [r.cand for r in sorted(out, key=lambda r: r.fused_rank)] == [
+            3,
+            7,
+            8,
+        ]  # ties (3,7) and (8,9) break ascending; k=3 drops 9
+        assert len(out) == 3

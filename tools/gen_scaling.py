@@ -111,6 +111,19 @@ SWEEP = [
     ("q163_cust_order_distribution", ("orders",), True, False),
     ("q168_waiting_suppliers", ("lineitem", "orders"), True, False),
     ("q169_dormant_high_balance", ("orders",), True, False),
+    # round 8: the reworked narrowing core's other consumers (decile
+    # binning over the ~20-value source dimension; adaptive rounds
+    # must stay flat), the ordered_cumsum KS drift (grid is value-
+    # domain x source — replication adds values via shifted doc_ids'
+    # n_chars? no: n_chars replicates verbatim, so the grid is
+    # CONSTANT and only the pre-aggregate scan grows), split-leakage
+    # (pair output grows ~factor^2 under verbatim-text cliques, like
+    # the rest of the near-dup suite), and the md5-HLL (register
+    # state constant; scan grows)
+    ("q157_doc_length_deciles", ("documents",), False, False),
+    ("q158_split_leakage", ("documents",), False, True),
+    ("q170_ks_drift", ("documents",), True, False),
+    ("q47_approx_sketches", ("orders",), True, False),
 ]
 
 

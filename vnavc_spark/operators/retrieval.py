@@ -160,3 +160,58 @@ def inverted_index(
         (F.col("doc_freq") * 100 >= F.col("n_docs") * df_low_pct)
         & (F.col("doc_freq") * 100 <= F.col("n_docs") * df_high_pct)
     ).select(tok_col, "shard", "n_postings", "doc_freq", "postings")
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    qid_col: str = "qid",
+    cand_col: str = "cand",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of a
+    lexical and a dense top-k list — the standard hybrid-retrieval
+    combiner (BM25 ∪ ANN) in modern RAG stacks:
+    ``score(d) = Σ_lists 1/(c + rank_list(d))``, missing lists
+    contribute 0. RRF needs only RANKS, never the incomparable raw
+    scores, which is exactly why it hash-certifies: ranks are
+    integers, each reciprocal is one IEEE division, and the two-term
+    sum is a FIXED expression tree (lex + dense, in that order) —
+    bit-identical on any engine. The canonical c = 60 damps the
+    head-heavy 1/rank curve.
+
+    Inputs: ``lex`` (qid, cand, lex_rank) and ``dense`` (qid, cand,
+    dense_rank) — 1-based ranks, each (qid, cand) unique. Shape: the
+    lists are top-k-bounded by contract (k·|queries| rows), so the
+    FULL OUTER join and the per-query re-rank window both run on
+    list-sized data — the corpora behind the lists never reach this
+    operator.
+
+    Returns (qid, cand, n_lists, score_rrf, fused_rank ≤ k)."""
+    from vnavc_spark.functions.portable import stable_round
+
+    j = lex.join(dense, on=[qid_col, cand_col], how="full_outer")
+    term = lambda col: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.col(col) + F.lit(c)).cast("double"), F.lit(0.0)
+    )
+    scored = j.select(
+        qid_col,
+        cand_col,
+        (
+            F.col("lex_rank").isNotNull().cast("int")
+            + F.col("dense_rank").isNotNull().cast("int")
+        )
+        .cast("long")
+        .alias("n_lists"),
+        stable_round(term("lex_rank") + term("dense_rank"), 6).alias(
+            "score_rrf"
+        ),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score_rrf"), F.asc(cand_col)
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= k)
+    )

@@ -8935,6 +8935,123 @@ def q170_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q171_hybrid_rrf",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({{TOKS}}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+qt AS (SELECT DISTINCT doc_id AS qid, tok FROM toks
+       WHERE doc_id < 5 AND length(tok) >= 7),
+dl AS (SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+lscored AS (
+  SELECT qt.qid, tf.doc_id,
+         sum(floor((CAST(tf.cnt AS DOUBLE) * 2.2
+                    / (CAST(tf.cnt AS DOUBLE)
+                       + 1.2 * (0.25
+                                + 0.75 * (CAST(dl.dl * n.n_docs AS DOUBLE)
+                                          / CAST(n.total_len AS DOUBLE))))
+                    * ((CAST(n.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                       / (CAST(dfreq.df AS DOUBLE) + 0.5)))
+                   * 1000000.0 + 0.5)) / 1000000.0 AS score
+  FROM tf JOIN qt USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+  WHERE tf.doc_id <> qt.qid
+  GROUP BY qt.qid, tf.doc_id),
+lex AS (
+  SELECT qid, doc_id AS cand, lex_rank FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS lex_rank
+    FROM lscored) WHERE lex_rank <= 10),
+qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       FROM embeddings WHERE vec_id < 5),
+cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+       FROM embeddings),
+dscored AS (
+  SELECT query_id, neighbor_id,
+         floor(({{COSINE}}) * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM qv CROSS JOIN cv WHERE query_id <> neighbor_id),
+den AS (
+  SELECT query_id AS qid, neighbor_id AS cand, dense_rank FROM (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id)
+             AS dense_rank
+    FROM dscored) WHERE dense_rank <= 10),
+f AS (
+  SELECT COALESCE(lex.qid, den.qid) AS qid,
+         COALESCE(lex.cand, den.cand) AS cand,
+         lex_rank, dense_rank
+  FROM lex FULL OUTER JOIN den
+    ON lex.qid = den.qid AND lex.cand = den.cand),
+s AS (
+  SELECT qid, cand,
+         CAST((lex_rank IS NOT NULL)::INT
+              + (dense_rank IS NOT NULL)::INT AS BIGINT) AS n_lists,
+         floor((COALESCE(CAST(1 AS DOUBLE)
+                         / CAST(lex_rank + 60 AS DOUBLE), 0.0)
+                + COALESCE(CAST(1 AS DOUBLE)
+                           / CAST(dense_rank + 60 AS DOUBLE), 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS score_rrf
+  FROM f)
+SELECT qid, cand, n_lists, score_rrf, CAST(fused_rank AS BIGINT)
+         AS fused_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score_rrf DESC, cand)
+                  AS fused_rank FROM s)
+WHERE fused_rank <= 10
+""".replace("{TOKS}", TOKS_SQL.format(c="text")).replace(
+        "{COSINE}", _COSINE_SQL
+    ),
+)
+def q171_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 (q60's pipeline) fused
+    with exact dense cosine top-10 (q28's pipeline) by reciprocal-
+    rank fusion — the standard RAG-stack combiner (score =
+    Σ 1/(60+rank), operators/retrieval.rrf_fuse). Queries are ids
+    0-4 in BOTH modalities (doc_id ↔ vec_id is the corpus's shared
+    id convention), so a candidate surfacing in both lists gets both
+    reciprocal terms; single-list candidates keep one. RRF consumes
+    only the integer RANKS — never the incomparable raw scores — so
+    the fusion is two IEEE divisions and one fixed-order sum,
+    hash-certifiable end to end. Shape: the corpora do the work in
+    the two list stages (tf table shuffles once; query vectors
+    broadcast); the fusion itself runs on 2·k·|queries| rows — a
+    full-outer join and a re-rank window over top-k-bounded lists."""
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+        term_frequencies,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    tf = tracked_persist(term_frequencies(toks), "rrf_tf")
+    qset = (
+        toks.filter((F.col("doc_id") < 5) & (F.length("tok") >= 7))
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+    )
+    lex = bm25_topk(tf, qset, k=10).select(
+        "qid", F.col("doc_id").alias("cand"), F.col("rnk").alias("lex_rank")
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    den = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("cand"),
+        F.col("rank").alias("dense_rank"),
+    )
+    return rrf_fuse(lex, den, k=10, c=60)
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
