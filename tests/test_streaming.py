@@ -538,3 +538,80 @@ class TestWindowedTopK:
         assert [(r.event_type, r.n_events, r.rk) for r in out] == [
             ("click", 1, 1)
         ]
+
+
+class TestStreamingKsDrift:
+    def test_streaming_ks_equals_batch_q170(self, spark, tmp_path):
+        # two micro-batches of documents staged as additive length
+        # histograms must reproduce q170's batch KS answer over the
+        # union — streaming == batch is an identity because the
+        # summed partials ARE the batch count table and the math is
+        # the shared ks_drift_from_counts core
+        import random
+
+        from vnavc_spark.queries import QUERIES
+
+        random.seed(23)
+        srcs = ["web", "books", "news"]
+        rows = [
+            {
+                "doc_id": i,
+                "text": "t " * (i % 5),
+                "lang": "en",
+                "source": srcs[i % 3],
+                # clustered lengths + per-source shift so KS > 0
+                "n_chars": 100 + (i % 17) + (i % 3) * 40,
+            }
+            for i in range(120)
+        ]
+        rows.append({"doc_id": 900, "text": "x", "lang": "en",
+                     "source": None, "n_chars": 5})
+        rows.append({"doc_id": 901, "text": "x", "lang": "en",
+                     "source": "web", "n_chars": None})
+
+        src = tmp_path / "docs"
+        src.mkdir()
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(src, "b1.json", rows[:70])
+        q = ingest.start_length_histograms(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.DOC_STREAM_SCHEMA
+            ),
+            partials,
+            ckpt,
+        )
+        q.awaitTermination(60)
+        _write_batch(src, "b2.json", rows[70:])
+        q2 = ingest.start_length_histograms(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.DOC_STREAM_SCHEMA
+            ),
+            partials,
+            ckpt,
+        )
+        q2.awaitTermination(60)
+
+        got = sorted(
+            tuple(r)
+            for r in ingest.ks_drift_snapshot(spark, partials).collect()
+        )
+
+        sf_dir = tmp_path / "sf"
+        sf_dir.mkdir()
+        spark.createDataFrame(
+            [
+                (r["doc_id"], r["text"], r["lang"], r["source"],
+                 r["n_chars"])
+                for r in rows
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(str(sf_dir / "documents.parquet"))
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q170_ks_drift"](spark, str(sf_dir)).collect()
+        )
+        assert got == want
+        assert len(want) == 3
+        assert all(r[2] > 0 for r in want)  # the shift moves each ECDF

@@ -537,3 +537,61 @@ def ordered_cumsum(
             )
         ],
     )
+
+
+def ks_drift_from_counts(sv: DataFrame, group_col: str = "source",
+                         value_col: str = "n_chars") -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic of each group's
+    value distribution against the pooled corpus, from a
+    pre-aggregated (group, value, cnt) count table — the shared core
+    of queries.q170 (batch) and streaming.ingest.ks_drift_snapshot
+    (additive batch partials summed to the same count table, so
+    streaming == batch by construction).
+
+    See q170's docstring for the math; the input contract is that
+    ``cnt`` is an exact long count per DISTINCT (group, value) pair
+    (nulls already dropped). Cost is value-domain × group-dimension —
+    never corpus-sized."""
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.functions.portable import stable_round
+
+    sv = tracked_persist(
+        sv.select(group_col, value_col, F.col("cnt").cast("long").alias("cnt")),
+        f"ks_sv:{group_col}",
+    )
+    vals = sv.select(value_col).distinct()
+    grps = sv.groupBy(group_col).agg(F.sum("cnt").alias("n_s"))
+    n = sv.agg(F.sum("cnt").cast("decimal(38,0)").alias("n"))
+    grid = (
+        vals.crossJoin(F.broadcast(grps.select(group_col)))
+        .join(sv, [group_col, value_col], "left")
+        .select(
+            group_col, value_col, F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    cums = ordered_cumsum(
+        grid, [group_col], value_col, mass_cols=["cnt"],
+        slot=f"ks_cums:{group_col}",
+    )
+    corp = cums.groupBy(value_col).agg(F.sum("cum_cnt").alias("cum"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        cums.join(corp, value_col)
+        .join(F.broadcast(grps), group_col)
+        .crossJoin(F.broadcast(n))
+        .groupBy(group_col, "n_s", "n")
+        .agg(
+            F.max(
+                F.abs(dec("cum_cnt") * dec("n") - dec("cum") * dec("n_s"))
+            ).alias("max_diff")
+        )
+        .select(
+            group_col,
+            F.col("n_s").cast("long").alias("n_docs"),
+            stable_round(
+                F.col("max_diff").cast("double")
+                / (dec("n_s") * dec("n")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )

@@ -8884,55 +8884,19 @@ def q170_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset QA is pandas ``describe()`` over duration/word-count
     columns (pre_processing/process_all.py:770-844); this is that
     health check, distribution-shaped and exact at scale."""
-    from vnavc_spark.cache import tracked_persist
-    from vnavc_spark.operators.ordering import ordered_cumsum
+    from vnavc_spark.operators.ordering import ks_drift_from_counts
 
     d = table(spark, sf_dir, "documents").filter(
         F.col("source").isNotNull() & F.col("n_chars").isNotNull()
     )
-    # sv feeds the grid join, the per-source totals, and the corpus
-    # total — persist the vocabulary-sized aggregate, not the corpus
-    sv = tracked_persist(
-        d.groupBy("source", "n_chars").agg(
-            F.count("*").cast("long").alias("cnt")
-        ),
-        "ks_sv",
+    # the per-(source, value) count table is the ONLY corpus-sized
+    # pass; everything after runs on the value-domain aggregate
+    # (shared with the streaming twin — ks_drift_snapshot sums the
+    # same counts from additive batch partials)
+    sv = d.groupBy("source", "n_chars").agg(
+        F.count("*").cast("long").alias("cnt")
     )
-    vals = sv.select("n_chars").distinct()
-    srcs = sv.groupBy("source").agg(F.sum("cnt").alias("n_s"))
-    n = sv.agg(F.sum("cnt").cast("decimal(38,0)").alias("n"))
-    grid = (
-        vals.crossJoin(F.broadcast(srcs.select("source")))
-        .join(sv, ["source", "n_chars"], "left")
-        .select(
-            "source", "n_chars", F.coalesce("cnt", F.lit(0)).alias("cnt")
-        )
-    )
-    cums = ordered_cumsum(
-        grid, ["source"], "n_chars", mass_cols=["cnt"], slot="ks_cums"
-    )
-    corp = cums.groupBy("n_chars").agg(F.sum("cum_cnt").alias("cum"))
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    return (
-        cums.join(corp, "n_chars")
-        .join(F.broadcast(srcs), "source")
-        .crossJoin(F.broadcast(n))
-        .groupBy("source", "n_s", "n")
-        .agg(
-            F.max(
-                F.abs(dec("cum_cnt") * dec("n") - dec("cum") * dec("n_s"))
-            ).alias("max_diff")
-        )
-        .select(
-            "source",
-            F.col("n_s").cast("long").alias("n_docs"),
-            stable_round(
-                F.col("max_diff").cast("double")
-                / (dec("n_s") * dec("n")).cast("double"),
-                6,
-            ).alias("ks_stat"),
-        )
-    )
+    return ks_drift_from_counts(sv)
 
 
 @query(

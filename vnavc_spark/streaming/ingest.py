@@ -46,6 +46,16 @@ URL_STREAM_SCHEMA = StructType(
     ]
 )
 
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
 
 def read_json_stream(
     spark: SparkSession, path: str, schema: StructType = URL_STREAM_SCHEMA
@@ -395,3 +405,59 @@ def streaming_heavy_hitters(
         width,
         depth,
     )
+
+
+def start_length_histograms(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    source_col: str = "source",
+    len_col: str = "n_chars",
+):
+    """Stream side of the KS-drift monitor (queries.q170's streaming
+    twin): each micro-batch aggregates ITS OWN rows to (source,
+    length, cnt) histogram partials under
+    ``partials_path/batch_id=N``. Counts are ADDITIVE, so the
+    cumulative per-(source, value) table is a plain sum over batch
+    partials — no streaming aggregation state, and a replayed batch
+    id overwrites its own partial in place (the windowed-type-counts
+    exactly-once stance). The KS statistic itself is NOT computed
+    per batch — it is a corpus-level sup over the cumulative ECDFs,
+    recomputed on demand from the staged histograms by
+    :func:`ks_drift_snapshot` at value-domain cost."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(
+                F.col(source_col).isNotNull() & F.col(len_col).isNotNull()
+            )
+            .groupBy(source_col, len_col)
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ks_drift_snapshot(spark, partials_path: str) -> DataFrame:
+    """Per-source KS drift from the staged histogram partials —
+    identical output contract to queries.q170 (source, n_docs,
+    ks_stat). Summing the additive partials reproduces the batch
+    count table EXACTLY, and the shared
+    ``ordering.ks_drift_from_counts`` core does the rest, so
+    streaming == batch is an identity, not an approximation
+    (parity-tested in tests/test_streaming.py)."""
+    from vnavc_spark.operators.ordering import ks_drift_from_counts
+
+    sv = (
+        spark.read.parquet(partials_path)
+        .groupBy("source", "n_chars")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return ks_drift_from_counts(sv)
