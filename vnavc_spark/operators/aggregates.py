@@ -636,8 +636,16 @@ ADAPTIVE_BUCKET_CAP = 1 << 18
 # — one stage, no window/join (measured faster than the executor
 # path by ~0.5 s/round at local scale); above it, the executor-side
 # crossing join keeps the collect at one row per open target no
-# matter how wide the round is.
-DRIVER_WALK_CELLS = 1 << 16
+# matter how wide the round is. The walk collect is bounded by the
+# POTENTIAL cell count regardless of corpus size (only nonzero bins
+# materialize, and there are at most bounds × nb_eff of them), so
+# the ceiling is a driver-memory knob, not a data-scale one: 2^20
+# cells ≈ 25 MB collected / ~0.3 s of dict walk — measured 1.2 s
+# faster per rank_bucket_classify call than routing the same rounds
+# through the crossing join (q126 5.6→4.3 s, q138 4.7→4.1 s at
+# sf0.1; hashes unchanged — both paths perform the identical
+# descent).
+DRIVER_WALK_CELLS = 1 << 20
 
 
 def _nullsafe_group_key(group_cols: list[str]) -> Column:
