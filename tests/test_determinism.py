@@ -56,6 +56,9 @@ SENSITIVE = [
     # sum and single division must not drift either)
     "q170_ks_drift",
     "q47_approx_sketches",
+    # iterated argmax under count ties (pair-ASC tiebreak) — a drift
+    # in round r's winner rewrites every later round's counts
+    "q172_bpe_train",
 ]
 
 

@@ -1376,3 +1376,52 @@ class TestRrfFuse:
             8,
         ]  # ties (3,7) and (8,9) break ascending; k=3 drops 9
         assert len(out) == 3
+
+
+class TestBpeTrain:
+    """q172_bpe_train — iterated BPE merges. Pins the two semantics
+    the cross-engine spec depends on: left-to-right NON-OVERLAPPING
+    merge ("a a a a" with pair (a,a) → [aa, aa], not three
+    overlapping merges) and the (cnt DESC, pair ASC) argmax tiebreak
+    (space sorts below every symbol char, so shorter-left-symbol
+    pairs win byte order)."""
+
+    def test_merge_sequence_and_nonoverlap(self, spark, tmp_path):
+        from vnavc_spark.queries import QUERIES
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        spark.createDataFrame(
+            [(0, "aaab aaab aaaa cd")], "doc_id long, text string"
+        ).write.parquet(str(sf / "documents.parquet"))
+        rows = [
+            tuple(r)
+            for r in sorted(
+                QUERIES["q172_bpe_train"](spark, str(sf)).collect()
+            )
+        ]
+        # round 1: (a,a) occurs 2x in each 'aaab' (cnt 2) and 3x in
+        # 'aaaa' -> 7; merging rewrites aaaa to [aa, aa] (non-overlap)
+        # round 2: 'a b' (cnt 2) ties 'aa a' (2) -> pair ASC wins
+        # round 3: 'aa ab' from the fully-merged aaab words
+        assert rows == [
+            (1, "a a", "aa", 7),
+            (2, "a b", "ab", 2),
+            (3, "aa ab", "aaab", 2),
+        ]
+
+    def test_merged_out_corpus_stops_early(self, spark, tmp_path):
+        from vnavc_spark.queries import QUERIES
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        # one distinct 2-char word: round 1 merges it to a single
+        # symbol, rounds 2-3 find no pairs and emit nothing
+        spark.createDataFrame(
+            [(0, "ab ab")], "doc_id long, text string"
+        ).write.parquet(str(sf / "documents.parquet"))
+        rows = [
+            tuple(r)
+            for r in QUERIES["q172_bpe_train"](spark, str(sf)).collect()
+        ]
+        assert rows == [(1, "a b", "ab", 2)]
