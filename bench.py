@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q170_ks_drift",
     "q47_approx_sketches",
     "q171_hybrid_rrf",
+    "q172_bpe_train",
 ]
 
 

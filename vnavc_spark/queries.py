@@ -9108,7 +9108,7 @@ def q172_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         wc.select("cnt", F.array_join(F.split("tok", ""), " ").alias("sym")),
         "bpe_syms0",
     )
-    rows: list[tuple] = []
+    outs: list[DataFrame] = []
     for it in (1, 2, 3):
         # pair strings from consecutive symbols; single-symbol words
         # (fully merged) are filtered BEFORE sequence() — a stop
@@ -9129,11 +9129,22 @@ def q172_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
-        if not best:
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        brow = best.collect()
+        if not brow:
             break
-        pair, cnt = best[0]["pair"], best[0]["cnt"]
-        rows.append((it, pair, pair.replace(" ", ""), cnt))
+        pair = brow[0]["pair"]
+        # the output stays a LAZY recompute from the persisted symbol
+        # table (not driver rows), so .explain/audit see the real
+        # pair-count + TakeOrdered shape each round executes
+        outs.append(
+            best.select(
+                F.lit(it).cast("long").alias("it"),
+                "pair",
+                F.regexp_replace("pair", " ", "").alias("merged"),
+                "cnt",
+            )
+        )
         x, y = pair.split(" ")
         a = F.split("sym", " ")
         merged = F.aggregate(
@@ -9148,9 +9159,14 @@ def q172_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         syms = tracked_persist(
             syms.select("cnt", merged.alias("sym")), f"bpe_syms{it}"
         )
-    return spark.createDataFrame(
-        rows, "it long, pair string, merged string, cnt long"
-    )
+    if not outs:
+        return spark.createDataFrame(
+            [], "it long, pair string, merged string, cnt long"
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 # ---------------------------------------------------------------------------
