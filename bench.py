@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "q47_approx_sketches",
     "q171_hybrid_rrf",
     "q172_bpe_train",
+    "q173_interval_coverage",
+    "q174_bpe_encode",
+    "q175_bigram_oov_gate",
 ]
 
 

@@ -73,6 +73,74 @@ def test_max_concurrency_touching_endpoints_overlap(spark):
     assert rows[0]["max_concurrent"] == 2
 
 
+HOUR_US = 3_600_000_000
+
+
+def test_coverage_islands_merge_touch_and_drop(spark):
+    """Overlapping intervals merge; touching intervals merge (closed
+    convention); zero-length and inverted intervals drop."""
+    from vnavc_spark.operators.intervals import coverage_by_day
+
+    iv = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 09:00:00"), _ts("2024-01-01 10:00:00")),
+            (_ts("2024-01-01 09:30:00"), _ts("2024-01-01 11:00:00")),
+            (_ts("2024-01-01 12:00:00"), _ts("2024-01-01 12:30:00")),
+            (_ts("2024-01-01 12:30:00"), _ts("2024-01-01 13:00:00")),
+            (_ts("2024-01-01 15:00:00"), _ts("2024-01-01 15:00:00")),
+            (_ts("2024-01-01 16:00:00"), _ts("2024-01-01 15:30:00")),
+        ],
+        "s_start timestamp, s_end timestamp",
+    )
+    rows = {r["day"]: r for r in coverage_by_day(iv).collect()}
+    r = rows["2024-01-01"]
+    assert r["n_islands"] == 2  # [9-11] and [12-13]
+    assert r["covered_us"] == 3 * HOUR_US
+    assert r["longest_us"] == 2 * HOUR_US
+
+
+def test_coverage_midnight_clip(spark):
+    """A midnight-crossing interval contributes its clip to each day
+    and merges with the next day's intervals at 00:00."""
+    from vnavc_spark.operators.intervals import coverage_by_day
+
+    iv = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 23:00:00"), _ts("2024-01-02 01:00:00")),
+            (_ts("2024-01-02 00:30:00"), _ts("2024-01-02 02:00:00")),
+        ],
+        "s_start timestamp, s_end timestamp",
+    )
+    rows = {r["day"]: r for r in coverage_by_day(iv).collect()}
+    assert rows["2024-01-01"]["covered_us"] == HOUR_US
+    assert rows["2024-01-01"]["n_islands"] == 1
+    assert rows["2024-01-02"]["covered_us"] == 2 * HOUR_US
+    assert rows["2024-01-02"]["n_islands"] == 1
+
+
+def test_coverage_hour_carry_keeps_island_open(spark):
+    """An interval starting in a LATER hour bucket whose start is
+    still under an earlier hour's running end-max must not open a new
+    island — the per-day hour-carry max is what sees it."""
+    from vnavc_spark.operators.intervals import coverage_by_day
+
+    iv = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 09:00:00"), _ts("2024-01-01 12:00:00")),
+            # first (only) row of hour bucket 10: pmax_loc is null,
+            # the 09:00 interval's end arrives via the hour carry
+            (_ts("2024-01-01 10:15:00"), _ts("2024-01-01 10:45:00")),
+            (_ts("2024-01-01 12:30:00"), _ts("2024-01-01 12:45:00")),
+        ],
+        "s_start timestamp, s_end timestamp",
+    )
+    rows = {r["day"]: r for r in coverage_by_day(iv).collect()}
+    r = rows["2024-01-01"]
+    assert r["n_islands"] == 2
+    assert r["covered_us"] == 3 * HOUR_US + HOUR_US // 4
+    assert r["longest_us"] == 3 * HOUR_US
+
+
 def test_session_intervals_gap_split(spark):
     from vnavc_spark.operators.intervals import session_intervals
 

@@ -59,6 +59,13 @@ SENSITIVE = [
     # iterated argmax under count ties (pair-ASC tiebreak) — a drift
     # in round r's winner rewrites every later round's counts
     "q172_bpe_train",
+    # round 8 back half: two-level island sweep (running-max +
+    # break-sum regroup must be exact under any partitioning), the
+    # encode twin of the iterated argmax, and a semi-join membership
+    # count (order-free, but the flag threshold must not drift)
+    "q173_interval_coverage",
+    "q174_bpe_encode",
+    "q175_bigram_oov_gate",
 ]
 
 

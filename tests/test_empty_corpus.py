@@ -255,6 +255,13 @@ NULL_SENSITIVE = [
     # round-8: the KS grid drops null source/n_chars explicitly on
     # both engines — hash-compare on the null-injected corpus
     "q170_ks_drift",
+    # round-8 back half: null text must vanish identically from the
+    # BPE word table (explode(NULL) vs unnest(NULL)), null lang must
+    # never match the reference-vocab filter, null event users ride
+    # the session partitioning
+    "q173_interval_coverage",
+    "q174_bpe_encode",
+    "q175_bigram_oov_gate",
 ]
 
 

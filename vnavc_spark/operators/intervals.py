@@ -142,3 +142,135 @@ def max_concurrency_by_day(
         "n_sessions",
         "max_concurrent",
     )
+
+
+def coverage_by_day(
+    intervals: DataFrame,
+    start_col: str = "s_start",
+    end_col: str = "s_end",
+) -> DataFrame:
+    """Per-day union coverage of an interval set — how much of each
+    day was covered by AT LEAST ONE interval (microseconds), how many
+    disjoint covered stretches ("islands") there were, and the
+    longest one. The utilization / SLA-coverage complement of
+    ``max_concurrency_by_day``: that one asks "how deep was the
+    overlap", this one asks "how wide was the union".
+
+    Semantics: intervals are closed; intervals that touch
+    (next.start == prev.end) merge into one island; only
+    positive-length per-day segments contribute (a single-point
+    interval covers zero time and is dropped, matching the
+    ``es > ss`` filter a SQL oracle applies). Multi-day intervals are
+    clipped to [day 00:00, next-day 00:00] per day.
+
+    Scale shape: island detection is the classic sorted sweep
+    (running max of interval ends; a new island starts where
+    ``start > max(all previous ends)``) — but both prefix
+    computations (the running END max and the running island-break
+    sum) are TWO-LEVEL: local within (day, hour-of-start) windows
+    plus a ≤ 24-row per-day hour-carry window, so no whole-day
+    single-task sort exists. The regroup is exact because the hour
+    bucket is a monotonic function of the sort key ``ss``."""
+    from vnavc_spark.cache import tracked_persist
+
+    st, en = F.col(start_col), F.col(end_col)
+    # clip each interval into per-day segments in epoch MICROseconds
+    # (the testdata timestamps carry sub-ms precision; µs arithmetic
+    # keeps every boundary integer-exact on both engines).
+    # inverted intervals are dropped BEFORE F.sequence (round-5
+    # advice: a descending sequence explodes, it isn't empty)
+    seg = (
+        intervals.filter(en >= st)
+        .select(
+            st.alias("_s"),
+            en.alias("_e"),
+            F.explode(F.sequence(F.to_date(st), F.to_date(en))).alias("day"),
+        )
+        .select(
+            "day",
+            F.unix_micros(
+                F.greatest(F.col("_s"), F.col("day").cast("timestamp"))
+            ).alias("ss"),
+            F.unix_micros(
+                F.least(
+                    F.col("_e"),
+                    F.date_add(F.col("day"), 1).cast("timestamp"),
+                )
+            ).alias("es"),
+        )
+        .filter(F.col("es") > F.col("ss"))
+    )
+    # hour-of-start bucket: any monotonic bucketing of ss keeps the
+    # (ss, es) sweep order across buckets, so the two-level prefix
+    # max/sum below is bit-identical to one per-day sweep
+    seg = tracked_persist(
+        seg.withColumn("_h", F.expr("ss div 3600000000")), "coverage_seg"
+    )
+    wl_prev = (
+        Window.partitionBy("day", "_h")
+        .orderBy("ss", "es")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = seg.withColumn("pmax_loc", F.max("es").over(wl_prev))
+    wh = (
+        Window.partitionBy("day")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ha = (
+        seg.groupBy("day", "_h")
+        .agg(F.max("es").alias("hmax"))
+        .withColumn("carry", F.max("hmax").over(wh))
+        .select("day", "_h", "carry")
+    )
+    # greatest() skips nulls: first row of the first hour has neither
+    # a local prefix nor a carry -> null pmax -> island break
+    pmax = F.greatest("pmax_loc", "carry")
+    b = tracked_persist(
+        loc.join(ha, ["day", "_h"]).withColumn(
+            "brk",
+            F.when(pmax.isNull() | (F.col("ss") > pmax), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ),
+        "coverage_brk",
+    )
+    wl_cur = (
+        Window.partitionBy("day", "_h")
+        .orderBy("ss", "es")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = b.withColumn("lsum", F.sum("brk").over(wl_cur))
+    hb = (
+        b.groupBy("day", "_h")
+        .agg(F.sum("brk").alias("btot"))
+        .withColumn(
+            "bcarry",
+            F.coalesce(F.sum("btot").over(wh), F.lit(0).cast("long")),
+        )
+        .select("day", "_h", "bcarry")
+    )
+    isl = (
+        t.join(hb, ["day", "_h"])
+        .withColumn("island", F.col("bcarry") + F.col("lsum"))
+        .groupBy("day", "island")
+        .agg(F.min("ss").alias("i_s"), F.max("es").alias("i_e"))
+    )
+    return (
+        isl.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum(F.col("i_e") - F.col("i_s")).cast("long").alias(
+                "covered_us"
+            ),
+            F.max(F.col("i_e") - F.col("i_s")).cast("long").alias(
+                "longest_us"
+            ),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_islands",
+            "covered_us",
+            "longest_us",
+        )
+    )

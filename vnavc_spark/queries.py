@@ -9016,6 +9016,80 @@ def q171_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, den, k=10, c=60)
 
 
+def _bpe_merge_fold(x: str, y: str):
+    """Left-to-right NON-OVERLAPPING merge of adjacent symbol pair
+    (x, y) over a space-separated ``sym`` column, as a string-
+    accumulator fold — standard BPE semantics ("a a a" with pair
+    (a, a) -> "aa a"). Expressed identically in DuckDB as
+    ``list_reduce`` (no regex: RE2 has no lookarounds, and a
+    boundary-anchored replace would need them)."""
+    a = F.split("sym", " ")
+    return F.aggregate(
+        F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+        F.element_at(a, 1),
+        lambda acc, s: F.when(
+            ((acc == F.lit(x)) | acc.endswith(" " + x))
+            & (s == F.lit(y)),
+            F.concat(acc, F.lit(y)),
+        ).otherwise(F.concat(acc, F.lit(" "), s)),
+    )
+
+
+def _bpe_rounds(syms: DataFrame, rounds: int, name_prefix: str):
+    """Run ``rounds`` BPE merge rounds over a persisted symbol table
+    (``cnt`` weight + space-separated ``sym``; extra columns ride
+    along untouched). Returns ``(final_syms, merge_outputs)`` where
+    each merge output is a LAZY 1-row DataFrame (it, pair, merged,
+    cnt) recomputed from the persisted previous round — so plan
+    audits see the real pair-count + TakeOrdered shape each round
+    executes. Each round is O(vocab · word_len): a pair-count
+    aggregate, a 1-row argmax collect (bounded driver state), and a
+    map-side fold rewrite."""
+    from vnavc_spark.cache import tracked_persist
+
+    outs: list[DataFrame] = []
+    for it in range(1, rounds + 1):
+        # pair strings from consecutive symbols; single-symbol words
+        # (fully merged) are filtered BEFORE sequence() — a stop
+        # below a start would generate a DESCENDING sequence, not an
+        # empty one
+        pairs = (
+            syms.filter(F.size(F.split("sym", " ")) >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(sym, ' ')) - 1),"
+                        " i -> concat(element_at(split(sym, ' '), i), ' ',"
+                        " element_at(split(sym, ' '), i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        brow = best.collect()
+        if not brow:
+            break
+        pair = brow[0]["pair"]
+        outs.append(
+            best.select(
+                F.lit(it).cast("long").alias("it"),
+                "pair",
+                F.regexp_replace("pair", " ", "").alias("merged"),
+                "cnt",
+            )
+        )
+        x, y = pair.split(" ")
+        keep = [c for c in syms.columns if c != "sym"]
+        syms = tracked_persist(
+            syms.select(*keep, _bpe_merge_fold(x, y).alias("sym")),
+            f"{name_prefix}{it}",
+        )
+    return syms, outs
+
+
 @query(
     "q172_bpe_train",
     oracle=f"""
@@ -9108,57 +9182,7 @@ def q172_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         wc.select("cnt", F.array_join(F.split("tok", ""), " ").alias("sym")),
         "bpe_syms0",
     )
-    outs: list[DataFrame] = []
-    for it in (1, 2, 3):
-        # pair strings from consecutive symbols; single-symbol words
-        # (fully merged) are filtered BEFORE sequence() — a stop
-        # below a start would generate a DESCENDING sequence, not an
-        # empty one
-        pairs = (
-            syms.filter(F.size(F.split("sym", " ")) >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(split(sym, ' ')) - 1),"
-                        " i -> concat(element_at(split(sym, ' '), i), ' ',"
-                        " element_at(split(sym, ' '), i + 1)))"
-                    )
-                ).alias("pair"),
-            )
-            .groupBy("pair")
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-        )
-        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
-        brow = best.collect()
-        if not brow:
-            break
-        pair = brow[0]["pair"]
-        # the output stays a LAZY recompute from the persisted symbol
-        # table (not driver rows), so .explain/audit see the real
-        # pair-count + TakeOrdered shape each round executes
-        outs.append(
-            best.select(
-                F.lit(it).cast("long").alias("it"),
-                "pair",
-                F.regexp_replace("pair", " ", "").alias("merged"),
-                "cnt",
-            )
-        )
-        x, y = pair.split(" ")
-        a = F.split("sym", " ")
-        merged = F.aggregate(
-            F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
-            F.element_at(a, 1),
-            lambda acc, s: F.when(
-                ((acc == F.lit(x)) | acc.endswith(" " + x))
-                & (s == F.lit(y)),
-                F.concat(acc, F.lit(y)),
-            ).otherwise(F.concat(acc, F.lit(" "), s)),
-        )
-        syms = tracked_persist(
-            syms.select("cnt", merged.alias("sym")), f"bpe_syms{it}"
-        )
+    _, outs = _bpe_rounds(syms, 3, "bpe_syms")
     if not outs:
         return spark.createDataFrame(
             [], "it long, pair string, merged string, cnt long"
@@ -9167,6 +9191,322 @@ def q172_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query(
+    "q173_interval_coverage",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM t),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+iv AS (
+  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY user_id, sid),
+days AS (
+  SELECT s_start, s_end,
+         CAST(unnest(generate_series(CAST(s_start AS DATE),
+                                     CAST(s_end AS DATE),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM iv),
+seg AS (
+  SELECT day,
+         epoch_us(greatest(s_start, CAST(day AS TIMESTAMP))) AS ss,
+         epoch_us(least(s_end, CAST(day + 1 AS TIMESTAMP))) AS es
+  FROM days),
+pos AS (SELECT * FROM seg WHERE es > ss),
+w AS (
+  SELECT day, ss, es,
+         max(es) OVER (PARTITION BY day ORDER BY ss, es
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pmax
+  FROM pos),
+b AS (
+  SELECT day, ss, es,
+         CASE WHEN pmax IS NULL OR ss > pmax THEN 1 ELSE 0 END AS brk
+  FROM w),
+i AS (
+  SELECT day, ss, es,
+         sum(brk) OVER (PARTITION BY day ORDER BY ss, es
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM b),
+isl AS (SELECT day, island, min(ss) AS i_s, max(es) AS i_e
+        FROM i GROUP BY day, island)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+       CAST(max(i_e - i_s) AS BIGINT) AS longest_us
+FROM isl GROUP BY day
+""",
+)
+def q173_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day union coverage of user-session intervals — covered
+    microseconds, disjoint-island count, and longest island. The
+    utilization/SLA complement of q130's peak concurrency (that one
+    measures overlap DEPTH, this one union WIDTH): "how much of each
+    day had at least one active session, and in how many stretches".
+
+    Runs on operators/intervals.coverage_by_day: multi-day sessions
+    clip into per-day µs segments; island detection is the classic
+    sorted sweep (new island where start > running max of ends), but
+    BOTH prefix computations (running end-max, running break-sum)
+    are two-level — local (day, hour-of-start) windows plus a ≤24-row
+    per-day hour-carry window — so no whole-day single-task sort
+    exists; the regroup is exact because the hour bucket is a
+    monotonic function of the sort key. The oracle is the equivalent
+    single-window sweep (fine at oracle scale). Closed intervals:
+    touching sessions merge; zero-length segments drop on both
+    engines (es > ss).
+
+    Reference analog: the crawler's download scheduler
+    (crawler/download.py) tracks active fetch windows; coverage/idle
+    accounting over them is this exact shape."""
+    from vnavc_spark.operators.intervals import (
+        coverage_by_day,
+        session_intervals,
+    )
+
+    e = table(spark, sf_dir, "events")
+    iv = session_intervals(e, gap_s=1800)
+    return coverage_by_day(iv)
+
+
+@query(
+    "q174_bpe_encode",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS_SQL.format(c="text")}) AS tok
+  FROM documents),
+stc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks WHERE length(tok) >= 2 GROUP BY source, tok),
+wc AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS cnt FROM stc
+       GROUP BY tok),
+s0 AS (SELECT tok, cnt,
+              array_to_string(string_split(tok, ''), ' ') AS sym
+       FROM wc),
+p1 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         SELECT cnt, unnest([a[i] || ' ' || a[i + 1]
+                             for i in range(1, len(a))]) AS pair
+         FROM (SELECT cnt, string_split(sym, ' ') AS a FROM s0))
+       GROUP BY pair),
+b1 AS (SELECT string_split(pair, ' ')[1] AS x,
+              string_split(pair, ' ')[2] AS y
+       FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+s1 AS (SELECT s.tok, s.cnt,
+              list_reduce(string_split(s.sym, ' '), (acc, t) -> CASE
+                WHEN (acc = b.x OR ends_with(acc, ' ' || b.x)) AND t = b.y
+                THEN acc || b.y ELSE acc || ' ' || t END) AS sym
+       FROM s0 s CROSS JOIN b1 b),
+p2 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         SELECT cnt, unnest([a[i] || ' ' || a[i + 1]
+                             for i in range(1, len(a))]) AS pair
+         FROM (SELECT cnt, string_split(sym, ' ') AS a FROM s1))
+       GROUP BY pair),
+b2 AS (SELECT string_split(pair, ' ')[1] AS x,
+              string_split(pair, ' ')[2] AS y
+       FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+s2 AS (SELECT s.tok, s.cnt,
+              list_reduce(string_split(s.sym, ' '), (acc, t) -> CASE
+                WHEN (acc = b.x OR ends_with(acc, ' ' || b.x)) AND t = b.y
+                THEN acc || b.y ELSE acc || ' ' || t END) AS sym
+       FROM s1 s CROSS JOIN b2 b),
+p3 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         SELECT cnt, unnest([a[i] || ' ' || a[i + 1]
+                             for i in range(1, len(a))]) AS pair
+         FROM (SELECT cnt, string_split(sym, ' ') AS a FROM s2))
+       GROUP BY pair),
+b3 AS (SELECT string_split(pair, ' ')[1] AS x,
+              string_split(pair, ' ')[2] AS y
+       FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+s3 AS (SELECT s.tok, s.cnt,
+              list_reduce(string_split(s.sym, ' '), (acc, t) -> CASE
+                WHEN (acc = b.x OR ends_with(acc, ' ' || b.x)) AND t = b.y
+                THEN acc || b.y ELSE acc || ' ' || t END) AS sym
+       FROM s2 s CROSS JOIN b3 b),
+enc AS (SELECT tok, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym
+        FROM s3)
+SELECT source,
+       CAST(sum(stc.cnt) AS BIGINT) AS n_words,
+       CAST(sum(stc.cnt * enc.n_sym) AS BIGINT) AS n_tokens,
+       CAST(sum(stc.cnt * length(stc.tok)) AS BIGINT) AS n_chars
+FROM stc JOIN enc ON stc.tok = enc.tok
+GROUP BY source
+""",
+)
+def q174_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with the 3-round BPE
+    vocabulary q172 trains (same corpus, same merges) and report
+    per-source compression — words, post-BPE tokens, characters. The
+    downstream half of tokenizer training: token-count accounting per
+    source drives mixture budgeting (tokens, not documents, are what
+    a training run consumes).
+
+    Scale shape: ONE corpus-sized pass builds the per-(source, word)
+    count table; the global frequency table is a map-side re-agg of
+    it; training runs on the vocab-sized symbol table (q172's
+    _bpe_rounds, O(vocab · word_len) per round); encoding is free —
+    the final symbol table IS the encoded vocabulary (carrying the
+    word key through the rewrites) — and joins back to the
+    per-source counts vocab-sized (AQE-broadcastable). Token counts
+    are exact integer sums; no per-document work after the first
+    pass.
+
+    Reference analog: prepare_prompt_for_vnavc.py tokenizes prompts
+    for finetuning; per-source token budgeting is the batch form."""
+    from vnavc_spark.cache import tracked_persist
+
+    d = table(spark, sf_dir, "documents")
+    stc = tracked_persist(
+        d.select(
+            "source",
+            F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok"),
+        )
+        .filter(F.length("tok") >= 2)
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("cnt")),
+        "bpe_enc_stc",
+    )
+    wc = stc.groupBy("tok").agg(F.sum("cnt").cast("long").alias("cnt"))
+    syms = tracked_persist(
+        wc.select(
+            "tok",
+            "cnt",
+            F.array_join(F.split("tok", ""), " ").alias("sym"),
+        ),
+        "bpe_enc_syms0",
+    )
+    syms, _ = _bpe_rounds(syms, 3, "bpe_enc_syms")
+    enc = syms.select(
+        "tok", F.size(F.split("sym", " ")).cast("long").alias("n_sym")
+    )
+    return (
+        stc.join(enc, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.sum(F.col("cnt") * F.length("tok")).cast("long").alias(
+                "n_chars"
+            ),
+        )
+    )
+
+
+@query(
+    "q175_bigram_oov_gate",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, lang, {TOKS_SQL.format(c="text")} AS x
+  FROM documents WHERE length(trim(text)) > 0),
+bg AS (
+  SELECT doc_id, source, lang,
+         unnest([x[i] || ' ' || x[i+1] for i in range(1, len(x))])
+           AS bigram
+  FROM t WHERE len(x) >= 2),
+ref AS (SELECT DISTINCT bigram FROM bg WHERE lang = 'en'),
+tot AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bg
+        FROM bg GROUP BY doc_id, source),
+inr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_in
+        FROM bg JOIN ref USING (bigram) GROUP BY doc_id),
+per AS (
+  SELECT source, n_bg, n_bg - coalesce(n_in, 0) AS n_oov
+  FROM tot LEFT JOIN inr USING (doc_id))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_oov * 5 > n_bg THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(sum(n_oov) AS BIGINT) AS oov_bigrams,
+       CAST(sum(n_bg) AS BIGINT) AS total_bigrams
+FROM per GROUP BY source
+""",
+)
+def q175_bigram_oov_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram out-of-vocabulary quality gate (CCNet-style LM
+    filtering, made hash-portable): the trusted reference is the
+    English subcorpus's bigram vocabulary; every doc is scored by
+    the fraction of its adjacent bigrams UNSEEN in the reference,
+    and flagged when OOV rate > 20% ("unfamiliar to the reference
+    LM"). A true perplexity gate needs ln() — libm is not
+    bit-portable across engines — so the certifiable form is n-gram
+    COVERAGE with a cross-multiplied integer threshold
+    (n_oov · 5 > n_bg), the same gate family as q64's unigram LM.
+
+    Scale shape: bigrams explode per-row (zip of the token array
+    with its own tail — q119's shape, no window); the reference
+    membership check is ONE shuffle semi join on the bigram key
+    (bloom-prefilterable, q92's pattern, when the reference is
+    corpus-sized); per-doc and per-source rollups are map-side
+    partial aggregates. Docs with no bigrams (< 2 tokens) are out of
+    scope on both engines (n_docs counts gated docs). NULL lang
+    never matches the reference filter; NULL/empty text drops in the
+    same WHERE on both engines."""
+    from vnavc_spark.cache import tracked_persist
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        Q.tokens(Q.normalized_text("text")).alias("x"),
+    )
+    bg = tracked_persist(
+        t.filter(F.size("x") >= 2).select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("x"), 1, F.size("x") - 1),
+                    F.slice(F.col("x"), 2, F.size("x") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram"),
+        ),
+        "oov_bg",
+    )
+    ref = bg.filter(F.col("lang") == "en").select("bigram").distinct()
+    tot = bg.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_bg")
+    )
+    inr = (
+        bg.join(ref, "bigram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_in"))
+    )
+    per = (
+        tot.join(inr, "doc_id", "left")
+        .withColumn(
+            "n_oov",
+            F.col("n_bg") - F.coalesce("n_in", F.lit(0).cast("long")),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_oov") * 5 > F.col("n_bg"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum("n_oov").cast("long").alias("oov_bigrams"),
+        F.sum("n_bg").cast("long").alias("total_bigrams"),
+    )
 
 
 # ---------------------------------------------------------------------------
