@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "q173_interval_coverage",
     "q174_bpe_encode",
     "q175_bigram_oov_gate",
+    "q176_kmeans_refine",
 ]
 
 

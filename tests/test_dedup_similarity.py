@@ -107,6 +107,43 @@ class TestSimilarity:
         ).collect()
         assert sorted(map(tuple, ivf1)) == sorted(map(tuple, ivf2))
 
+    def test_kmeans_refine_separates_planted_blobs(self, spark):
+        """Two well-separated direction blobs must end up in two
+        different clusters after Lloyd refinement, every vector must
+        be assigned exactly once, and the refined centroids must
+        point at the blob directions (cosine assignment is
+        direction-only)."""
+        rows = []
+        for i in range(20):
+            eps = (i % 5) * 0.01
+            rows.append((i, [1.0, eps, 0.0, 0.0]))  # +x blob
+            rows.append((100 + i, [0.0, eps, 0.0, -1.0]))  # -w blob
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        assigned, cents = similarity.ivf_index(
+            emb, n_cells=2, refine_iters=2, dim=4
+        )
+        a = {r.vec_id: r.cell for r in assigned.collect()}
+        assert len(a) == 40  # every vector assigned exactly once
+        cells_x = {a[i] for i in range(20)}
+        cells_w = {a[100 + i] for i in range(20)}
+        assert len(cells_x) == 1 and len(cells_w) == 1
+        assert cells_x != cells_w
+        c = {r.cell: list(r.centroid) for r in cents.collect()}
+        cx = c[next(iter(cells_x))]
+        # dominant component of the +x blob centroid is dim 0
+        assert cx[0] > 0.9 and abs(cx[3]) < 0.1
+        cw = c[next(iter(cells_w))]
+        assert cw[3] < -0.9 and abs(cw[0]) < 0.1
+        # centroid means are the exact scaled-integer-sum form:
+        # mean * count * 1e6 recovers an integer (the summed floor)
+        assert all(
+            abs(v * 20 * 1e6 - round(v * 20 * 1e6)) < 1e-3
+            for vec in c.values()
+            for v in vec
+        )
+
     def test_ivf_full_probe_equals_exact(self, emb):
         # probing ALL cells must recover the exact result
         queries = emb.filter(F.col("vec_id") < 3)

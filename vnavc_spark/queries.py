@@ -9509,6 +9509,98 @@ def q175_bigram_oov_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_ctes(n_cells: int, iters: int, dim: int = 64) -> str:
+    """DuckDB mirror of ``similarity.ivf_index`` generalized to
+    ``iters`` Lloyd refinements (q45's ``_ivf_index_ctes`` is the
+    ``iters=1`` instance): md5-hash-order seeds → per-iteration
+    broadcast-argmin assign + scaled-integer per-dimension means.
+    Ends with ``af(vec_id, e, cell)`` (final assignment) and
+    ``c{{iters}}(cell, centroid)`` (final centroids)."""
+    parts = [
+        f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+seeds AS (SELECT vec_id, e FROM v
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+              e AS centroid FROM seeds)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"a{i} AS {_ivf_cell_sql('v', f'c{i - 1}')}")
+        parts.append(
+            f"""ex{i} AS (SELECT cell, i - 1 AS pos, e[CAST(i AS INT)] AS val
+       FROM a{i} CROSS JOIN range(1, {dim + 1}) t(i)),
+m{i} AS (SELECT cell, pos,
+             sum(floor(val * 1000000.0 + 0.5)) / 1000000.0 / count(*) AS mv
+      FROM ex{i} GROUP BY cell, pos),
+c{i} AS (SELECT cell, list(mv ORDER BY pos) AS centroid FROM m{i} GROUP BY cell)"""
+        )
+    parts.append(f"af AS {_ivf_cell_sql('v', f'c{iters}')}")
+    return ",\n".join(parts)
+
+
+@query(
+    "q176_kmeans_refine",
+    oracle=f"""
+WITH {_kmeans_ctes(8, 2)}
+SELECT CAST(af.cell AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_members,
+       floor(list_dot_product(c.centroid, c.centroid) * 1000000.0 + 0.5)
+         / 1000000.0 AS centroid_norm2
+FROM af JOIN c2 c ON af.cell = c.cell
+GROUP BY af.cell, c.centroid
+""",
+)
+def q176_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (Lloyd) clustering of the embedding corpus,
+    hash-certified across TWO refinement iterations — the full
+    training loop of the semantic-dedup / IVF-index stack (q45/q78
+    run one refinement inside their index build; this certifies the
+    CONVERGENCE loop itself as a first-class operator). k=8 clusters
+    report final membership counts and the 1e-6-rounded centroid
+    self-dot (a compact centroid fingerprint).
+
+    Why this is certifiable at all: seeding is deterministic
+    (md5-hash-order corpus sample — no RNG state), per-dimension
+    centroid means are ORDER-INDEPENDENT scaled-integer sums (a
+    plain double F.avg is not even run-to-run stable under
+    partitioning), and the assignment argmin breaks exact cosine
+    ties to the lowest cell — so every iteration's state is
+    bit-identical on both engines and iteration 2 amplifies any
+    iteration-1 divergence into a visible hash break.
+
+    Scale shape (similarity.ivf_index): each iteration is one
+    ZERO-SHUFFLE Arrow matmul assignment pass (centroids collected
+    driver-side, 8×64 doubles, size-asserted) plus one map-side-
+    combinable (cell, dim) aggregate — shuffle payload is
+    cells × dim partial sums, never vectors. At 1000 executors the
+    per-iteration cost is a corpus scan; the driver holds 8 rows.
+
+    Reference analog: SemDeDup-style embedding clustering
+    (pre_processing stack) — Abbas et al. 2023, public method."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, cents = similarity.ivf_index(
+        emb, n_cells=8, refine_iters=2
+    )
+    counts = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    norm = cents.select(
+        "cell",
+        stable_round(
+            F.aggregate(
+                F.col("centroid"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ),
+            6,
+        ).alias("centroid_norm2"),
+    )
+    return counts.join(norm, "cell").select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_members",
+        "centroid_norm2",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
