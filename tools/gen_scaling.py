@@ -124,6 +124,17 @@ SWEEP = [
     ("q158_split_leakage", ("documents",), False, True),
     ("q170_ks_drift", ("documents",), True, False),
     ("q47_approx_sketches", ("orders",), True, False),
+    # round 8 back half: island sweep points ~ sessions (like q130),
+    # BPE rounds are vocab-sized after the corpus collapse (verbatim
+    # text replication keeps the vocab CONSTANT — only the word-count
+    # scan grows), the OOV semi join shuffles bigram occurrences
+    # (~linear; the reference vocab is constant under replication),
+    # k-means assignment is one zero-shuffle corpus pass per
+    # iteration with constant (cells x dim) agg state
+    ("q173_interval_coverage", ("events",), True, False),
+    ("q174_bpe_encode", ("documents",), False, False),
+    ("q175_bigram_oov_gate", ("documents",), False, False),
+    ("q176_kmeans_refine", ("embeddings",), True, False),
 ]
 
 
