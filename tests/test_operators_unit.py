@@ -149,6 +149,28 @@ class TestSketches:
             # harmonic_sum is bounded by [m·2^55/2^55-min .. m·2^55]
             assert 64 <= a.harmonic_sum <= 64 * (1 << 55)
 
+    def test_hll_ignores_null_values(self, spark):
+        # round-9 advice: nulls must contribute NOTHING (countDistinct
+        # semantics) — before the fix a null hashed to a phantom NULL
+        # register counted by n_registers_hit but absent from the
+        # harmonic sum, and an all-null group returned NULL state
+        from vnavc_spark.operators.aggregates import hll_deterministic
+
+        df = spark.createDataFrame(
+            [("g1", "a"), ("g1", None), ("g1", "b"), ("g2", None)],
+            "g string, v string",
+        )
+        clean = spark.createDataFrame(
+            [("g1", "a"), ("g1", "b")], "g string, v string"
+        )
+        got = {r.g: r for r in hll_deterministic(df, ["g"], "v").collect()}
+        ref = {r.g: r for r in hll_deterministic(clean, ["g"], "v").collect()}
+        # all-null group vanishes (like countDistinct over no rows)
+        assert set(got) == {"g1"}
+        assert got["g1"].n_registers_hit == ref["g1"].n_registers_hit
+        assert got["g1"].harmonic_sum == ref["g1"].harmonic_sum
+        assert got["g1"].n_exact == 2
+
     def test_kmv_within_error_of_exact(self, spark):
         """KMV (k=64 → ~12.5% std error) and theta (1/64 sampling)
         estimates land near the exact count carried in n_exact; with
@@ -813,6 +835,52 @@ class TestExactRankSelect:
         )
         with pytest.raises(ValueError, match="group cardinality"):
             exact_rank_select(df, ["g"], "x", max_groups=3)
+
+    def test_value_shortcut_single_round_same_answer(self, spark):
+        # low-cardinality data (distinct values ≪ VALUE_SHORTCUT_CELLS
+        # yet a WIDE value range) must converge in ONE width-1 walk
+        # round via the distinct-count shortcut — and return exactly
+        # the brute-force median
+        from vnavc_spark.operators import aggregates
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        # 40 distinct values spread over a 4·10^9-cent range: the
+        # range alone would need ≥2 adaptive rounds
+        vals = [float(i * i * 25_000_000) / 100.0 for i in range(1, 41)]
+        df = spark.createDataFrame(
+            [("a", v) for v in vals for _ in range(3)],
+            "g string, x double",
+        )
+        aggregates.NARROWING_STATS.clear()
+        rows = exact_rank_select(df, ["g"], "x").collect()
+        # rank (120+1)//2 = 60 → value index 19 (0-based): vals[19]
+        assert rows[0].median == vals[19]
+        stats = aggregates.NARROWING_STATS[-1]
+        assert len(stats["rounds"]) == 1
+        assert stats["rounds"][0]["path"] == "walk"
+        assert stats["rounds"][0]["value_shortcut"] is True
+
+    def test_unconverged_loop_raises_not_silent(
+        self, spark, monkeypatch
+    ):
+        # convergence assertion (round-9 advice): exhausting
+        # max_rounds with open (lo < hi) targets must raise, never
+        # silently return boundary values. The shortcut ceiling is
+        # pinned to 0 so the distinct-count path can't close the
+        # range in one round; 1 round of 2 buckets cannot close a
+        # ~10^8-cent range.
+        import pytest
+
+        from vnavc_spark.operators import aggregates
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        monkeypatch.setattr(aggregates, "VALUE_SHORTCUT_CELLS", 0)
+        df = spark.createDataFrame(
+            [("a", float(i) * 1048.576) for i in range(1000)],
+            "g string, x double",
+        )
+        with pytest.raises(RuntimeError, match="unconverged"):
+            exact_rank_select(df, ["g"], "x", n_buckets=2, max_rounds=1)
 
 
 class TestCmsHeavyHitters:

@@ -10,6 +10,8 @@ collect_list aggregations bound per-group state to file counts
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -261,6 +263,13 @@ def hll_deterministic(
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
+    # NULL values contribute nothing — like countDistinct (the
+    # n_exact anchor). Without the filter a null hashes to a NULL _h
+    # that creates a phantom register: counted by n_registers_hit but
+    # excluded from the rho sum, skewing harmonic_sum (and a group of
+    # only nulls yields NULL instead of estimate 0). Any future
+    # oracle over a nullable key must mirror `WHERE col IS NOT NULL`.
+    df = df.filter(F.col(value_col).isNotNull())
     rw = df.select(*group_cols, h.alias("_h")).select(
         *group_cols,
         F.pmod(F.col("_h"), F.lit(m)).alias("_reg"),
@@ -646,6 +655,22 @@ ADAPTIVE_BUCKET_CAP = 1 << 18
 # sf0.1; hashes unchanged — both paths perform the identical
 # descent).
 DRIVER_WALK_CELLS = 1 << 20
+# ceiling on PADDED expected nonzero cells (distinct-value evidence
+# from the first aggregate) under which a single width-1 round
+# replaces the whole log-range descent — sized so the finishing
+# round's collect stays a few MB and strictly under the walk ceiling
+# (the shortcut always routes through the walk path).
+VALUE_SHORTCUT_CELLS = 1 << 17
+
+#: Per-call narrowing telemetry (round-9 verdict item #1: adjudicate
+#: warm-latency by artifact, not by guess). Every `_exact_ranks_core`
+#: call appends one record: targets, per-round path taken
+#: ('walk' = driver dict walk / 'exec' = executor crossing join),
+#: per-round potential cells (open bounds × nb_eff) and nb_eff, plus
+#: wall seconds of the first aggregate and of each round. Pure
+#: bookkeeping — never read by the algorithm; `bench.py`/SCALE.md dump
+#: it to separate driver-round scheduling cost from compute.
+NARROWING_STATS: list[dict] = []
 
 
 def _nullsafe_group_key(group_cols: list[str]) -> Column:
@@ -736,26 +761,32 @@ def _exact_ranks_core(
         F.sum("_w").alias("n"),
         F.min("_v").alias("lo"),
         F.max("_v").alias("hi"),
+        # approximate distinct-value count per group: rides the same
+        # corpus pass (one HLL++ buffer per group) and feeds the
+        # VALUE-GRANULARITY SHORTCUT below — when a group's remaining
+        # range holds few enough distinct values, one width-1 round
+        # replaces the whole log-range descent. Estimate only steers
+        # ROUND PLANNING (an under-estimate just makes a round carry
+        # a few more nonzero cells than budgeted); the selected
+        # values stay exact either way.
+        F.approx_count_distinct("_v").alias("nd"),
     )
-    # cardinality guard BEFORE collecting driver state (a count over
-    # the aggregate is distributed and costs ~nothing next to the
-    # aggregate itself; a limit() would add a global-limit stage to
-    # the collect — measured +0.4 s per call). The aggregate output is
-    # group-cardinality-sized (≤ max_groups rows — tiny at any corpus
-    # scale), so persisting it lets the guard count and the state
-    # collect share ONE corpus scan instead of two.
-    first = first.persist()
-    try:
-        if first.count() > max_groups:
-            raise ValueError(
-                f"exact_rank: group cardinality exceeds {max_groups}; the "
-                "narrowing algorithm keeps (lo, hi, rank) per group on the "
-                "driver, which requires categorical grouping keys. Reduce "
-                "key cardinality or raise max_groups explicitly."
-            )
-        rows = first.collect()
-    finally:
-        first.unpersist()
+    # cardinality guard FUSED into the state collect: limit(max_groups
+    # + 1) bounds the driver transfer while the length check runs
+    # driver-side — ONE job instead of the former persist + count +
+    # collect + unpersist (two jobs + two RPCs; measured 0.55 s →
+    # 0.31 s per call at sf0.1 — the old "+0.4 s global-limit stage"
+    # note predates AQE handling limit-over-aggregate well).
+    _stats = {"targets": sorted(targets), "rounds": []}
+    _t0 = time.perf_counter()
+    rows = first.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"exact_rank: group cardinality exceeds {max_groups}; the "
+            "narrowing algorithm keeps (lo, hi, rank) per group on the "
+            "driver, which requires categorical grouping keys. Reduce "
+            "key cardinality or raise max_groups explicitly."
+        )
     state = {}
     for r in rows:
         for tname, rank_fn in targets.items():
@@ -775,13 +806,16 @@ def _exact_ranks_core(
                 "hi": hi,
                 "rank": rk,
                 "n": r["n"],
+                "nd": r["nd"],
                 "group": tuple(r[c] for c in group_cols),
             }
+    _stats["first_agg_s"] = round(time.perf_counter() - _t0, 3)
     spark = df.sparkSession
     for _ in range(max_rounds):
         open_t = {kt: s for kt, s in state.items() if s["lo"] < s["hi"]}
         if not open_t:
             break
+        _rt0 = time.perf_counter()
         # bucket counts depend only on (group, lo, hi, width) — NOT
         # the rank — so targets sharing bounds (always true in the
         # first round: every target starts at the group's [min, max])
@@ -809,25 +843,68 @@ def _exact_ranks_core(
         # it replaced because partial aggregation stops combining
         # once bins outnumber values).
         bkeys = {(k, s["lo"], s["hi"]) for (k, _t), s in open_t.items()}
-        budget = max(
-            n_buckets,
-            min(ADAPTIVE_BUCKET_CAP, RANK_MAX_CELLS // max(1, len(bkeys))),
-        )
         r_max = max(hi - lo + 1 for (_k, lo, hi) in bkeys)
-        rounds_needed = 1
-        while budget**rounds_needed < r_max:
-            rounds_needed += 1
-        nb_eff = max(2, int(round(r_max ** (1.0 / rounds_needed))))
-        while nb_eff**rounds_needed < r_max:
-            nb_eff += 1
-        nb_eff = min(nb_eff, budget)
-        if len(bkeys) * nb_eff > RANK_MAX_CELLS:
-            raise ValueError(
-                f"exact_rank: {len(bkeys)} open group bounds x "
-                f"{nb_eff} buckets exceeds {RANK_MAX_CELLS} "
-                "bucket-count cells per round; lower n_buckets (more, "
-                "cheaper rounds) or reduce group cardinality."
+        # VALUE-GRANULARITY SHORTCUT: the first aggregate's
+        # approx_count_distinct bounds the ACTUAL nonzero bins a
+        # width-1 round can produce (bins are distinct values, not
+        # potential range cells), so when every open group's padded
+        # distinct count fits the per-partition cap AND the padded
+        # total fits the per-round cell budget, ONE round at width 1
+        # converges everything — one corpus pass instead of the
+        # log-range descent (at 100 TB each saved round is a full
+        # scan; locally it's a saved driver sync). The pad (+25% +16)
+        # absorbs HLL++ estimation error; a residual under-estimate
+        # only means the round carries slightly more nonzero cells
+        # than budgeted — never a wrong answer, because bin counts
+        # are exact regardless of how the width was chosen.
+        nds = {k: s["nd"] for (k, _t), s in open_t.items()}
+        pad = {k: nd + (nd >> 2) + 16 for k, nd in nds.items()}
+        # the shortcut must stay CHEAPER than the rounds it replaces:
+        # measured at sf0.1, a width-1 round over nd≈198k-per-group
+        # prices costs 2.6 s on the executor-crossing path (the
+        # per-group window cumsum runs one task per group — a
+        # parallelism collapse, not a win) vs 2×0.8 s for the 2-round
+        # descent, and the driver-walk alternative would collect
+        # ~600k cells. So the shortcut fires only when the PADDED
+        # expected cells (actual nonzero bins ≤ distinct values; the
+        # +25%+16 pad absorbs HLL++ under-estimates) are small enough
+        # to ride the driver walk — then one corpus pass + one small
+        # collect finishes everything. A residual under-estimate only
+        # means a slightly larger collect, never a wrong answer:
+        # bin counts are exact regardless of how the width was chosen.
+        value_shortcut = (
+            sum(min(hi - lo + 1, pad[k]) for (k, lo, hi) in bkeys)
+            <= VALUE_SHORTCUT_CELLS
+        )
+        if value_shortcut:
+            # width 1 for every bounds id: cw() yields 1 because
+            # nb_eff covers the widest remaining range. The potential-
+            # cell cap check is skipped — the distinct-count evidence
+            # bounds the real cells, which is what the cap protects.
+            nb_eff = r_max
+        else:
+            budget = max(
+                n_buckets,
+                min(
+                    ADAPTIVE_BUCKET_CAP,
+                    RANK_MAX_CELLS // max(1, len(bkeys)),
+                ),
             )
+            rounds_needed = 1
+            while budget**rounds_needed < r_max:
+                rounds_needed += 1
+            nb_eff = max(2, int(round(r_max ** (1.0 / rounds_needed))))
+            while nb_eff**rounds_needed < r_max:
+                nb_eff += 1
+            nb_eff = min(nb_eff, budget)
+            if len(bkeys) * nb_eff > RANK_MAX_CELLS:
+                raise ValueError(
+                    f"exact_rank: {len(bkeys)} open group bounds x "
+                    f"{nb_eff} buckets exceeds {RANK_MAX_CELLS} "
+                    "bucket-count cells per round; lower n_buckets "
+                    "(more, cheaper rounds) or reduce group "
+                    "cardinality."
+                )
 
         def cw(s) -> int:
             # ceil((hi - lo + 1) / nb_eff), always ≥ 1
@@ -860,7 +937,7 @@ def _exact_ranks_core(
             .groupBy("_bid", "_bin")
             .agg(F.sum("_w").alias("c"))
         )
-        if len(bkeys) * nb_eff <= DRIVER_WALK_CELLS:
+        if value_shortcut or len(bkeys) * nb_eff <= DRIVER_WALK_CELLS:
             # small round: collect the (bounded) bucket counts and
             # walk them on the driver — one stage per round
             counts: dict = {}
@@ -883,6 +960,17 @@ def _exact_ranks_core(
                         "exact_rank: rank not found in any bucket "
                         "(invariant violation)"
                     )
+            _stats["rounds"].append(
+                {
+                    "path": "walk",
+                    "open": len(open_items),
+                    "bounds": len(bkeys),
+                    "nb_eff": nb_eff,
+                    "cells": len(bkeys) * nb_eff,
+                    "value_shortcut": value_shortcut,
+                    "s": round(time.perf_counter() - _rt0, 3),
+                }
+            )
             continue
         # big round: find the crossing bin on EXECUTORS — cum over
         # ≤ nb_eff nonzero bins per bounds id (config-bounded window
@@ -925,7 +1013,36 @@ def _exact_ranks_core(
             s["rank"] -= r["_below"]
             s["lo"] = s["lo"] + r["_bin"] * width
             s["hi"] = min(s["hi"], s["lo"] + width - 1)
+        _stats["rounds"].append(
+            {
+                "path": "exec",
+                "open": len(open_items),
+                "bounds": len(bkeys),
+                "nb_eff": nb_eff,
+                "cells": len(bkeys) * nb_eff,
+                "value_shortcut": value_shortcut,
+                "s": round(time.perf_counter() - _rt0, 3),
+            }
+        )
 
+    # convergence assertion (round-9 advice): an exhausted round loop
+    # with open targets would otherwise silently return boundary
+    # values from unconverged (lo < hi) state — callers consume
+    # s['lo']/s['rank'] unconditionally. Effectively unreachable at
+    # default n_buckets/max_rounds; reachable with tiny caller-supplied
+    # n_buckets + ~1M open groups over full 64-bit ranges.
+    n_open = sum(1 for s in state.values() if s["lo"] < s["hi"])
+    if n_open:
+        raise RuntimeError(
+            f"exact_rank: {n_open} targets unconverged after "
+            f"{max_rounds} rounds (range still open); raise max_rounds "
+            "or n_buckets — results would be wrong, not approximate."
+        )
+
+    NARROWING_STATS.append(_stats)
+    # telemetry ring: keep the tail bounded so a long-lived session
+    # (the full test suite, a notebook) never grows driver memory
+    del NARROWING_STATS[:-256]
     return state, scale, spark
 
 
