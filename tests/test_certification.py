@@ -360,3 +360,39 @@ def test_untracked_artifact_verifies_against_head(tmp_path):
         qmod._source_of = orig
         qmod._FP_CACHE.clear()
         os.unlink(fake_art)
+
+
+def test_certified_tail_ordered_stalest_green_first():
+    # round-9 verdict item #3: with the whole registry certified, the
+    # tail must order by OLDEST green driver row first so leftover
+    # window slots re-certify the stalest queries (age-based
+    # rotation); ties keep registration order, so the ordering is
+    # deterministic across processes.
+    import vnavc_spark.queries as qmod
+
+    order = qmod._certification_order(QUERIES)
+    snapshot = _certified_fingerprints()
+    cert = {
+        k: _is_certified(
+            k, qmod._DRIVER_CERTIFIED, snapshot, impl_fingerprint
+        )
+        for k in QUERIES
+    }
+    # head (uncertified) strictly precedes every certified query
+    tail_start = 0
+    for i, k in enumerate(order):
+        if not cert[k]:
+            assert tail_start == i, "uncertified query after the tail began"
+            tail_start = i + 1
+    age = qmod._latest_green_round()
+    reg_idx = {k: i for i, k in enumerate(QUERIES)}
+    tail = order[tail_start:]
+    keys = [(age.get(k, 0), reg_idx[k]) for k in tail]
+    assert keys == sorted(keys), (
+        "certified tail is not ordered by (oldest green round, "
+        "registration index)"
+    )
+    # the rotation must actually mix rounds once >1 round of greens
+    # exists (guards against the cache degenerating to one age)
+    if len({a for a, _i in keys}) > 1:
+        assert keys[0][0] < keys[-1][0]

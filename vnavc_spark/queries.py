@@ -9920,14 +9920,64 @@ def _is_certified(
     return snapshot.get(name) == current_fp(name)
 
 
+def _latest_green_round() -> dict[str, int]:
+    """Latest round number with a green driver row per query, scanned
+    once per process from CORRECTNESS_r*.json. Queries certified only
+    by the round-2 bootstrap set report age 2. Feeds the age-based
+    re-certification rotation: with all queries certified, the tail
+    would otherwise sit in registration order forever and an unedited
+    query might never re-enter the driver's 50-query window."""
+    global _GREEN_ROUND_CACHE
+    if _GREEN_ROUND_CACHE is not None:
+        return _GREEN_ROUND_CACHE
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {k: 2 for k in _R2_CERTIFIED}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        for k, v in data.items():
+            if isinstance(v, dict) and (
+                v.get("hash_match") is True or v.get("err") == "no_oracle"
+            ):
+                latest[k] = max(latest.get(k, 0), rnd)
+    _GREEN_ROUND_CACHE = latest
+    return latest
+
+
+_GREEN_ROUND_CACHE: dict[str, int] | None = None
+
+
 def _certification_order(names) -> list[str]:
+    """Uncertified queries first (the driver certifies the FIRST 50 of
+    ``queries()``), then the certified tail ordered OLDEST GREEN ROW
+    FIRST (round-9 verdict item #3) so leftover window slots
+    re-certify the stalest queries and every query re-enters the
+    window within ~⌈registry/50⌉ rounds. Ties (same round) keep
+    registration order — deterministic across processes."""
     snapshot = _certified_fingerprints()
     cert = {
         k: _is_certified(k, _DRIVER_CERTIFIED, snapshot, impl_fingerprint)
         for k in names
     }
     head = [k for k in names if not cert[k]]
-    tail = [k for k in names if cert[k]]
+    age = _latest_green_round()
+    reg_idx = {k: i for i, k in enumerate(names)}
+    tail = sorted(
+        (k for k in names if cert[k]),
+        key=lambda k: (age.get(k, 0), reg_idx[k]),
+    )
     return head + tail
 
 
