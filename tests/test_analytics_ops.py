@@ -760,3 +760,71 @@ def test_incremental_dau_chunk_guard_and_parity(spark, tmp_path):
         for r in QUERIES["q137_rolling_dau"](spark, str(ok)).collect()
     }
     assert inc == batch and len(inc) == 20
+
+
+def test_staged_dau_resumes_from_state_dir(spark, tmp_path):
+    # round-9 verdict item #4: the production claim — run chunks
+    # 1..k against a caller-supplied state_dir, REOPEN the directory
+    # in a fresh invocation for the remaining chunks, and the
+    # resumed result must hash-match the batch form. Also pins
+    # idempotency: re-running an already-staged week appends nothing.
+    from vnavc_spark.queries import QUERIES, q154_rolling_dau_incremental
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, i % 20, i % 5) for i in range(200)],
+        "event_id long, day long, user_id long",
+    ).select(
+        "event_id",
+        (F.to_timestamp(F.lit("2024-01-01 08:00:00"))
+         + F.expr("make_interval(0,0,0,day,0,0)")).alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    ).write.parquet(str(src / "events.parquet"))
+    state = str(tmp_path / "state")
+
+    # the 20-day span covers 4 epoch weeks; split 2 + 2
+    e = spark.read.parquet(str(src / "events.parquet"))
+    wks = sorted(
+        r["wk"]
+        for r in e.select(
+            F.expr("datediff(to_date(ts), date'1970-01-01') div 7").alias("wk")
+        ).distinct().collect()
+    )
+    assert len(wks) >= 3
+    first, rest = wks[:2], wks[2:]
+
+    partial = q154_rolling_dau_incremental(
+        spark, str(src), state_dir=state, weeks=first
+    ).collect()
+    assert 0 < len(partial) < 20  # only the staged prefix reports
+
+    # fresh invocation, same directory: resumes, completes the series
+    resumed = {
+        (r.day, r.dau, r.wau7)
+        for r in q154_rolling_dau_incremental(
+            spark, str(src), state_dir=state, weeks=rest
+        ).collect()
+    }
+    batch = {
+        (r.day, r.dau, r.wau7)
+        for r in QUERIES["q137_rolling_dau"](spark, str(src)).collect()
+    }
+    assert resumed == batch and len(resumed) == 20
+
+    # idempotency: re-running week chunks already staged is a no-op
+    again = {
+        (r.day, r.dau, r.wau7)
+        for r in q154_rolling_dau_incremental(
+            spark, str(src), state_dir=state, weeks=wks
+        ).collect()
+    }
+    assert again == batch
+
+    # empty state dir + no chunks selected -> empty result, no error
+    empty = q154_rolling_dau_incremental(
+        spark, str(src), state_dir=str(tmp_path / "nostate"), weeks=[]
+    )
+    assert empty.count() == 0
