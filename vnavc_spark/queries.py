@@ -1637,15 +1637,14 @@ c1 AS (SELECT cell, list(mv ORDER BY pos) AS centroid FROM m GROUP BY cell),
 a2 AS {_ivf_cell_sql("v", "c1")}"""
 
 
-def _ivf_ann_sql(
-    n_cells: int = 8, nprobe: int = 3, k: int = 10, dim: int = 64
+def _ivf_rank_ctes(
+    n_cells: int = 8, nprobe: int = 3, dim: int = 64
 ) -> str:
-    """DuckDB mirror of ``similarity.ivf_topk`` (queries=vec_id<5):
-    deterministic index build (see ``_ivf_index_ctes``), probe the
-    ``nprobe`` best cells per query (1e-6-rounded centroid cosine,
-    ties → lowest cell), exact rerank inside probed cells."""
-    return f"""
-WITH {_ivf_index_ctes(n_cells, dim)},
+    """WITH-body of the certified IVF-ANN (index build + cell probe
+    + exact rerank), ending in ``r(query_id, neighbor_id, score,
+    rank)`` — shared verbatim by q45's oracle and q177's dense-side
+    CTEs so there is ONE source of truth for the probe shape."""
+    return f"""{_ivf_index_ctes(n_cells, dim)},
 q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
 qc AS (
   SELECT query_id, qv, cell FROM (
@@ -1669,7 +1668,18 @@ r AS (SELECT query_id, neighbor_id, score,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score DESC NULLS LAST, neighbor_id)
                AS rank
-      FROM scored)
+      FROM scored)"""
+
+
+def _ivf_ann_sql(
+    n_cells: int = 8, nprobe: int = 3, k: int = 10, dim: int = 64
+) -> str:
+    """DuckDB mirror of ``similarity.ivf_topk`` (queries=vec_id<5):
+    deterministic index build (see ``_ivf_index_ctes``), probe the
+    ``nprobe`` best cells per query (1e-6-rounded centroid cosine,
+    ties → lowest cell), exact rerank inside probed cells."""
+    return f"""
+WITH {_ivf_rank_ctes(n_cells, nprobe, dim)}
 SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
 """
@@ -9631,6 +9641,112 @@ def q176_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         "centroid_norm2",
     )
+
+
+@query(
+    "q177_hybrid_rrf_ann",
+    oracle=f"""
+WITH {{IVF}},
+den AS (
+  SELECT query_id AS qid, neighbor_id AS cand, rank AS dense_rank
+  FROM r WHERE rank <= 10),
+toks AS (
+  SELECT doc_id, unnest({{TOKS}}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+qt AS (SELECT DISTINCT doc_id AS qid, tok FROM toks
+       WHERE doc_id < 5 AND length(tok) >= 7),
+dl AS (SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+lscored AS (
+  SELECT qt.qid, tf.doc_id,
+         sum(floor((CAST(tf.cnt AS DOUBLE) * 2.2
+                    / (CAST(tf.cnt AS DOUBLE)
+                       + 1.2 * (0.25
+                                + 0.75 * (CAST(dl.dl * n.n_docs AS DOUBLE)
+                                          / CAST(n.total_len AS DOUBLE))))
+                    * ((CAST(n.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                       / (CAST(dfreq.df AS DOUBLE) + 0.5)))
+                   * 1000000.0 + 0.5)) / 1000000.0 AS score
+  FROM tf JOIN qt USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+  WHERE tf.doc_id <> qt.qid
+  GROUP BY qt.qid, tf.doc_id),
+lex AS (
+  SELECT qid, doc_id AS cand, lex_rank FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS lex_rank
+    FROM lscored) WHERE lex_rank <= 10),
+f AS (
+  SELECT COALESCE(lex.qid, den.qid) AS qid,
+         COALESCE(lex.cand, den.cand) AS cand,
+         lex_rank, dense_rank
+  FROM lex FULL OUTER JOIN den
+    ON lex.qid = den.qid AND lex.cand = den.cand),
+s AS (
+  SELECT qid, cand,
+         CAST((lex_rank IS NOT NULL)::INT
+              + (dense_rank IS NOT NULL)::INT AS BIGINT) AS n_lists,
+         floor((COALESCE(CAST(1 AS DOUBLE)
+                         / CAST(lex_rank + 60 AS DOUBLE), 0.0)
+                + COALESCE(CAST(1 AS DOUBLE)
+                           / CAST(dense_rank + 60 AS DOUBLE), 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS score_rrf
+  FROM f)
+SELECT qid, cand, n_lists, score_rrf, CAST(fused_rank AS BIGINT)
+         AS fused_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score_rrf DESC, cand)
+                  AS fused_rank FROM s)
+WHERE fused_rank <= 10
+""".replace("{IVF}", _ivf_rank_ctes()).replace(
+        "{TOKS}", TOKS_SQL.format(c="text")
+    ),
+)
+def q177_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval in the MANY-QUERY production shape (round-9
+    verdict item #5): q171's BM25 lexical top-10 fused by RRF with
+    the CERTIFIED IVF-ANN dense top-10 (q45's cell-probe path —
+    deterministic index build, nprobe=3 centroid probe, exact rerank
+    INSIDE probed cells) instead of q171's exact full-corpus cosine.
+    Per-query dense cost drops from O(corpus) to O(probed cells) —
+    the shape that holds when queries number thousands, not five.
+    RRF consumes only integer RANKS, so swapping the dense engine
+    changes nothing about certifiability: same fixed-order two-term
+    reciprocal sum, same full-outer join over top-k-bounded lists
+    (operators/retrieval.rrf_fuse). The oracle shares q45's IVF
+    WITH-body verbatim (_ivf_rank_ctes — one source of truth for the
+    probe shape) and q171's BM25 + fusion CTEs."""
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+        term_frequencies,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    tf = tracked_persist(term_frequencies(toks), "rrf_ann_tf")
+    qset = (
+        toks.filter((F.col("doc_id") < 5) & (F.length("tok") >= 7))
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+    )
+    lex = bm25_topk(tf, qset, k=10).select(
+        "qid", F.col("doc_id").alias("cand"), F.col("rnk").alias("lex_rank")
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    den = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=3
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("cand"),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+    return rrf_fuse(lex, den, k=10, c=60)
 
 
 # ---------------------------------------------------------------------------
