@@ -540,6 +540,36 @@ class TestBloomPrefilter:
         if n_without:
             assert r.n_false_positives / n_without < 0.2
 
+    def test_row_prefilter_composes_exactly_with_semi_join(self, spark):
+        # round-9 item #6: the ROW-level variant must (a) never drop a
+        # key present in the build side (no false negatives — the
+        # exact semi join after it returns the SAME rows as without
+        # the prefilter), (b) keep every probe column, (c) actually
+        # prune at a sane geometry.
+        from vnavc_spark.operators.filters import bloom_row_prefilter
+
+        build = spark.createDataFrame(
+            [(f"k{i}",) for i in range(0, 100, 2)], "key string"
+        )
+        probe = spark.createDataFrame(
+            [(f"k{i}", i, f"p{i}") for i in range(100)],
+            "key string, n long, payload string",
+        )
+        pre = bloom_row_prefilter(build, "key", probe, "key")
+        assert pre.columns == probe.columns
+        with_pre = {
+            (r.key, r.n, r.payload)
+            for r in pre.join(build, "key", "left_semi").collect()
+        }
+        without = {
+            (r.key, r.n, r.payload)
+            for r in probe.join(build, "key", "left_semi").collect()
+        }
+        assert with_pre == without and len(without) == 50
+        # pruning: at 2^20 bits / 50 keys the FP rate is ~0, so the
+        # prefilter alone should pass (almost) exactly the members
+        assert pre.count() <= 55
+
 
 class TestDomainCap:
     def test_cap_bounds_and_determinism(self, spark):
@@ -1493,3 +1523,24 @@ class TestBpeTrain:
             for r in QUERIES["q172_bpe_train"](spark, str(sf)).collect()
         ]
         assert rows == [(1, "a b", "ab", 2)]
+
+
+class TestBigramOovBloomPath:
+    def test_bigram_oov_bloom_path_matches(self, spark):
+        # round-9 item #6: forcing the adaptive bloom gate ON
+        # (bloom_min_ref=0) must produce the exact same result as the
+        # default broadcast-semi-join path — the bitmap has no false
+        # negatives and the exact join removes false positives — and
+        # the forced plan must actually contain the literal-bitmap
+        # probe (unbase64 of the packed bit-set).
+        from tests.conftest import SF_SMALL
+        from vnavc_spark.queries import q175_bigram_oov_gate
+
+        default = q175_bigram_oov_gate(spark, SF_SMALL)
+        forced = q175_bigram_oov_gate(spark, SF_SMALL, bloom_min_ref=0)
+        assert sorted(map(tuple, default.collect())) == sorted(
+            map(tuple, forced.collect())
+        )
+        plan = forced._jdf.queryExecution().toString()
+        assert "unbase64" in plan
+        assert "unbase64" not in default._jdf.queryExecution().toString()
