@@ -102,6 +102,17 @@ BENCH_QUERIES = [
     "q174_bpe_encode",
     "q175_bigram_oov_gate",
     "q176_kmeans_refine",
+    # round 9 additions: the remaining TPC-H analogs as latency
+    # witnesses (the classic wave now has full bench coverage) and
+    # the ANN-backed hybrid retrieval sibling
+    "q159_order_priority_check",
+    "q161_bilateral_trade",
+    "q162_market_share",
+    "q164_promo_revenue",
+    "q165_small_quantity_revenue",
+    "q166_large_volume_customers",
+    "q167_disjunctive_revenue",
+    "q177_hybrid_rrf_ann",
 ]
 
 

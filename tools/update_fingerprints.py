@@ -132,6 +132,20 @@ def tested_tree_fingerprints(names: list[str], current_regime: int):
             # a query edited before the regeneration inherit the green
             # row (round-7 verdict item #3).
             tested_rev = "HEAD"
+            # round-9 advice: HEAD is only the tested tree if the
+            # working tree was clean when the driver ran. If tracked
+            # engine sources are dirty NOW, the artifact may have been
+            # generated from uncommitted edits that were since
+            # reverted — surface it instead of silently inheriting.
+            dirty = _git("status", "--porcelain", "--", "vnavc_spark")
+            if dirty.strip():
+                print(
+                    "WARNING: untracked CORRECTNESS artifact with a DIRTY "
+                    "vnavc_spark working tree — the HEAD-worktree "
+                    "fingerprints may not match the tree the driver "
+                    "actually executed:\n  "
+                    + "\n  ".join(dirty.strip().splitlines())
+                )
         _git("rev-parse", "--verify", tested_rev)  # rev must exist
         tmp = tempfile.mkdtemp(prefix="certwt_", dir=ROOT)
         wt = os.path.join(tmp, "tree")
