@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "q166_large_volume_customers",
     "q167_disjunctive_revenue",
     "q177_hybrid_rrf_ann",
+    "q178_trimmed_mean",
+    "q179_contamination_13gram",
+    "q180_rare_token_density",
 ]
 
 

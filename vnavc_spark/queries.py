@@ -9784,6 +9784,300 @@ def q177_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, den, k=10, c=60)
 
 
+@query(
+    "q178_trimmed_mean",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+r AS (
+  SELECT g, vc,
+         row_number() OVER (PARTITION BY g ORDER BY vc) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v)
+SELECT g AS l_returnflag,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(max(n) - 2 * (max(n) // 10) AS BIGINT) AS n_kept,
+       floor(CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                           THEN vc ELSE 0 END) AS DOUBLE)
+             / CAST(max(n) - 2 * (max(n) // 10) AS DOUBLE)
+             / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS trimmed_mean
+FROM r GROUP BY g
+""",
+)
+def q178_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 10%-two-sided trimmed mean per group at unbounded scale
+    — the robust location statistic between the mean (one corrupt
+    extreme moves it) and the median (throws away 98% of the data):
+    drop the lowest and highest ⌊n/10⌋ values BY RANK, average the
+    rest. Composed from the zero-buffering narrowing selector:
+    exact_rank_multi resolves the two boundary VALUES (ranks k+1 and
+    n−k in one shared round sequence), then ONE conditional-aggregate
+    pass with the broadcast boundaries computes sum/count strictly
+    below and strictly above — rank-exact trimming falls out as
+    integer arithmetic (the k−C boundary-tie copies excluded at each
+    end are copies of the boundary value, so no per-row ranking is
+    ever materialized). Total: the selector's ≤3 passes + 1 — no
+    corpus-wide sort, no per-group buffering, same scale contract as
+    q113/q121. Sums ride as exact integer cents; the one terminal
+    IEEE division chain (sum / kept / 100, in that order on both
+    engines) is 1e-6-rounded. The oracle is the window-rank form
+    (fine at oracle scale; the rank window per group is exactly what
+    dies at 100 TB)."""
+    li = table(spark, sf_dir, "lineitem")
+    bounds = aggregates.exact_rank_multi(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        targets={
+            "lo": lambda n: n // 10 + 1,
+            "hi": lambda n: n - n // 10,
+        },
+        n_buckets=4096,
+    ).select(
+        "l_returnflag",
+        "target",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("vc"),
+    )
+    bnds = bounds.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("target") == "lo", F.col("vc"))).alias("lo_c"),
+        F.max(F.when(F.col("target") == "hi", F.col("vc"))).alias("hi_c"),
+    )
+    vc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    j = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .select("l_returnflag", vc.alias("vc"))
+        .join(F.broadcast(bnds), on="l_returnflag")
+    )
+    a = j.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("s_tot"),
+        F.sum(
+            F.when(F.col("vc") < F.col("lo_c"), F.col("vc")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("s_lt"),
+        F.sum(
+            F.when(F.col("vc") < F.col("lo_c"), 1).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("c_lt"),
+        F.sum(
+            F.when(F.col("vc") > F.col("hi_c"), F.col("vc")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("s_gt"),
+        F.sum(
+            F.when(F.col("vc") > F.col("hi_c"), 1).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("c_gt"),
+        F.max("lo_c").alias("lo_c"),
+        F.max("hi_c").alias("hi_c"),
+    )
+    k = F.expr("n div 10")
+    kept = (F.col("n") - 2 * k).cast("long")
+    trim_sum = (
+        F.col("s_tot")
+        - (F.col("s_lt") + (k - F.col("c_lt")) * F.col("lo_c"))
+        - (F.col("s_gt") + (k - F.col("c_gt")) * F.col("hi_c"))
+    )
+    return a.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        kept.alias("n_kept"),
+        stable_round(
+            trim_sum.cast("double") / kept.cast("double") / F.lit(100.0),
+            6,
+        ).alias("trimmed_mean"),
+    )
+
+
+@query(
+    "q179_contamination_13gram",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, {TOKS} AS x FROM documents),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(x) - 11),
+                               i -> md5(array_to_string(x[i:i+12], ' '))))
+           AS h
+  FROM t WHERE len(x) >= 13),
+d AS (SELECT DISTINCT doc_id, source, h FROM g),
+bench AS (SELECT DISTINCT h FROM d WHERE doc_id % 101 = 7),
+per AS (
+  SELECT d.doc_id, d.source,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM d LEFT JOIN bench ON d.h = bench.h
+  WHERE d.doc_id % 101 <> 7
+  GROUP BY d.doc_id, d.source)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hits >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(n_hits) AS BIGINT) AS hit_shingles,
+       CAST(sum(n_shingles) AS BIGINT) AS total_shingles
+FROM per GROUP BY source
+""".replace("{TOKS}", TOKS_SQL.format(c="text")),
+)
+def q179_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan, the 13-gram collision audit every
+    serious LLM training pipeline runs before a data release (the
+    GPT-3 appendix-C / PaLM decontamination recipe: an evaluation
+    example is compromised when a training doc shares any 13-token
+    span with it). The held-out "benchmark" here is the deterministic
+    1% pseudo-split doc_id % 101 == 7 — the same stand-in convention
+    as q158's split-leakage audit; a real run points the build side
+    at the actual eval suite. Reports, per source, how many docs
+    collide with the benchmark and the hit mass.
+
+    Scale shape: shingling is one linear explode (13-token windows
+    hashed to md5 — the dedup suite's shingle pattern, never
+    corpus²); per-doc de-dup of shingles is a map-side-combinable
+    distinct on (doc, hash); the benchmark membership check is ONE
+    left join on the hash key, broadcast when the benchmark is
+    eval-suite-sized (it is — AQE picks it), bloom-prefilterable via
+    operators/filters.bloom_bitmap_prefilter in the corpus-sized-
+    reference regime (q175's adaptive gate). Rollups are partial
+    aggregates. Both engines hash the identical space-joined token
+    window, so the overlap counts certify bit-for-bit."""
+    from vnavc_spark.cache import tracked_persist
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        Q.tokens(Q.normalized_text("text")).alias("x"),
+    ).filter(F.size("x") >= 13)
+    sh = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("x") - 12),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("x"), i, 13))
+                ),
+            )
+        ).alias("h"),
+    )
+    dist = tracked_persist(
+        sh.select("doc_id", "source", "h").distinct(), "contam_shingles"
+    )
+    bench = (
+        dist.filter(F.col("doc_id") % 101 == 7).select("h").distinct()
+    )
+    per = (
+        dist.filter(F.col("doc_id") % 101 != 7)
+        .join(
+            bench.withColumn("_hit", F.lit(1)), on="h", how="left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") >= 1, 1).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum("n_hits").cast("long").alias("hit_shingles"),
+        F.sum("n_shingles").cast("long").alias("total_shingles"),
+    )
+
+
+@query(
+    "q180_rare_token_density",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, unnest({TOKS}) AS tok FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+rare AS (SELECT tok FROM cnt WHERE c <= 2),
+per AS (
+  SELECT toks.doc_id, toks.source,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN rare.tok IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rare
+  FROM toks LEFT JOIN rare ON toks.tok = rare.tok
+  GROUP BY toks.doc_id, toks.source)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_rare * 5 > n_tok THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(sum(n_rare) AS BIGINT) AS rare_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM per GROUP BY source
+""".replace("{TOKS}", TOKS_SQL.format(c="text")),
+)
+def q180_rare_token_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token density quality gate: the fraction of a doc's
+    tokens that are corpus-wide hapax/dis legomena (frequency ≤ 2) —
+    the classic garbage detector (OCR noise, mojibake, random ids,
+    boilerplate hashes are hapax-heavy; clean prose is not), the
+    integer-threshold sibling of the CCNet LM gates (q64 unigram,
+    q175 bigram) that needs no ln() and no reference subcorpus. A
+    doc flags when rare tokens exceed 20% (cross-multiplied integer
+    test n_rare·5 > n_tok).
+
+    Scale shape: ONE explode over the corpus (persisted — it feeds
+    both the frequency aggregate and the per-doc join), a
+    vocab-sized count aggregate, and one token-keyed join of corpus
+    occurrences against the rare-vocab set (the BM25 tf-join shape;
+    broadcast when the rare set is small, shuffle otherwise — AQE
+    decides). Every output is an exact integer; nothing divides."""
+    from vnavc_spark.cache import tracked_persist
+
+    d = table(spark, sf_dir, "documents")
+    toks = tracked_persist(
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                Q.tokens(Q.normalized_text("text"))
+            ).alias("tok"),
+        ),
+        "rare_toks",
+    )
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    rare = cnt.filter(F.col("c") <= 2).select("tok")
+    per = (
+        toks.join(rare.withColumn("_r", F.lit(1)), on="tok", how="left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(F.coalesce(F.col("_r"), F.lit(0)))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_rare") * 5 > F.col("n_tok"), 1).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum("n_rare").cast("long").alias("rare_tokens"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
