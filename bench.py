@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "q178_trimmed_mean",
     "q179_contamination_13gram",
     "q180_rare_token_density",
+    "q181_winsorized_mean",
+    "q182_time_weighted_avg",
 ]
 
 

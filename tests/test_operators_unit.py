@@ -996,24 +996,34 @@ class TestContainmentPairs:
         # over 2 rounds), so a budget the old always-n_buckets rounds
         # would blow (8 × 4096 = 32768 cells) now passes legitimately.
         # The fail-fast must still trip when open bounds × MINIMAL
-        # width exceeds the budget: 8 × ~75 = ~600 cells > 500.
+        # width exceeds the budget: 8 × ~75 = ~600 cells > 500. The
+        # value-granularity shortcut is forced OFF here — with only 8
+        # distinct values per group its distinct-count evidence
+        # legitimately bypasses the potential-cell cap (nonzero bins
+        # ≤ nd, which is what the cap protects against), so the
+        # descent path under test would never be reached.
         df = spark.createDataFrame(
             [(str(i % 8), float(i)) for i in range(64)], "g string, x double"
         )
         orig = agg.RANK_MAX_CELLS
+        orig_vs = agg.VALUE_SHORTCUT_CELLS
         agg.RANK_MAX_CELLS = 500
+        agg.VALUE_SHORTCUT_CELLS = 0
         try:
             with pytest.raises(ValueError, match="bucket-count cells"):
                 exact_rank_select(df, ["g"], "x", n_buckets=4096)
         finally:
             agg.RANK_MAX_CELLS = orig
+            agg.VALUE_SHORTCUT_CELLS = orig_vs
         # and the 10k budget that only the non-adaptive form exceeded
         # now resolves fine (2 narrow rounds instead of an error)
         agg.RANK_MAX_CELLS = 10_000
+        agg.VALUE_SHORTCUT_CELLS = 0
         try:
             assert exact_rank_select(df, ["g"], "x", n_buckets=4096).count() == 8
         finally:
             agg.RANK_MAX_CELLS = orig
+            agg.VALUE_SHORTCUT_CELLS = orig_vs
 
 
 class TestDistributionDrift:

@@ -10078,6 +10078,194 @@ def q180_rare_token_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q181_winsorized_mean",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (
+  SELECT g, vc,
+         row_number() OVER (PARTITION BY g ORDER BY vc) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v),
+b AS (
+  SELECT g,
+         max(CASE WHEN rn = n // 20 + 1 THEN vc END) AS lo_c,
+         max(CASE WHEN rn = n - n // 20 THEN vc END) AS hi_c
+  FROM r GROUP BY g)
+SELECT v.g AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN v.vc < b.lo_c OR v.vc > b.hi_c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       floor(CAST(sum(CASE WHEN v.vc < b.lo_c THEN b.lo_c
+                           WHEN v.vc > b.hi_c THEN b.hi_c
+                           ELSE v.vc END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0 * 1000000.0 + 0.5)
+         / 1000000.0 AS winsorized_mean
+FROM v JOIN b ON v.g = b.g
+GROUP BY v.g
+""",
+)
+def q181_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5%-two-sided winsorized mean per group — q178's sibling
+    robust location statistic: instead of DROPPING the k = ⌊n/20⌋
+    extreme values at each end, CLAMP them to the boundary values at
+    ranks k+1 and n−k (so n never shrinks — the estimator of choice
+    when downstream weights must keep summing to the population).
+    Rank-winsorizing is value-clamping once the boundary VALUES are
+    exact: every value below the rank-(k+1) value is by definition
+    one of the k lowest, so ``clamp(v, lo, hi)`` replaces exactly
+    the trimmed-by-rank set (boundary ties are no-op replacements).
+    Composed from the same zero-buffering machinery as q178:
+    exact_rank_multi resolves both boundaries in ONE shared
+    narrowing sequence, then ONE conditional-aggregate pass with the
+    broadcast boundaries computes the clamped sum — no corpus-wide
+    sort, no per-group buffering, selector's scale contract. Cents
+    ride as exact integers; the terminal division chain
+    (sum / n / 100) is identical on both engines, 1e-6-rounded. The
+    oracle is the window-rank form (the per-group rank window is
+    exactly what dies at 100 TB)."""
+    o = table(spark, sf_dir, "orders")
+    bounds = aggregates.exact_rank_multi(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        targets={
+            "lo": lambda n: n // 20 + 1,
+            "hi": lambda n: n - n // 20,
+        },
+        n_buckets=4096,
+    ).select(
+        "o_orderpriority",
+        "target",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    bnds = bounds.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("target") == "lo", F.col("vc"))).alias("lo_c"),
+        F.max(F.when(F.col("target") == "hi", F.col("vc"))).alias("hi_c"),
+    )
+    vc = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    j = (
+        o.filter(F.col("o_totalprice").isNotNull())
+        .select("o_orderpriority", vc.alias("vc"))
+        .join(F.broadcast(bnds), on="o_orderpriority")
+    )
+    clamped = (
+        F.when(F.col("vc") < F.col("lo_c"), F.col("lo_c"))
+        .when(F.col("vc") > F.col("hi_c"), F.col("hi_c"))
+        .otherwise(F.col("vc"))
+    )
+    a = j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("vc") < F.col("lo_c"))
+                | (F.col("vc") > F.col("hi_c")),
+                1,
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_clamped"),
+        F.sum(clamped).cast("long").alias("s_w"),
+    )
+    return a.select(
+        "o_orderpriority",
+        "n_rows",
+        "n_clamped",
+        stable_round(
+            F.col("s_w").cast("double")
+            / F.col("n_rows").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+@query(
+    "q182_time_weighted_avg",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+iv AS (
+  SELECT event_type, vc,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur
+  FROM e),
+p AS (SELECT * FROM iv WHERE dur IS NOT NULL),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(CAST(vc AS HUGEINT) * CAST(dur AS HUGEINT))
+              AS HUGEINT) AS num,
+         CAST(sum(CAST(dur AS HUGEINT)) AS HUGEINT) AS den
+  FROM p GROUP BY event_type)
+SELECT event_type, n_intervals,
+       floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0
+             * 1000000.0 + 0.5) / 1000000.0 AS twa_value
+FROM a
+""",
+)
+def q182_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP-style) of the event value per
+    event type: each event's value HOLDS from its timestamp until
+    the user's next event (validity intervals from the event stream
+    — the SCD2/as-of family's statistic), so a value held for an
+    hour weighs 3600× one held for a second. The plain mean (q32)
+    answers "what did events look like"; the time-weighted mean
+    answers "what was the state of the world on average" — the right
+    statistic for balances, prices, queue depths, feature snapshots.
+
+    Scale shape: ONE per-user window (lead over (ts, event_id) — the
+    sessionize partitioning, no global sort), then a 5-group
+    aggregate. Numerator rides as decimal(38,0) sums of
+    cents×microseconds products (exact at any order and immune to
+    the long overflow a 1000×-user corpus would hit); HUGEINT
+    mirrors it in the oracle; ONE terminal double division chain
+    (num / den / 100), 1e-6-rounded — q170's decimal pattern."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+        )
+        .withColumn("nxt", F.lead("ts").over(w))
+        .withColumn(
+            "dur",
+            F.unix_micros(F.col("nxt").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp")),
+        )
+        .filter(F.col("dur").isNotNull())
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = iv.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum(dec("vc") * dec("dur")).alias("num"),
+        F.sum(dec("dur")).alias("den"),
+    )
+    return a.select(
+        "event_type",
+        "n_intervals",
+        stable_round(
+            F.col("num").cast("double")
+            / F.col("den").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("twa_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
