@@ -615,3 +615,96 @@ class TestStreamingKsDrift:
         assert got == want
         assert len(want) == 3
         assert all(r[2] > 0 for r in want)  # the shift moves each ECDF
+
+
+class TestStreamingContamination:
+    def test_streaming_contamination_equals_batch_q179(self, spark, tmp_path):
+        # two micro-batches screened against a FROZEN benchmark set
+        # must reproduce q179's batch answer over the union —
+        # streaming == batch is an identity because docs arrive whole
+        # within one batch (the staged per-doc rows ARE the batch
+        # per-doc table) and the shingle/screen/rollup core is shared
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta",
+                 "eta", "theta", "iota", "kappa", "lam", "mu",
+                 "nu", "xi", "omicron", "pi", "rho", "sigma"]
+        srcs = ["web", "books", "news"]
+
+        def text(i):
+            # 16-token docs; doc i shares its 13-token core with the
+            # benchmark doc (7) when i % 4 == 3 → real contamination
+            if i % 4 == 3:
+                core = words[:13]
+            else:
+                core = [words[(i + j) % 18] for j in range(13)]
+            return " ".join(core + [f"tail{i}", f"t{i}x", "end"])
+
+        rows = [
+            {"doc_id": i, "text": text(i), "lang": "en",
+             "source": srcs[i % 3], "n_chars": 64}
+            for i in range(40)
+        ]
+        # the benchmark doc itself: doc_id 7 → 7 % 101 == 7 split
+        rows[7]["text"] = " ".join(words[:13] + ["bench", "only", "x"])
+
+        bench_rows = [r for r in rows if r["doc_id"] % 101 == 7]
+        train_rows = [r for r in rows if r["doc_id"] % 101 != 7]
+
+        from vnavc_spark.operators.dedup import token_shingle_hashes
+
+        schema = ("doc_id long, text string, lang string,"
+                  " source string, n_chars long")
+        as_tuple = lambda r: (r["doc_id"], r["text"], r["lang"],
+                              r["source"], r["n_chars"])  # noqa: E731
+        bench_df = spark.createDataFrame(
+            [as_tuple(r) for r in bench_rows], schema
+        )
+        bench_hashes = (
+            token_shingle_hashes(bench_df, "text", n=13)
+            .select("h").distinct().persist()
+        )
+        bench_hashes.count()
+
+        src = tmp_path / "docs"
+        src.mkdir()
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(src, "b1.json", train_rows[:20])
+        q = ingest.start_contamination_screen(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.DOC_STREAM_SCHEMA
+            ),
+            bench_hashes, partials, ckpt,
+        )
+        q.awaitTermination(60)
+        _write_batch(src, "b2.json", train_rows[20:])
+        q2 = ingest.start_contamination_screen(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.DOC_STREAM_SCHEMA
+            ),
+            bench_hashes, partials, ckpt,
+        )
+        q2.awaitTermination(60)
+
+        got = sorted(
+            tuple(r)
+            for r in ingest.contamination_snapshot(spark, partials).collect()
+        )
+
+        from vnavc_spark.queries import QUERIES
+
+        sf_dir = tmp_path / "sf"
+        sf_dir.mkdir()
+        spark.createDataFrame(
+            [as_tuple(r) for r in rows], schema
+        ).write.parquet(str(sf_dir / "documents.parquet"))
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q179_contamination_13gram"](
+                spark, str(sf_dir)
+            ).collect()
+        )
+        bench_hashes.unpersist()
+        assert got == want
+        # the synthetic corpus really exercises both branches
+        assert sum(r[2] for r in got) > 0          # some contaminated
+        assert sum(r[2] for r in got) < sum(r[1] for r in got)

@@ -1554,3 +1554,82 @@ def containment_join(
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination core (shared by queries.q179 and
+# streaming.ingest.start_contamination_screen — the q170 twin pattern:
+# one math core, two drivers)
+# ---------------------------------------------------------------------------
+
+
+def token_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    id_cols: tuple[str, ...] = ("doc_id", "source"),
+) -> DataFrame:
+    """Per-doc DISTINCT hashed n-token shingles: normalize → tokenize
+    → md5 over each space-joined n-token window → distinct on
+    (id_cols..., h). The GPT-3/PaLM decontamination unit (n=13).
+    Linear in corpus tokens (one explode, never corpus²); the
+    distinct is a map-side-combinable aggregate on (doc, hash).
+    Mirrors the oracle's
+    ``md5(array_to_string(x[i:i+n-1], ' '))`` exactly."""
+    t = df.select(
+        *id_cols, tokens(normalized_text(text_col)).alias("x")
+    ).filter(F.size("x") >= n)
+    return t.select(
+        *id_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("x") - (n - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("x"), i, n))
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+
+
+def contamination_screen(
+    doc_shingles: DataFrame, bench_hashes: DataFrame
+) -> DataFrame:
+    """Per-doc contamination counts against a benchmark shingle set:
+    ONE left join on the hash key (broadcast at eval-suite size — AQE
+    picks it; bloom-prefilterable via filters.bloom_bitmap_prefilter
+    in the corpus-sized-reference regime) → (doc_id, source,
+    n_shingles, n_hits). Input contract: ``doc_shingles`` is the
+    per-doc DISTINCT (doc_id, source, h) table
+    (:func:`token_shingle_hashes`), ``bench_hashes`` a distinct
+    single-column ``h`` set."""
+    return (
+        doc_shingles.join(
+            bench_hashes.select("h").withColumn("_hit", F.lit(1)),
+            on="h",
+            how="left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+
+
+def contamination_rollup(per_doc: DataFrame) -> DataFrame:
+    """Per-source rollup of per-doc contamination counts — the shared
+    output contract of queries.q179 (batch) and
+    streaming.ingest.contamination_snapshot (staged per-doc rows
+    summed per source). Partial-aggregatable; source-dimension-sized
+    output."""
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") >= 1, 1).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum("n_hits").cast("long").alias("hit_shingles"),
+        F.sum("n_shingles").cast("long").alias("total_shingles"),
+    )

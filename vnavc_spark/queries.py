@@ -9950,54 +9950,26 @@ def q179_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/filters.bloom_bitmap_prefilter in the corpus-sized-
     reference regime (q175's adaptive gate). Rollups are partial
     aggregates. Both engines hash the identical space-joined token
-    window, so the overlap counts certify bit-for-bit."""
+    window, so the overlap counts certify bit-for-bit.
+
+    The shingle/screen/rollup core is shared with the streaming twin
+    (operators/dedup.token_shingle_hashes / contamination_screen /
+    contamination_rollup; streaming.ingest.start_contamination_screen
+    stages per-doc counts per batch against a FROZEN benchmark set —
+    the q170 one-core-two-drivers pattern, parity-tested)."""
     from vnavc_spark.cache import tracked_persist
 
     d = table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        "source",
-        Q.tokens(Q.normalized_text("text")).alias("x"),
-    ).filter(F.size("x") >= 13)
-    sh = t.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("x") - 12),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(F.col("x"), i, 13))
-                ),
-            )
-        ).alias("h"),
-    )
     dist = tracked_persist(
-        sh.select("doc_id", "source", "h").distinct(), "contam_shingles"
+        dedup.token_shingle_hashes(d, "text", n=13), "contam_shingles"
     )
     bench = (
         dist.filter(F.col("doc_id") % 101 == 7).select("h").distinct()
     )
-    per = (
-        dist.filter(F.col("doc_id") % 101 != 7)
-        .join(
-            bench.withColumn("_hit", F.lit(1)), on="h", how="left"
-        )
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-            .cast("long")
-            .alias("n_hits"),
-        )
+    per = dedup.contamination_screen(
+        dist.filter(F.col("doc_id") % 101 != 7), bench
     )
-    return per.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("n_hits") >= 1, 1).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("n_contaminated"),
-        F.sum("n_hits").cast("long").alias("hit_shingles"),
-        F.sum("n_shingles").cast("long").alias("total_shingles"),
-    )
+    return dedup.contamination_rollup(per)
 
 
 @query(

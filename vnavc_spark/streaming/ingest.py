@@ -461,3 +461,57 @@ def ks_drift_snapshot(spark, partials_path: str) -> DataFrame:
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     return ks_drift_from_counts(sv)
+
+
+def start_contamination_screen(
+    stream: DataFrame,
+    bench_hashes: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    n: int = 13,
+) -> StreamingQuery:
+    """Stream side of the benchmark-contamination monitor
+    (queries.q179's streaming twin): decontamination runs against a
+    FROZEN benchmark — the eval suite is fixed before training data
+    flows — so each micro-batch screens ITS OWN docs against the
+    static benchmark shingle set and stages per-doc counts
+    (doc_id, source, n_shingles, n_hits) under
+    ``partials_path/batch_id=N``. A replayed batch id overwrites its
+    own partial in place (the staged-partials exactly-once stance);
+    per-batch cost ∝ batch shingles; staged state is ONE ROW PER DOC.
+    The shingle/screen math is the shared
+    ``operators/dedup.token_shingle_hashes`` /
+    ``contamination_screen`` core, so streaming == batch is an
+    identity over the same doc set (parity-tested)."""
+    from vnavc_spark.operators.dedup import (
+        contamination_screen,
+        token_shingle_hashes,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        per = contamination_screen(
+            token_shingle_hashes(batch_df, "text", n=n), bench_hashes
+        )
+        per.write.mode("overwrite").parquet(
+            f"{partials_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def contamination_snapshot(spark, partials_path: str) -> DataFrame:
+    """Per-source contamination rollup from the staged per-doc
+    partials — identical output contract to queries.q179 (source,
+    n_docs, n_contaminated, hit_shingles, total_shingles). Docs
+    arrive whole within one micro-batch, so the staged per-doc rows
+    ARE the batch per-doc table and the shared
+    ``contamination_rollup`` does the rest — streaming == batch by
+    construction."""
+    from vnavc_spark.operators.dedup import contamination_rollup
+
+    return contamination_rollup(spark.read.parquet(partials_path))
