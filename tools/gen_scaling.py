@@ -135,6 +135,18 @@ SWEEP = [
     ("q174_bpe_encode", ("documents",), False, False),
     ("q175_bigram_oov_gate", ("documents",), False, False),
     ("q176_kmeans_refine", ("embeddings",), True, False),
+    # round 9: trimmed/winsorized ride the narrowing selector
+    # (rounds ~ log(range), corpus passes constant); TWA is one
+    # per-user window + tiny agg; contamination shingles grow
+    # linearly but the benchmark side is a fixed 1% split (hits grow
+    # ~linearly under verbatim replication — every clique member
+    # shares the bench doc's shingles, so flag it pair-quadratic-
+    # exempt: output stays source-sized)
+    ("q178_trimmed_mean", ("lineitem",), True, False),
+    ("q181_winsorized_mean", ("orders",), True, False),
+    ("q182_time_weighted_avg", ("events",), True, False),
+    ("q179_contamination_13gram", ("documents",), False, False),
+    ("q180_rare_token_density", ("documents",), False, False),
 ]
 
 
