@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "q180_rare_token_density",
     "q181_winsorized_mean",
     "q182_time_weighted_avg",
+    "q183_effect_size",
 ]
 
 

@@ -147,6 +147,7 @@ SWEEP = [
     ("q182_time_weighted_avg", ("events",), True, False),
     ("q179_contamination_13gram", ("documents",), False, False),
     ("q180_rare_token_density", ("documents",), False, False),
+    ("q183_effect_size", ("orders",), True, False),
 ]
 
 

@@ -10238,6 +10238,123 @@ def q182_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q183_effect_size",
+    oracle="""
+WITH v AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+a AS (
+  SELECT yr,
+         CAST(sum(hi) AS BIGINT) AS n1,
+         CAST(sum(1 - hi) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN hi = 1 THEN CAST(vc AS HUGEINT)
+                       ELSE 0 END) AS HUGEINT) AS s1,
+         CAST(sum(CASE WHEN hi = 0 THEN CAST(vc AS HUGEINT)
+                       ELSE 0 END) AS HUGEINT) AS s2,
+         CAST(sum(CASE WHEN hi = 1
+                       THEN CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)
+                       ELSE 0 END) AS HUGEINT) AS q1,
+         CAST(sum(CASE WHEN hi = 0
+                       THEN CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)
+                       ELSE 0 END) AS HUGEINT) AS q2
+  FROM v GROUP BY yr)
+SELECT yr,
+       n1 AS n_hi, n2 AS n_lo,
+       floor(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_hi,
+       floor(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_lo,
+       floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt(((CAST(q1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(n1 AS DOUBLE))
+                     + (CAST(q2 AS DOUBLE)
+                        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          / CAST(n2 AS DOUBLE)))
+                    / CAST(n1 + n2 - 2 AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS cohens_d
+FROM a WHERE n1 >= 2 AND n2 >= 2
+""",
+)
+def q183_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size per order-year between the urgent/high
+    cohort and the rest — the experiment-analysis statistic (how many
+    pooled standard deviations separate the cohorts) that turns
+    "the means differ" into "the difference matters": the standard
+    readout of every A/B test and data-mixture ablation, and the
+    natural sibling of q94's bootstrap CI (spread of ONE cohort's
+    mean) and q128's chi-square (categorical association).
+
+    Hash-portability: the input moments (n, Σv, Σv²) ride as exact
+    integers — cents and cents² in decimal(38,0) (Σv² hits ~4e20
+    here; a long is gone two orders of magnitude earlier) — so
+    aggregation order cannot move a bit; the d statistic is then ONE
+    scalar IEEE tree over the six moments (means, textbook pooled
+    variance via Q − S²/n, one sqrt — correctly rounded by IEEE 754
+    in both engines), 1e-6-rounded. Scale shape: a single
+    partial-aggregatable conditional-moment pass (the q128 moment
+    pattern), year-dimension output; nothing shuffles but the
+    6-column moment rows."""
+    o = table(spark, sf_dir, "orders")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vc = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    hi = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(F.lit(0))
+    v = o.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        hi.alias("hi"),
+        vc.alias("vc"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    a = v.groupBy("yr").agg(
+        F.sum("hi").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("hi")).cast("long").alias("n2"),
+        F.sum(
+            F.when(F.col("hi") == 1, dec(F.col("vc"))).otherwise(zero)
+        ).alias("s1"),
+        F.sum(
+            F.when(F.col("hi") == 0, dec(F.col("vc"))).otherwise(zero)
+        ).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("hi") == 1, dec(F.col("vc")) * dec(F.col("vc"))
+            ).otherwise(zero)
+        ).alias("q1"),
+        F.sum(
+            F.when(
+                F.col("hi") == 0, dec(F.col("vc")) * dec(F.col("vc"))
+            ).otherwise(zero)
+        ).alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m1 = d("s1") / d("n1")
+    m2 = d("s2") / d("n2")
+    pooled = (
+        (d("q1") - d("s1") * d("s1") / d("n1"))
+        + (d("q2") - d("s2") * d("s2") / d("n2"))
+    ) / (F.col("n1") + F.col("n2") - F.lit(2)).cast("double")
+    return (
+        a.filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .select(
+            "yr",
+            F.col("n1").alias("n_hi"),
+            F.col("n2").alias("n_lo"),
+            stable_round(m1 / F.lit(100.0), 6).alias("mean_hi"),
+            stable_round(m2 / F.lit(100.0), 6).alias("mean_lo"),
+            stable_round((m1 - m2) / F.sqrt(pooled), 6).alias("cohens_d"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
