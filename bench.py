@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q181_winsorized_mean",
     "q182_time_weighted_avg",
     "q183_effect_size",
+    "q184_mann_whitney",
 ]
 
 

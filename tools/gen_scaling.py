@@ -148,6 +148,7 @@ SWEEP = [
     ("q179_contamination_13gram", ("documents",), False, False),
     ("q180_rare_token_density", ("documents",), False, False),
     ("q183_effect_size", ("orders",), True, False),
+    ("q184_mann_whitney", ("orders",), True, False),
 ]
 
 

@@ -10355,6 +10355,111 @@ def q183_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q184_mann_whitney",
+    oracle="""
+WITH v AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+c AS (
+  SELECT yr, vc,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(hi) AS BIGINT) AS c1
+  FROM v GROUP BY yr, vc),
+w AS (
+  SELECT yr, vc, c, c1,
+         CAST(sum(c) OVER (PARTITION BY yr ORDER BY vc) AS BIGINT)
+           AS cum
+  FROM c),
+a AS (
+  SELECT yr,
+         CAST(sum(c1 * (2 * (cum - c) + c + 1)) AS BIGINT) AS two_r1,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM w GROUP BY yr)
+SELECT yr,
+       n1 AS n_hi,
+       n - n1 AS n_lo,
+       CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_hi,
+       floor((2.0 * (CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+              / CAST(n1 * (n - n1) AS DOUBLE) - 1.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS rank_biserial
+FROM a WHERE n1 >= 1 AND n - n1 >= 1
+""",
+)
+def q184_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Mann-Whitney U (with midrank tie correction) and the
+    rank-biserial effect size per order-year, urgent/high cohort vs
+    the rest — the NONPARAMETRIC sibling of q183's Cohen's d (d
+    assumes the pooled-variance model; U ranks past any outlier or
+    skew — pipelines report both). Zero per-group buffering and no
+    global sort: the midrank identity 2·R1 = Σ_v c1(v)·(2·C(<v) +
+    c(v) + 1) needs only per-(year, value) counts and the running
+    total below each value, which is the ``ordered_cumsum`` CDF
+    primitive (q170's KS machinery) — grid is the value domain ×
+    years, never the corpus; the per-group rank window that computes
+    this at oracle scale is exactly what dies at 100 TB. Everything
+    to the left of the two terminal divisions is exact integer
+    arithmetic (2·R1 stays a long until ~10^18 rank mass; lift the
+    masses to decimal upstream past that); U is a multiple of 0.5 —
+    exact in a double — and the rank-biserial 2U/(n1·n2) − 1 is one
+    IEEE tree, 1e-6-rounded."""
+    from vnavc_spark.operators.ordering import ordered_cumsum
+
+    o = table(spark, sf_dir, "orders")
+    vc = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    hi = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(F.lit(0))
+    v = o.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        vc.alias("vc"),
+        F.lit(1).alias("cnt"),
+        hi.alias("cnt_hi"),
+    )
+    cums = ordered_cumsum(
+        v, ["yr"], "vc", mass_cols=["cnt", "cnt_hi"], slot="mw_cums"
+    )
+    a = cums.groupBy("yr").agg(
+        F.sum(
+            F.col("cnt_hi")
+            * (
+                2 * (F.col("cum_cnt") - F.col("cnt"))
+                + F.col("cnt")
+                + F.lit(1)
+            )
+        )
+        .cast("long")
+        .alias("two_r1"),
+        F.sum("cnt_hi").cast("long").alias("n1"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    u = (
+        F.col("two_r1") - F.col("n1") * (F.col("n1") + F.lit(1))
+    ).cast("double") / F.lit(2.0)
+    n2 = F.col("n") - F.col("n1")
+    return (
+        a.filter((F.col("n1") >= 1) & (n2 >= 1))
+        .select(
+            "yr",
+            F.col("n1").alias("n_hi"),
+            n2.alias("n_lo"),
+            u.alias("u_hi"),
+            stable_round(
+                F.lit(2.0) * u / (F.col("n1") * n2).cast("double")
+                - F.lit(1.0),
+                6,
+            ).alias("rank_biserial"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
