@@ -708,3 +708,81 @@ class TestStreamingContamination:
         # the synthetic corpus really exercises both branches
         assert sum(r[2] for r in got) > 0          # some contaminated
         assert sum(r[2] for r in got) < sum(r[1] for r in got)
+
+
+class TestStreamingTwa:
+    def test_streaming_twa_equals_batch_q182(self, spark, tmp_path):
+        # two time-split micro-batches with carried last-event state
+        # must reproduce q182's batch TWA over the union — every
+        # consecutive per-user pair is closed exactly once (in the
+        # batch holding its right endpoint), products are exact
+        # cents x microseconds, partials are additive
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        types = ["view", "click", "purchase"]
+        rows = []
+        for i in range(36):
+            rows.append({
+                "event_id": i,
+                # microsecond-offset, strictly increasing timestamps
+                "ts": (base + datetime.timedelta(
+                    seconds=i * 37, microseconds=(i * 131) % 1000
+                )).isoformat(),
+                "user_id": i % 3,
+                "event_type": types[i % 3] if i % 7 else types[1],
+                "value": None if i == 17 else round(3.7 * i + 0.01, 2),
+            })
+
+        src = tmp_path / "in"
+        src.mkdir()
+        partials = str(tmp_path / "partials")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(src, "b1.json", rows[:18])
+        q = ingest.start_twa_partials(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.EVENT_STREAM_SCHEMA
+            ),
+            partials, state, ckpt,
+        )
+        q.awaitTermination(60)
+        _write_batch(src, "b2.json", rows[18:])
+        q2 = ingest.start_twa_partials(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.EVENT_STREAM_SCHEMA
+            ),
+            partials, state, ckpt,
+        )
+        q2.awaitTermination(60)
+
+        got = sorted(
+            tuple(r)
+            for r in ingest.twa_snapshot(spark, partials).collect()
+        )
+
+        from vnavc_spark.queries import QUERIES
+
+        sf_dir = tmp_path / "sf"
+        sf_dir.mkdir()
+        spark.createDataFrame(
+            [
+                (r["event_id"],
+                 datetime.datetime.fromisoformat(r["ts"]),
+                 r["user_id"], r["event_type"], r["value"], "{}")
+                for r in rows
+            ],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(str(sf_dir / "events.parquet"))
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q182_time_weighted_avg"](
+                spark, str(sf_dir)
+            ).collect()
+        )
+        assert got == want
+        # cross-batch intervals really exist: user 0's last b1 event
+        # closes in b2 — state dir for batch 0 must hold 3 users
+        st0 = spark.read.parquet(f"{state}/batch_id=0")
+        assert st0.count() == 3

@@ -515,3 +515,123 @@ def contamination_snapshot(spark, partials_path: str) -> DataFrame:
     from vnavc_spark.operators.dedup import contamination_rollup
 
     return contamination_rollup(spark.read.parquet(partials_path))
+
+
+def start_twa_partials(
+    stream: DataFrame,
+    partials_path: str,
+    state_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Stream side of the time-weighted-average monitor
+    (queries.q182's streaming twin): each value HOLDS until the
+    user's next event, and an interval completes only when that next
+    event ARRIVES — so the state is exactly ONE row per user (the
+    last event seen) and each micro-batch closes the intervals whose
+    right endpoint it contains. Per batch: union the carried
+    last-event rows with the batch's events, per-user lead window
+    (batch-local — never a corpus window), aggregate the CLOSED
+    intervals to (event_type, n_intervals, num, den) integer/decimal
+    partials under ``partials_path/batch_id=N``, and write the new
+    per-user last-event state under ``state_path/batch_id=N``.
+
+    Replay idempotence: batch N reads the state batch N−1 WROTE
+    (never mutable shared state), so a replayed batch recomputes its
+    own partial and state from the same inputs — both writes
+    overwrite in place. Input contract: batches partition the event
+    stream in per-user time order (the natural arrival order — an
+    interval's two endpoints may land in different batches, but
+    never out of order), nulls dropped as in the batch query.
+    Snapshot == batch is then an identity: every consecutive pair is
+    closed exactly once, products are exact cents×µs integers, and
+    the partial sums are additive (parity-tested)."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        e = batch_df.filter(
+            F.col("ts").isNotNull() & F.col("value").isNotNull()
+        ).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+        )
+        if batch_id > 0:
+            try:
+                prev = spark.read.parquet(
+                    f"{state_path}/batch_id={batch_id - 1}"
+                )
+                e = e.unionByName(prev)
+            except Exception:
+                # state for batch_id-1 must exist once batch 0 ran;
+                # surface the gap instead of silently dropping carry
+                raise
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        iv = (
+            e.withColumn("nxt", F.lead("ts").over(w))
+            .withColumn(
+                "dur",
+                F.unix_micros(F.col("nxt").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        )
+        dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        closed = iv.filter(F.col("dur").isNotNull())
+        part = closed.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum(dec("vc") * dec("dur")).alias("num"),
+            F.sum(dec("dur")).alias("den"),
+        )
+        part.write.mode("overwrite").parquet(
+            f"{partials_path}/batch_id={batch_id}"
+        )
+        # new state: each user's LAST event (the open interval start)
+        last = (
+            iv.filter(F.col("nxt").isNull())
+            .select("user_id", "event_id", "event_type", "ts", "vc")
+        )
+        last.write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def twa_snapshot(spark, partials_path: str) -> DataFrame:
+    """Per-event-type time-weighted average from the staged interval
+    partials — identical output contract to queries.q182
+    (event_type, n_intervals, twa_value). The partial (n, num, den)
+    sums are additive and exact (integer cents×µs in decimal(38,0)),
+    so summing them reproduces the batch aggregate bit-for-bit; the
+    terminal division chain mirrors q182's."""
+    from vnavc_spark.functions.portable import stable_round
+
+    a = (
+        spark.read.parquet(partials_path)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_intervals").cast("long").alias("n_intervals"),
+            F.sum("num").cast("decimal(38,0)").alias("num"),
+            F.sum("den").cast("decimal(38,0)").alias("den"),
+        )
+    )
+    return a.select(
+        "event_type",
+        "n_intervals",
+        stable_round(
+            F.col("num").cast("double")
+            / F.col("den").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("twa_value"),
+    )
