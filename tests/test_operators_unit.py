@@ -1554,3 +1554,58 @@ class TestBigramOovBloomPath:
         plan = forced._jdf.queryExecution().toString()
         assert "unbase64" in plan
         assert "unbase64" not in default._jdf.queryExecution().toString()
+
+
+class TestRobustLocation:
+    def _brute(self, vals, den, mode):
+        # values in cents, sorted; trim/winsorize by rank
+        s = sorted(vals)
+        n = len(s)
+        k = n // den
+        if mode == "trim":
+            kept = s[k: n - k]
+            return len(kept), sum(kept) / len(kept) / 100.0
+        lo, hi = s[k], s[n - k - 1]
+        w = [min(max(v, lo), hi) for v in s]
+        return n, sum(w) / n / 100.0
+
+    def test_trim_and_winsorize_match_brute_force_with_ties(self, spark):
+        import math
+
+        from vnavc_spark.operators.aggregates import robust_location
+
+        # heavy boundary ties: many copies of the exact boundary
+        # values, so the k-C tie arithmetic is exercised hard
+        groups = {
+            "a": [100] * 7 + [105] * 9 + [110] * 5 + [9000] * 3,
+            "b": list(range(100, 14100, 100)) + [100] * 6 + [14000] * 6,
+            "c": [500] * 25,  # all equal — boundaries coincide
+        }
+        rows = [
+            (g, c / 100.0) for g, cents in groups.items() for c in cents
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        for mode in ("trim", "winsorize"):
+            out = {
+                r["g"]: r
+                for r in robust_location(
+                    df, ["g"], "x", trim_frac_den=10, mode=mode
+                ).collect()
+            }
+            for g, cents in groups.items():
+                kept, want = self._brute(cents, 10, mode)
+                got = out[g]
+                assert got["n_rows"] == len(cents)
+                assert got["n_kept"] == kept, (g, mode)
+                want_r = math.floor(want * 1e6 + 0.5) / 1e6
+                assert got["mean"] == want_r, (g, mode, got["mean"], want_r)
+                assert 0 <= got["n_clamped"] <= 2 * (len(cents) // 10)
+
+    def test_rejects_unknown_mode(self, spark):
+        import pytest
+
+        from vnavc_spark.operators.aggregates import robust_location
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        with pytest.raises(ValueError, match="unknown mode"):
+            robust_location(df, ["g"], "x", mode="median")

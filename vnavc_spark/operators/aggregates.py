@@ -1574,3 +1574,119 @@ def weighted_quantile_select(
         ]
     )
     return spark.createDataFrame(out_rows, schema)
+
+
+def robust_location(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    trim_frac_den: int = 10,
+    mode: str = "trim",
+    places: int = 2,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """EXACT trimmed or winsorized mean per group at unbounded scale
+    — the shared engine behind queries.q178 (``mode="trim"``: DROP
+    the lowest and highest k = ⌊n/trim_frac_den⌋ values by rank) and
+    queries.q181 (``mode="winsorize"``: CLAMP them to the boundary
+    values at ranks k+1 and n−k, so n never shrinks).
+
+    Two passes past the selector: :func:`exact_rank_multi` resolves
+    BOTH boundary values in one shared narrowing sequence, then ONE
+    conditional aggregate with the broadcast boundary table computes
+    the strictly-below / strictly-above sums and counts. Rank-exact
+    trimming falls out as integer tie arithmetic — the k−C boundary-
+    tie copies excluded at each end are copies of the boundary value
+    — and winsorizing is the clamp identity (every value below the
+    rank-(k+1) value IS one of the k lowest, so
+    ``clamp(v, lo, hi)`` replaces exactly the trimmed-by-rank set).
+    No corpus sort, no per-group buffering; values ride as exact
+    scaled integers; ONE terminal division chain
+    (sum / kept / 10^places) — mirror it verbatim in any oracle.
+
+    Returns (group_cols..., n_rows, n_kept, n_clamped, mean) where
+    ``mean`` is the trimmed or winsorized mean, ``n_kept`` = n − 2k
+    (trim) or n (winsorize), and ``n_clamped`` counts the values
+    strictly outside the boundaries (0 ≤ n_clamped ≤ 2k)."""
+    if mode not in ("trim", "winsorize"):
+        raise ValueError(f"robust_location: unknown mode {mode!r}")
+    from vnavc_spark.functions.portable import stable_round
+
+    scale = 10**places
+    bounds = exact_rank_multi(
+        df,
+        group_cols,
+        value_col,
+        targets={
+            "lo": lambda n: n // trim_frac_den + 1,
+            "hi": lambda n: n - n // trim_frac_den,
+        },
+        places=places,
+        n_buckets=n_buckets,
+    ).select(
+        *group_cols,
+        "target",
+        F.floor(F.col("value") * scale + F.lit(0.5))
+        .cast("long")
+        .alias("vc"),
+    )
+    bnds = bounds.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("target") == "lo", F.col("vc"))).alias("lo_c"),
+        F.max(F.when(F.col("target") == "hi", F.col("vc"))).alias("hi_c"),
+    )
+    vc = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    j = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, vc.alias("vc"))
+        .join(F.broadcast(bnds), on=group_cols)
+    )
+    below = F.col("vc") < F.col("lo_c")
+    above = F.col("vc") > F.col("hi_c")
+    a = j.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("s_tot"),
+        F.sum(F.when(below, F.col("vc")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s_lt"),
+        F.sum(F.when(below, 1).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_lt"),
+        F.sum(F.when(above, F.col("vc")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s_gt"),
+        F.sum(F.when(above, 1).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_gt"),
+        F.max("lo_c").alias("lo_c"),
+        F.max("hi_c").alias("hi_c"),
+    )
+    k = F.expr(f"n div {trim_frac_den}")
+    if mode == "trim":
+        kept = (F.col("n") - 2 * k).cast("long")
+        num = (
+            F.col("s_tot")
+            - (F.col("s_lt") + (k - F.col("c_lt")) * F.col("lo_c"))
+            - (F.col("s_gt") + (k - F.col("c_gt")) * F.col("hi_c"))
+        )
+    else:
+        kept = F.col("n").cast("long")
+        # clamp identity: subtract the outside sums, add count x bound
+        num = (
+            F.col("s_tot")
+            - F.col("s_lt")
+            - F.col("s_gt")
+            + F.col("c_lt") * F.col("lo_c")
+            + F.col("c_gt") * F.col("hi_c")
+        )
+    return a.select(
+        *group_cols,
+        F.col("n").alias("n_rows"),
+        kept.alias("n_kept"),
+        (F.col("c_lt") + F.col("c_gt")).cast("long").alias("n_clamped"),
+        stable_round(
+            num.cast("double")
+            / kept.cast("double")
+            / F.lit(float(scale)),
+            6,
+        ).alias("mean"),
+    )

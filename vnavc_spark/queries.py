@@ -9820,83 +9820,22 @@ def q178_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     end are copies of the boundary value, so no per-row ranking is
     ever materialized). Total: the selector's ≤3 passes + 1 — no
     corpus-wide sort, no per-group buffering, same scale contract as
-    q113/q121. Sums ride as exact integer cents; the one terminal
-    IEEE division chain (sum / kept / 100, in that order on both
-    engines) is 1e-6-rounded. The oracle is the window-rank form
+    q113/q121. Implemented by the shared library operator
+    ``operators/aggregates.robust_location(mode="trim")`` (q181 is
+    its winsorize mode). Sums ride as exact integer cents; the one
+    terminal IEEE division chain (sum / kept / 100, in that order on
+    both engines) is 1e-6-rounded. The oracle is the window-rank form
     (fine at oracle scale; the rank window per group is exactly what
     dies at 100 TB)."""
     li = table(spark, sf_dir, "lineitem")
-    bounds = aggregates.exact_rank_multi(
-        li,
-        ["l_returnflag"],
-        "l_extendedprice",
-        targets={
-            "lo": lambda n: n // 10 + 1,
-            "hi": lambda n: n - n // 10,
-        },
-        n_buckets=4096,
+    return aggregates.robust_location(
+        li, ["l_returnflag"], "l_extendedprice",
+        trim_frac_den=10, mode="trim",
     ).select(
         "l_returnflag",
-        "target",
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("vc"),
-    )
-    bnds = bounds.groupBy("l_returnflag").agg(
-        F.max(F.when(F.col("target") == "lo", F.col("vc"))).alias("lo_c"),
-        F.max(F.when(F.col("target") == "hi", F.col("vc"))).alias("hi_c"),
-    )
-    vc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    j = (
-        li.filter(F.col("l_extendedprice").isNotNull())
-        .select("l_returnflag", vc.alias("vc"))
-        .join(F.broadcast(bnds), on="l_returnflag")
-    )
-    a = j.groupBy("l_returnflag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("vc").cast("long").alias("s_tot"),
-        F.sum(
-            F.when(F.col("vc") < F.col("lo_c"), F.col("vc")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("s_lt"),
-        F.sum(
-            F.when(F.col("vc") < F.col("lo_c"), 1).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("c_lt"),
-        F.sum(
-            F.when(F.col("vc") > F.col("hi_c"), F.col("vc")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("s_gt"),
-        F.sum(
-            F.when(F.col("vc") > F.col("hi_c"), 1).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("c_gt"),
-        F.max("lo_c").alias("lo_c"),
-        F.max("hi_c").alias("hi_c"),
-    )
-    k = F.expr("n div 10")
-    kept = (F.col("n") - 2 * k).cast("long")
-    trim_sum = (
-        F.col("s_tot")
-        - (F.col("s_lt") + (k - F.col("c_lt")) * F.col("lo_c"))
-        - (F.col("s_gt") + (k - F.col("c_gt")) * F.col("hi_c"))
-    )
-    return a.select(
-        "l_returnflag",
-        F.col("n").alias("n_rows"),
-        kept.alias("n_kept"),
-        stable_round(
-            trim_sum.cast("double") / kept.cast("double") / F.lit(100.0),
-            6,
-        ).alias("trimmed_mean"),
+        "n_rows",
+        "n_kept",
+        F.col("mean").alias("trimmed_mean"),
     )
 
 
@@ -10094,64 +10033,22 @@ def q181_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_rank_multi resolves both boundaries in ONE shared
     narrowing sequence, then ONE conditional-aggregate pass with the
     broadcast boundaries computes the clamped sum — no corpus-wide
-    sort, no per-group buffering, selector's scale contract. Cents
+    sort, no per-group buffering, selector's scale contract; the
+    shared library operator is
+    ``operators/aggregates.robust_location(mode="winsorize")``. Cents
     ride as exact integers; the terminal division chain
     (sum / n / 100) is identical on both engines, 1e-6-rounded. The
     oracle is the window-rank form (the per-group rank window is
     exactly what dies at 100 TB)."""
     o = table(spark, sf_dir, "orders")
-    bounds = aggregates.exact_rank_multi(
-        o,
-        ["o_orderpriority"],
-        "o_totalprice",
-        targets={
-            "lo": lambda n: n // 20 + 1,
-            "hi": lambda n: n - n // 20,
-        },
-        n_buckets=4096,
+    return aggregates.robust_location(
+        o, ["o_orderpriority"], "o_totalprice",
+        trim_frac_den=20, mode="winsorize",
     ).select(
-        "o_orderpriority",
-        "target",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
-    )
-    bnds = bounds.groupBy("o_orderpriority").agg(
-        F.max(F.when(F.col("target") == "lo", F.col("vc"))).alias("lo_c"),
-        F.max(F.when(F.col("target") == "hi", F.col("vc"))).alias("hi_c"),
-    )
-    vc = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    j = (
-        o.filter(F.col("o_totalprice").isNotNull())
-        .select("o_orderpriority", vc.alias("vc"))
-        .join(F.broadcast(bnds), on="o_orderpriority")
-    )
-    clamped = (
-        F.when(F.col("vc") < F.col("lo_c"), F.col("lo_c"))
-        .when(F.col("vc") > F.col("hi_c"), F.col("hi_c"))
-        .otherwise(F.col("vc"))
-    )
-    a = j.groupBy("o_orderpriority").agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum(
-            F.when(
-                (F.col("vc") < F.col("lo_c"))
-                | (F.col("vc") > F.col("hi_c")),
-                1,
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("n_clamped"),
-        F.sum(clamped).cast("long").alias("s_w"),
-    )
-    return a.select(
         "o_orderpriority",
         "n_rows",
         "n_clamped",
-        stable_round(
-            F.col("s_w").cast("double")
-            / F.col("n_rows").cast("double")
-            / F.lit(100.0),
-            6,
-        ).alias("winsorized_mean"),
+        F.col("mean").alias("winsorized_mean"),
     )
 
 
