@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q182_time_weighted_avg",
     "q183_effect_size",
     "q184_mann_whitney",
+    "q185_spearman_corr",
 ]
 
 

@@ -149,6 +149,7 @@ SWEEP = [
     ("q180_rare_token_density", ("documents",), False, False),
     ("q183_effect_size", ("orders",), True, False),
     ("q184_mann_whitney", ("orders",), True, False),
+    ("q185_spearman_corr", ("lineitem",), False, False),
 ]
 
 

@@ -10357,6 +10357,127 @@ def q184_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q185_spearman_corr",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS xv,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yv
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+cx AS (SELECT g, xv, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY g, xv),
+dx AS (
+  SELECT g, xv,
+         2 * (CAST(sum(c) OVER (PARTITION BY g ORDER BY xv) AS BIGINT)
+              - c) + c + 1 AS d
+  FROM cx),
+cy AS (SELECT g, yv, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY g, yv),
+dy AS (
+  SELECT g, yv,
+         2 * (CAST(sum(c) OVER (PARTITION BY g ORDER BY yv) AS BIGINT)
+              - c) + c + 1 AS d
+  FROM cy),
+j AS (
+  SELECT v.g, dx.d AS dxv, dy.d AS dyv
+  FROM v
+  JOIN dx ON dx.g = v.g AND dx.xv = v.xv
+  JOIN dy ON dy.g = v.g AND dy.yv = v.yv),
+a AS (
+  SELECT g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(dxv AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(dyv AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(dxv AS HUGEINT) * CAST(dxv AS HUGEINT))
+              AS HUGEINT) AS qx,
+         CAST(sum(CAST(dyv AS HUGEINT) * CAST(dyv AS HUGEINT))
+              AS HUGEINT) AS qy,
+         CAST(sum(CAST(dxv AS HUGEINT) * CAST(dyv AS HUGEINT))
+              AS HUGEINT) AS p
+  FROM j GROUP BY g)
+SELECT g AS l_returnflag, n AS n_rows,
+       floor((CAST(n AS DOUBLE) * CAST(p AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+FROM a WHERE n >= 2
+""",
+)
+def q185_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Spearman rank correlation (midrank tie handling) between
+    quantity and price per return flag — the monotone-association
+    complement of q133's Pearson matrix (Pearson sees only LINEAR
+    association and one heavy-tailed outlier owns it; Spearman ranks
+    first, so it is the feature-screening correlation for skewed
+    pipeline metrics). Spearman = Pearson over midranks, and
+    midranks need no per-group sort: d(v) = 2·C(<v) + c(v) + 1
+    (twice the midrank — the affine factor cancels in the
+    correlation) comes straight from the ``ordered_cumsum``
+    value-domain tables, one per variable. Each fact row then picks
+    up its two d's via joins against the value-domain maps (AQE
+    broadcasts them when small — they are vocabulary-sized, never
+    corpus-sized) and ONE moment aggregate collects (n, Σdx, Σdy,
+    Σdx², Σdy², Σdx·dy) as decimal(38,0)/HUGEINT exact integers.
+    The rho is one scalar IEEE tree (two correctly-rounded sqrts),
+    1e-6-rounded. The oracle's per-group rank windows are the thing
+    that dies at 100 TB; the cumsum grid here is value-domain-sized."""
+    from vnavc_spark.operators.ordering import ordered_cumsum
+
+    li = table(spark, sf_dir, "lineitem")
+    v = li.filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    ).select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("xv"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("yv"),
+    )
+    dmap = {}
+    for col in ("xv", "yv"):
+        cums = ordered_cumsum(
+            v.select("g", col), ["g"], col, slot=f"spear_{col}"
+        )
+        dmap[col] = cums.select(
+            "g",
+            col,
+            (
+                2 * (F.col("cum") - F.col("mass"))
+                + F.col("mass")
+                + F.lit(1)
+            ).alias(f"d_{col}"),
+        )
+    j = v.join(dmap["xv"], on=["g", "xv"]).join(dmap["yv"], on=["g", "yv"])
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = j.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("d_xv")).alias("sx"),
+        F.sum(dec("d_yv")).alias("sy"),
+        F.sum(dec("d_xv") * dec("d_xv")).alias("qx"),
+        F.sum(dec("d_yv") * dec("d_yv")).alias("qy"),
+        F.sum(dec("d_xv") * dec("d_yv")).alias("p"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("p") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("qx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("qy") - d("sy") * d("sy")
+    )
+    return (
+        a.filter(F.col("n") >= 2)
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").alias("n_rows"),
+            stable_round(num / den, 6).alias("spearman_rho"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
