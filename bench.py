@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "q183_effect_size",
     "q184_mann_whitney",
     "q185_spearman_corr",
+    "q186_score_separation",
+    "q187_kendall_tau",
+    "q188_benford_gate",
 ]
 
 

@@ -1609,3 +1609,233 @@ class TestRobustLocation:
         df = spark.createDataFrame([("a", 1.0)], "g string, x double")
         with pytest.raises(ValueError, match="unknown mode"):
             robust_location(df, ["g"], "x", mode="median")
+
+
+class TestScoreSeparation:
+    """score_separation_from_counts (operators/ordering.py) — the
+    exact AUC/Gini/KS core behind q186 and the streaming snapshot.
+    Cross-checked against the O(n1·n0) brute-force pair count (the
+    probabilistic AUC definition: P(s+ > s−) + ½P(s+ = s−)) and a
+    per-threshold ECDF sweep for KS — an INDEPENDENT derivation, not
+    the mirrored oracle."""
+
+    @staticmethod
+    def _r6(x):
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def _brute(self, pairs):
+        pos = [s for s, lab in pairs if lab == 1]
+        neg = [s for s, lab in pairs if lab == 0]
+        if not pos or not neg:
+            return None
+        wins = sum(1 for p in pos for q in neg if p > q)
+        ties = sum(1 for p in pos for q in neg if p == q)
+        auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        ks = max(
+            abs(
+                sum(1 for s in pos if s <= v) / len(pos)
+                - sum(1 for s in neg if s <= v) / len(neg)
+            )
+            for v in {s for s, _ in pairs}
+        )
+        return len(pos), len(neg), auc, 2 * auc - 1, ks
+
+    def _run(self, spark, groups):
+        from vnavc_spark.operators.ordering import (
+            score_separation_from_counts,
+        )
+
+        rows = [
+            (g, s, lab) for g, pairs in groups.items() for s, lab in pairs
+        ]
+        df = spark.createDataFrame(rows, "g string, v long, lab int")
+        sv = df.groupBy("g", "v").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("lab").cast("long").alias("cnt_pos"),
+        )
+        return {
+            r.g: r
+            for r in score_separation_from_counts(sv, "g", "v").collect()
+        }
+
+    def test_matches_brute_force_pair_count(self, spark):
+        import random
+
+        random.seed(17)
+        groups = {
+            # heavy ties on a coarse scale
+            "ties": [
+                (random.randint(1, 6), random.randint(0, 1))
+                for _ in range(200)
+            ],
+            # perfect separation: AUC must be exactly 1
+            "perfect": [(100 + i, 1) for i in range(20)]
+            + [(i, 0) for i in range(20)],
+            # anti-separation: AUC < 0.5, Gini negative
+            "anti": [(i, 1) for i in range(15)]
+            + [(100 + i, 0) for i in range(15)],
+            # all scores identical: AUC exactly 0.5, KS 0
+            "const": [(7, i % 2) for i in range(30)],
+        }
+        out = self._run(spark, groups)
+        assert set(out) == set(groups)
+        for g, pairs in groups.items():
+            n1, n0, auc, gini, ks = self._brute(pairs)
+            r = out[g]
+            assert (r.n_pos, r.n_neg) == (n1, n0), g
+            assert r.auc == self._r6(auc), (g, r.auc, auc)
+            assert r.gini == self._r6(gini), g
+            assert r.ks_stat == self._r6(ks), (g, r.ks_stat, ks)
+        assert out["perfect"].auc == 1.0
+        assert out["const"].auc == 0.5
+        assert out["const"].ks_stat == 0.0
+
+    def test_single_class_groups_drop(self, spark):
+        groups = {
+            "allpos": [(i, 1) for i in range(5)],
+            "allneg": [(i, 0) for i in range(5)],
+            "mixed": [(1, 0), (2, 1)],
+        }
+        out = self._run(spark, groups)
+        assert set(out) == {"mixed"}
+        assert out["mixed"].auc == 1.0
+
+
+class TestKendallTauQuery:
+    """q187_kendall_tau cross-checked against the O(n²) brute-force
+    concordant/discordant pair count on a synthetic lineitem — an
+    independent derivation of tau-b (the query computes it from
+    joint-value-domain cells; this counts raw pairs)."""
+
+    def test_matches_brute_force_pairs(self, spark, tmp_path):
+        import itertools
+        import math
+        import random
+
+        from vnavc_spark.queries import QUERIES
+
+        random.seed(41)
+        rows = []
+        # group A: correlated coarse grid with heavy ties
+        for _ in range(120):
+            q = random.randint(1, 8)
+            d = min(10, q + random.randint(-1, 1))
+            rows.append(("A", float(q), d / 100.0))
+        # group B: anti-correlated
+        for _ in range(80):
+            q = random.randint(1, 5)
+            rows.append(("B", float(q), (6 - q) / 100.0))
+        # group C: constant discount — tau undefined, must drop
+        for _ in range(10):
+            rows.append(("C", float(random.randint(1, 5)), 0.05))
+        df = spark.createDataFrame(
+            rows, "l_returnflag string, l_quantity double, l_discount double"
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.write.parquet(str(sf / "lineitem.parquet"))
+        out = {
+            r.l_returnflag: r
+            for r in QUERIES["q187_kendall_tau"](spark, str(sf)).collect()
+        }
+        assert set(out) == {"A", "B"}
+        for g in ("A", "B"):
+            pts = [
+                (round(q * 100), round(d * 100))
+                for gg, q, d in rows
+                if gg == g
+            ]
+            conc = disc = 0
+            for (x1, y1), (x2, y2) in itertools.combinations(pts, 2):
+                if x1 == x2 or y1 == y2:
+                    continue
+                if (x1 - x2) * (y1 - y2) > 0:
+                    conc += 1
+                else:
+                    disc += 1
+            n = len(pts)
+            n0 = n * (n - 1) // 2
+            # brute tie masses: pairs sharing x / sharing y
+            sx = sum(
+                1
+                for (x1, _), (x2, _) in itertools.combinations(pts, 2)
+                if x1 == x2
+            )
+            sy = sum(
+                1
+                for (_, y1), (_, y2) in itertools.combinations(pts, 2)
+                if y1 == y2
+            )
+            tau = (conc - disc) / (
+                math.sqrt(n0 - sx) * math.sqrt(n0 - sy)
+            )
+            r = out[g]
+            assert r.n_rows == n
+            assert (r.concordant, r.discordant) == (conc, disc), g
+            assert abs(r.tau_b - tau) < 2e-6, (g, r.tau_b, tau)
+        assert out["A"].tau_b > 0.5
+        assert out["B"].tau_b < -0.5
+
+
+class TestBenfordGateQuery:
+    """q188_benford_gate on a constructed orders table: digit
+    extraction, the zero-obs digit spine, the exact integer expected
+    counts, and the hand-computed χ² of a known digit histogram."""
+
+    def test_hand_computed_chi2(self, spark, tmp_path):
+        import math
+
+        from vnavc_spark.queries import QUERIES
+
+        PM = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+              51153, 45757]
+        assert sum(PM) == 1_000_000
+
+        # priority P1: 90 orders whose first digits are exactly
+        # 10×digit d for d=1..9 — near-uniform, far from Benford
+        rows = []
+        for d in range(1, 10):
+            for k in range(10):
+                # price d.0k dollars -> cents string starts with d
+                rows.append(("P1", d * 100 + k))
+        # priority P2: only digit 1 (all cents 1xx) — extreme skew,
+        # seven digits have obs=0 and must still contribute via the
+        # spine
+        for k in range(50):
+            rows.append(("P2", 100 + k))
+        df = spark.createDataFrame(
+            [(p, c / 100.0) for p, c in rows],
+            "o_orderpriority string, o_totalprice double",
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.write.parquet(str(sf / "orders.parquet"))
+        out = {
+            r.o_orderpriority: r
+            for r in QUERIES["q188_benford_gate"](spark, str(sf)).collect()
+        }
+        assert set(out) == {"P1", "P2"}
+
+        def chi2(obs_by_digit, n):
+            cs = []
+            for d in range(1, 10):
+                e = float(n * PM[d - 1]) / 1e6
+                diff = float(obs_by_digit.get(d, 0)) - e
+                cs.append(diff * diff / e)
+            total = 0.0
+            for c in cs:
+                total += c
+            return total
+
+        want1 = chi2({d: 10 for d in range(1, 10)}, 90)
+        want2 = chi2({1: 50}, 50)
+        assert out["P1"].n_orders == 90
+        assert out["P2"].n_orders == 50
+        for pri, want in (("P1", want1), ("P2", want2)):
+            got = out[pri].chi2_stat
+            assert got == math.floor(want * 1e6 + 0.5) / 1e6, (pri, got)
+        # both are decidedly non-Benford
+        assert out["P1"].benford_flag == 1
+        assert out["P2"].benford_flag == 1

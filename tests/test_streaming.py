@@ -786,3 +786,90 @@ class TestStreamingTwa:
         # closes in b2 — state dir for batch 0 must hold 3 users
         st0 = spark.read.parquet(f"{state}/batch_id=0")
         assert st0.count() == 3
+
+
+class TestStreamingScoreSeparation:
+    def test_streaming_separation_equals_batch_q186(self, spark, tmp_path):
+        # additive class-conditional histogram partials staged per
+        # batch must reproduce q186's batch count table exactly, so
+        # snapshot == batch is an identity through the shared
+        # score_separation_from_counts core
+        import random
+
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        random.seed(31)
+        srcs = ["web", "books", "news"]
+        langs = ["en", "de", "fr"]
+        rows = [
+            {
+                "doc_id": i,
+                "text": "t " * (i % 5),
+                # en docs skew longer so AUC > 0.5 and ties abound
+                "lang": langs[i % 3],
+                "source": srcs[i % 3 if i % 7 else (i + 1) % 3],
+                "n_chars": 100 + (i % 13) + (30 if i % 3 == 0 else 0),
+            }
+            for i in range(150)
+        ]
+        rows.append({"doc_id": 900, "text": "x", "lang": "en",
+                     "source": None, "n_chars": 5})
+        rows.append({"doc_id": 901, "text": "x", "lang": "en",
+                     "source": "web", "n_chars": None})
+        # a source whose docs are ALL positive must drop from both
+        rows += [
+            {"doc_id": 910 + k, "text": "x", "lang": "en",
+             "source": "onlypos", "n_chars": 50 + k}
+            for k in range(4)
+        ]
+
+        src = tmp_path / "docs"
+        src.mkdir()
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(src, "b1.json", rows[:80])
+        q = ingest.start_label_histograms(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.DOC_STREAM_SCHEMA
+            ),
+            partials,
+            ckpt,
+        )
+        q.awaitTermination(60)
+        _write_batch(src, "b2.json", rows[80:])
+        q2 = ingest.start_label_histograms(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.DOC_STREAM_SCHEMA
+            ),
+            partials,
+            ckpt,
+        )
+        q2.awaitTermination(60)
+
+        got = sorted(
+            tuple(r)
+            for r in ingest.score_separation_snapshot(
+                spark, partials
+            ).collect()
+        )
+
+        sf_dir = tmp_path / "sf"
+        sf_dir.mkdir()
+        spark.createDataFrame(
+            [
+                (r["doc_id"], r["text"], r["lang"], r["source"],
+                 r["n_chars"])
+                for r in rows
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(str(sf_dir / "documents.parquet"))
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q186_score_separation"](
+                spark, str(sf_dir)
+            ).collect()
+        )
+        assert got == want
+        assert not any(r[0] == "onlypos" for r in got)

@@ -595,3 +595,99 @@ def ks_drift_from_counts(sv: DataFrame, group_col: str = "source",
             ).alias("ks_stat"),
         )
     )
+
+
+def score_separation_from_counts(
+    sv: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Exact AUC / Gini / KS separation of a numeric score against a
+    binary label per group, from a pre-aggregated (group, value, cnt,
+    cnt_pos) count table — the classifier-evaluation triple (ROC AUC,
+    Gini = 2·AUC − 1, and the KS statistic credit-scoring reports as
+    "maximum separation") computed with ZERO per-group buffering and
+    no global sort. Shared by queries.q186 (batch) and
+    streaming.ingest.score_separation_snapshot (additive batch
+    partials summed to the same count table, so streaming == batch by
+    construction).
+
+    Math: with midranks, AUC = U/(n1·n0) where U = R1 − n1(n1+1)/2
+    and 2·R1 = Σ_v c1(v)·(2·C(<v) + c(v) + 1) needs only per-value
+    counts plus the running total below each value — the
+    ``ordered_cumsum`` CDF primitive (grid is the value domain, never
+    the corpus). This equals the trapezoid area under the exact ROC
+    curve evaluated at every distinct score (ties handled by the
+    midrank/trapezoid convention). KS = max_v |TPR(v) − FPR(v)|
+    cross-multiplied to the exact integer max_v |cum1(v)·n0 −
+    cum0(v)·n1| with ONE terminal division. Everything left of the
+    two divisions is exact decimal(38,0) integer arithmetic (long
+    rank mass overflows past ~10^9 rows/group); the double trees
+    match the DuckDB oracle bit-for-bit.
+
+    Input contract: ``cnt`` / ``cnt_pos`` are exact long counts per
+    DISTINCT (group, value) pair (nulls already dropped, cnt_pos ≤
+    cnt). Groups with an empty class (n1 = 0 or n0 = 0) drop — no
+    separation is defined there."""
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.functions.portable import stable_round
+
+    sv = tracked_persist(
+        sv.select(
+            group_col,
+            value_col,
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("cnt_pos").cast("long").alias("cnt_pos"),
+        ),
+        f"aucsep_sv:{group_col}",
+    )
+    grps = sv.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt_pos").cast("long").alias("n1"),
+    )
+    cums = ordered_cumsum(
+        sv,
+        [group_col],
+        value_col,
+        mass_cols=["cnt", "cnt_pos"],
+        slot=f"aucsep_cums:{group_col}",
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    j = cums.join(F.broadcast(grps), group_col)
+    a = j.groupBy(group_col, "n", "n1").agg(
+        F.sum(
+            dec("cnt_pos")
+            * (
+                F.lit(2) * (dec("cum_cnt") - dec("cnt"))
+                + dec("cnt")
+                + F.lit(1)
+            )
+        ).alias("two_r1"),
+        F.max(
+            F.abs(
+                dec("cum_cnt_pos") * (dec("n") - dec("n1"))
+                - (dec("cum_cnt") - dec("cum_cnt_pos")) * dec("n1")
+            )
+        ).alias("ks_num"),
+    )
+    n0 = dec("n") - dec("n1")
+    u2 = (F.col("two_r1") - dec("n1") * (dec("n1") + F.lit(1))).cast(
+        "double"
+    )
+    den = (F.lit(2) * dec("n1") * n0).cast("double")
+    auc = u2 / den
+    return (
+        a.filter((F.col("n1") >= 1) & (F.col("n") - F.col("n1") >= 1))
+        .select(
+            group_col,
+            F.col("n1").alias("n_pos"),
+            (F.col("n") - F.col("n1")).alias("n_neg"),
+            stable_round(auc, 6).alias("auc"),
+            stable_round(auc * F.lit(2.0) - F.lit(1.0), 6).alias("gini"),
+            stable_round(
+                F.col("ks_num").cast("double")
+                / (dec("n1") * n0).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )

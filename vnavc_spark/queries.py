@@ -10478,6 +10478,359 @@ def q185_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q186_score_separation",
+    oracle="""
+WITH v AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS vc,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+c AS (SELECT g, vc, CAST(count(*) AS HUGEINT) AS cnt,
+             CAST(sum(p) AS HUGEINT) AS cnt_pos
+      FROM v GROUP BY g, vc),
+w AS (SELECT g, vc, cnt, cnt_pos,
+             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY vc)
+                  AS HUGEINT) AS cum,
+             CAST(sum(cnt_pos) OVER (PARTITION BY g ORDER BY vc)
+                  AS HUGEINT) AS cum_pos
+      FROM c),
+t AS (SELECT g, CAST(sum(cnt) AS HUGEINT) AS n,
+             CAST(sum(cnt_pos) AS HUGEINT) AS n1
+      FROM c GROUP BY g),
+a AS (SELECT w.g, t.n, t.n1,
+             CAST(sum(cnt_pos * (2 * (cum - cnt) + cnt + 1))
+                  AS HUGEINT) AS two_r1,
+             max(abs(cum_pos * (t.n - t.n1)
+                     - (cum - cum_pos) * t.n1)) AS ks_num
+      FROM w JOIN t ON t.g = w.g
+      GROUP BY w.g, t.n, t.n1)
+SELECT g AS source,
+       CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n - n1 AS BIGINT) AS n_neg,
+       floor(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * (n - n1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS auc,
+       floor((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+              / CAST(2 * n1 * (n - n1) AS DOUBLE) * 2.0 - 1.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS gini,
+       floor(CAST(ks_num AS DOUBLE) / CAST(n1 * (n - n1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+FROM a WHERE n1 >= 1 AND n - n1 >= 1
+""",
+)
+def q186_score_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT classifier-score separation triple per source — ROC AUC,
+    Gini (2·AUC − 1) and the KS separation statistic of a numeric
+    score (doc length) against a binary label (lang = 'en') — the
+    standard quality-classifier evaluation readout (CCNet/fastText-
+    style filters are tuned on exactly these three numbers). AUC with
+    the midrank tie convention IS the normalized Mann-Whitney U
+    (q184's primitive, pointed at model evaluation instead of cohort
+    testing) and equals the trapezoid area under the exact ROC curve
+    evaluated at every distinct score; KS is the sup-distance between
+    the per-class score CDFs (q170's machinery on class-conditional
+    masses). Zero per-group buffering and no global sort: one
+    map-side-combinable count pass collapses the corpus to (group,
+    value, cnt, cnt_pos), the ``ordered_cumsum`` primitive supplies
+    C(<v), and both statistics fall out as exact decimal(38,0)
+    integers with one terminal IEEE division each (the oracle's
+    per-group rank windows are what dies at 100 TB). Shared core
+    ``ordering.score_separation_from_counts`` — the streaming twin
+    (ingest.score_separation_snapshot) sums additive per-batch
+    histogram partials into the same count table, so streaming ==
+    batch by construction (parity-tested)."""
+    from vnavc_spark.operators.ordering import score_separation_from_counts
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    # the ONLY corpus-sized pass: everything downstream runs on the
+    # (source × distinct-length) count table
+    sv = d.groupBy("source", F.col("n_chars").cast("long").alias("n_chars")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(
+            F.when(F.col("lang") == F.lit("en"), 1).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cnt_pos"),
+    )
+    return score_separation_from_counts(sv, "source", "n_chars")
+
+
+@query(
+    "q187_kendall_tau",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS xv,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS yv
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+c AS (SELECT g, xv, yv, CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY g, xv, yv),
+p AS (SELECT a.g,
+             CAST(sum(CASE WHEN b.yv < a.yv THEN a.c * b.c
+                           ELSE 0 END) AS BIGINT) AS conc,
+             CAST(sum(CASE WHEN b.yv > a.yv THEN a.c * b.c
+                           ELSE 0 END) AS BIGINT) AS disc
+      FROM c a JOIN c b ON b.g = a.g AND b.xv < a.xv
+      GROUP BY a.g),
+tx AS (SELECT g, CAST(sum(t * (t - 1)) AS BIGINT) AS m1
+       FROM (SELECT g, xv, CAST(sum(c) AS BIGINT) AS t
+             FROM c GROUP BY g, xv) GROUP BY g),
+ty AS (SELECT g, CAST(sum(t * (t - 1)) AS BIGINT) AS m2
+       FROM (SELECT g, yv, CAST(sum(c) AS BIGINT) AS t
+             FROM c GROUP BY g, yv) GROUP BY g),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY g)
+SELECT tot.g AS l_returnflag,
+       CAST(tot.n AS BIGINT) AS n_rows,
+       COALESCE(p.conc, 0) AS concordant,
+       COALESCE(p.disc, 0) AS discordant,
+       floor(CAST(2 * (COALESCE(p.conc, 0) - COALESCE(p.disc, 0))
+                  AS DOUBLE)
+             / (sqrt(CAST(tot.n * (tot.n - 1) - tx.m1 AS DOUBLE))
+                * sqrt(CAST(tot.n * (tot.n - 1) - ty.m2 AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+FROM tot
+JOIN tx ON tx.g = tot.g
+JOIN ty ON ty.g = tot.g
+LEFT JOIN p ON p.g = tot.g
+WHERE tot.n * (tot.n - 1) > tx.m1 AND tot.n * (tot.n - 1) > ty.m2
+""",
+)
+def q187_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Kendall tau-b (tie-corrected) between quantity and
+    discount per return flag — the third rank-association measure
+    beside q133's Pearson and q185's Spearman (tau's pair-inversion
+    semantics are the standard for LLM-judge agreement and ranking-
+    eval metrics, and its tie correction matters on coarse scales
+    like these). The all-pairs definition is corpus², but both
+    variables live on BOUNDED value domains (50 quantities × 11
+    discounts after cent scaling), so the corpus collapses to joint-
+    domain cells (g, xv, yv, c) in one map-side-combinable pass and
+    concordant/discordant masses are an equi-join on g over cell
+    pairs with strict dominance filters — ≤ |X|·|Y| cells per group
+    REGARDLESS of corpus size, the same domain-collapse trick as the
+    narrowing family. Using doubled tie masses m = Σ t(t−1) avoids
+    integer division entirely: tau_b = 2(C − D)/(√(n(n−1)−m1) ·
+    √(n(n−1)−m2)) — every term left of the two correctly-rounded
+    sqrts is an exact BIGINT (C, D ≤ n²/2 overflow long past ~4·10^9
+    rows/group; lift the cell counts to decimal(38,0) then).
+    Degenerate groups (a constant variable) drop — tau undefined.
+    Independently cross-checked against the O(n²) brute-force pair
+    count in tests (not just the mirrored oracle)."""
+    from vnavc_spark.cache import tracked_persist
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+    )
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("xv"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("yv"),
+        )
+        .groupBy("g", "xv", "yv")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # the cell table is joint-value-domain-sized (≤ 550 rows/group
+    # here) — persisted once, consumed by the pair join and all three
+    # marginal reductions
+    cells = tracked_persist(cells, "kendall_cells")
+    a, b = cells.alias("a"), cells.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("b.g") == F.col("a.g"))
+            & (F.col("b.xv") < F.col("a.xv")),
+        )
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.yv") < F.col("a.yv"),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("conc"),
+            F.sum(
+                F.when(
+                    F.col("b.yv") > F.col("a.yv"),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("disc"),
+        )
+    )
+    m_of = lambda col, name: (  # noqa: E731
+        cells.groupBy("g", col)
+        .agg(F.sum("c").cast("long").alias("t"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - F.lit(1)))
+            .cast("long")
+            .alias(name)
+        )
+    )
+    tot = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    j = (
+        tot.join(m_of("xv", "m1"), "g")
+        .join(m_of("yv", "m2"), "g")
+        .join(p, "g", "left")
+        .withColumn("conc", F.coalesce("conc", F.lit(0).cast("long")))
+        .withColumn("disc", F.coalesce("disc", F.lit(0).cast("long")))
+    )
+    n_pairs2 = F.col("n") * (F.col("n") - F.lit(1))
+    tau = (F.lit(2) * (F.col("conc") - F.col("disc"))).cast("double") / (
+        F.sqrt((n_pairs2 - F.col("m1")).cast("double"))
+        * F.sqrt((n_pairs2 - F.col("m2")).cast("double"))
+    )
+    return (
+        j.filter((n_pairs2 > F.col("m1")) & (n_pairs2 > F.col("m2")))
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").alias("n_rows"),
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            stable_round(tau, 6).alias("tau_b"),
+        )
+    )
+
+
+@query(
+    "q188_benford_gate",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS pri,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM orders WHERE o_totalprice IS NOT NULL),
+f AS (SELECT pri, CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS INT) AS d
+      FROM v WHERE vc > 0),
+obs AS (SELECT pri, d, CAST(count(*) AS BIGINT) AS obs
+        FROM f GROUP BY pri, d),
+tot AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS n FROM obs GROUP BY pri),
+digits AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+            (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+            (9, 45757)) AS t(d, pm)),
+grid AS (
+  SELECT t.pri, t.n, dg.d, dg.pm, COALESCE(o.obs, 0) AS obs
+  FROM tot t CROSS JOIN digits dg
+  LEFT JOIN obs o ON o.pri = t.pri AND o.d = dg.d),
+cc AS (
+  SELECT pri, n, d,
+         (CAST(obs AS DOUBLE) - CAST(n * pm AS DOUBLE) / 1000000.0)
+         * (CAST(obs AS DOUBLE) - CAST(n * pm AS DOUBLE) / 1000000.0)
+         / (CAST(n * pm AS DOUBLE) / 1000000.0) AS contrib
+  FROM grid),
+piv AS (
+  SELECT pri, n,
+         sum(CASE WHEN d = 1 THEN contrib ELSE 0.0 END) AS c1,
+         sum(CASE WHEN d = 2 THEN contrib ELSE 0.0 END) AS c2,
+         sum(CASE WHEN d = 3 THEN contrib ELSE 0.0 END) AS c3,
+         sum(CASE WHEN d = 4 THEN contrib ELSE 0.0 END) AS c4,
+         sum(CASE WHEN d = 5 THEN contrib ELSE 0.0 END) AS c5,
+         sum(CASE WHEN d = 6 THEN contrib ELSE 0.0 END) AS c6,
+         sum(CASE WHEN d = 7 THEN contrib ELSE 0.0 END) AS c7,
+         sum(CASE WHEN d = 8 THEN contrib ELSE 0.0 END) AS c8,
+         sum(CASE WHEN d = 9 THEN contrib ELSE 0.0 END) AS c9
+  FROM cc GROUP BY pri, n)
+SELECT pri AS o_orderpriority, n AS n_orders,
+       floor((c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9)
+             * 1000000.0 + 0.5) / 1000000.0 AS chi2_stat,
+       CASE WHEN (c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9) > 21.955
+            THEN 1 ELSE 0 END AS benford_flag
+FROM piv
+""",
+)
+def q188_benford_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit goodness-of-fit gate per order priority —
+    the synthetic-/fabricated-data screen (naturally occurring
+    multiplicative amounts follow P(d) = log10(1 + 1/d); generated or
+    range-clamped amounts don't, and a χ² against the Benford
+    expectation is the standard forensic test — here it correctly
+    FLAGS TPC-H's uniform-ish synthetic prices). Hash-portability is
+    the design problem: log10 isn't bit-portable across engines, so
+    the nine Benford probabilities are fixed 6-dp INTEGER literals
+    (micro-probabilities; they sum to exactly 1,000,000), making the
+    expected count n·p an EXACT integer product and each cell's χ²
+    contribution one identical IEEE tree. The cross-digit sum is the
+    only float reduction, and it is made order-free by pivoting the
+    exactly-9 digit cells to columns (absent digits surface as obs=0
+    via the digit spine) and summing as one fixed left-associated
+    expression — no order-dependent double aggregation anywhere. The
+    21.955 gate is the χ²(8 df) 0.995 critical value; emitted as the
+    integer flag so the oracle comparison is exact. First digit extraction rides the
+    decimal-string head of the cent-scaled BIGINT (a ×100 power-of-10
+    scale never changes the leading significant digit). One map-side
+    count pass over the facts; everything downstream is
+    9 × |priorities| rows."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    v = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("vc"),
+    ).filter(F.col("vc") > 0)
+    obs = v.groupBy(
+        "pri",
+        F.substring(F.col("vc").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d"),
+    ).agg(F.count("*").cast("long").alias("obs"))
+    from vnavc_spark.cache import tracked_persist
+
+    obs = tracked_persist(obs, "benford_obs")
+    # Benford micro-probabilities: round(log10(1 + 1/d) * 1e6) —
+    # fixed literals shared with the oracle; they sum to 1,000,000
+    PM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+          45757]
+    digits = spark.createDataFrame(
+        [(i + 1, pm) for i, pm in enumerate(PM)], "d int, pm long"
+    )
+    tot = obs.groupBy("pri").agg(F.sum("obs").cast("long").alias("n"))
+    grid = (
+        tot.crossJoin(F.broadcast(digits))
+        .join(obs, ["pri", "d"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0).cast("long")))
+    )
+    e = (F.col("n") * F.col("pm")).cast("double") / F.lit(1000000.0)
+    diff = F.col("obs").cast("double") - e
+    cc = grid.select(
+        "pri", "n", "d", (diff * diff / e).alias("contrib")
+    )
+    piv = cc.groupBy("pri", "n").agg(
+        *[
+            F.sum(
+                F.when(F.col("d") == F.lit(i), F.col("contrib")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    chi2 = (
+        F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4")
+        + F.col("c5") + F.col("c6") + F.col("c7") + F.col("c8")
+        + F.col("c9")
+    )
+    return piv.select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("n").alias("n_orders"),
+        stable_round(chi2, 6).alias("chi2_stat"),
+        F.when(chi2 > F.lit(21.955), 1).otherwise(F.lit(0)).alias(
+            "benford_flag"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

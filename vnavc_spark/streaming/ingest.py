@@ -463,6 +463,77 @@ def ks_drift_snapshot(spark, partials_path: str) -> DataFrame:
     return ks_drift_from_counts(sv)
 
 
+def start_label_histograms(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    source_col: str = "source",
+    len_col: str = "n_chars",
+    label_col: str = "lang",
+    pos_value: str = "en",
+):
+    """Stream side of the score-separation monitor (queries.q186's
+    streaming twin): each micro-batch aggregates ITS OWN rows to
+    (source, value, cnt, cnt_pos) class-conditional histogram
+    partials under ``partials_path/batch_id=N`` — the
+    :func:`start_length_histograms` shape with the positive-label
+    mass riding along. Both counts are ADDITIVE, so the cumulative
+    count table is a plain sum over batch partials (no streaming
+    aggregation state; a replayed batch id overwrites its own partial
+    in place). AUC/Gini/KS are NOT computed per batch — they are
+    corpus-level rank statistics, recomputed on demand from the
+    staged histograms by :func:`score_separation_snapshot` at
+    value-domain cost."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(
+                F.col(source_col).isNotNull() & F.col(len_col).isNotNull()
+            )
+            .groupBy(source_col, len_col)
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum(
+                    F.when(
+                        F.col(label_col) == F.lit(pos_value), 1
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("cnt_pos"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def score_separation_snapshot(spark, partials_path: str) -> DataFrame:
+    """Per-source AUC/Gini/KS score separation from the staged
+    class-conditional histogram partials — identical output contract
+    to queries.q186 (source, n_pos, n_neg, auc, gini, ks_stat).
+    Summing the additive partials reproduces the batch count table
+    EXACTLY, and the shared ``ordering.score_separation_from_counts``
+    core does the rest, so streaming == batch is an identity, not an
+    approximation (parity-tested in tests/test_streaming.py)."""
+    from vnavc_spark.operators.ordering import score_separation_from_counts
+
+    sv = (
+        spark.read.parquet(partials_path)
+        .groupBy("source", "n_chars")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("cnt_pos").cast("long").alias("cnt_pos"),
+        )
+    )
+    return score_separation_from_counts(sv)
+
+
 def start_contamination_screen(
     stream: DataFrame,
     bench_hashes: DataFrame,
