@@ -10831,6 +10831,157 @@ def q188_benford_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q189_product_profit",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       sum(floor((l_extendedprice * (1 - l_discount)
+                  - p_retailprice * 0.6 * l_quantity)
+                 * 100.0 + 0.5)) / 100.0 AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+def q189_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (product-type profit): per supplier-nation,
+    per order-year profit over the 'red' part family — the heaviest
+    classic multi-join (lineitem × part × supplier × orders × nation,
+    the five-table star). The testdata carries no partsupp table, so
+    supply cost is proxied as a fixed 0.6 fraction of
+    ``p_retailprice`` (a literal shared with the oracle); the profit
+    expression rides the scaled-integer ``exact_sum`` so the
+    aggregation is order-free. Plan shape: the part-name predicate
+    prunes the part build side BEFORE the fact join (AQE broadcasts
+    the filtered dim); supplier/nation broadcast; the only
+    corpus-scale shuffles are the two fact-fact joins — the exact
+    TPC-H Q9 physical story. Reference parity: the analytic-join
+    family of SURVEY §2.5 at its widest."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.6) * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(exact_sum(profit, 2).alias("profit"))
+    )
+
+
+@query(
+    "q190_forecast_revenue",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       sum(floor(l_extendedprice * l_discount * 100.0 + 0.5)) / 100.0
+         AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+GROUP BY year(l_shipdate)
+""",
+)
+def q190_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog (forecasting revenue change): the revenue that
+    would have been gained had small-quantity discounts in the
+    5-7% band been eliminated, per ship-year — the classic
+    SCAN-DOMINATED query: no joins, so it isolates predicate pushdown
+    and scan throughput (all three predicates must reach the parquet
+    reader as PushedFilters; the aggregate is one map-side-combinable
+    exact-cent sum). The year grouping (vs Q6's single global row)
+    keeps the result multi-row for a stabler hash without changing
+    the physical story."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.groupBy(
+        F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        exact_sum(
+            F.col("l_extendedprice") * F.col("l_discount"), 2
+        ).alias("revenue_delta"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@query(
+    "q191_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100.0
+                        + 0.5)) AS BIGINT) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey),
+m AS (SELECT max(rev_c) AS max_c FROM rev)
+SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN m
+WHERE rev_c = max_c
+""",
+)
+def q191_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog (top supplier): supplier(s) whose 1996-Q1
+    shipped revenue EQUALS the maximum — the equal-to-scalar-
+    aggregate pattern (Q15's CREATE VIEW + WHERE total = (SELECT
+    max)). The revenue view aggregates to supplier cardinality (one
+    corpus pass with the quarter predicate pushed into the scan);
+    the scalar max is a 1-row broadcast crossJoin; the equality
+    compares exact integer CENTS (the floor-scaled sum), so
+    float-equality flakiness — the reason naive Q15 ports
+    nondeterministically drop ties — cannot occur, and ALL tied
+    maxima surface, matching the spec. Supplier dim joins only the
+    surviving keys."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    from vnavc_spark.cache import tracked_persist
+
+    rev = tracked_persist(rev, "q191_rev")
+    m = rev.agg(F.max("rev_c").alias("max_c"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(m))
+        .filter(F.col("rev_c") == F.col("max_c"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
