@@ -124,6 +124,12 @@ BENCH_QUERIES = [
     "q186_score_separation",
     "q187_kendall_tau",
     "q188_benford_gate",
+    "q189_product_profit",
+    "q190_forecast_revenue",
+    "q191_top_supplier",
+    "q192_quantile_drift",
+    "q193_autocorr",
+    "q194_hhi_concentration",
 ]
 
 

@@ -1839,3 +1839,51 @@ class TestBenfordGateQuery:
         # both are decidedly non-Benford
         assert out["P1"].benford_flag == 1
         assert out["P2"].benford_flag == 1
+
+
+class TestQuantileDriftFromCounts:
+    """quantile_drift_from_counts (operators/ordering.py) — inverse-
+    CDF decile lookup vs a brute-force sorted-list reference,
+    including boundary ranks landing exactly on tie runs."""
+
+    def test_matches_sorted_reference(self, spark):
+        import math
+
+        from vnavc_spark.operators.ordering import (
+            quantile_drift_from_counts,
+        )
+
+        groups = {
+            # tie-heavy: deciles land inside runs
+            "a": [10] * 30 + [20] * 30 + [30] * 40,
+            # tiny group: every decile is one of 3 values
+            "b": [5, 7, 11],
+            # uniform-ish
+            "c": list(range(1, 101)),
+        }
+        rows = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, v long")
+        sv = df.groupBy("g", "v").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        out = {
+            (r.g, r.decile): (r.src_value, r.corpus_value, r.drift)
+            for r in quantile_drift_from_counts(sv, "g", "v").collect()
+        }
+        all_vals = sorted(v for vs in groups.values() for v in vs)
+
+        def decile(sorted_vals, q):
+            r = math.ceil(q * len(sorted_vals) / 10)
+            return sorted_vals[r - 1]
+
+        for g, vs in groups.items():
+            s = sorted(vs)
+            for q in range(1, 10):
+                want_src = decile(s, q)
+                want_corp = decile(all_vals, q)
+                assert out[(g, q)] == (
+                    want_src,
+                    want_corp,
+                    want_src - want_corp,
+                ), (g, q)
+        assert len(out) == 27

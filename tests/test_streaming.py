@@ -873,3 +873,79 @@ class TestStreamingScoreSeparation:
         )
         assert got == want
         assert not any(r[0] == "onlypos" for r in got)
+
+
+class TestStreamingQuantileDrift:
+    def test_snapshot_equals_batch_q192_from_ks_partials(
+        self, spark, tmp_path
+    ):
+        # ONE staged histogram set (the KS twin's) must feed the
+        # decile-drift snapshot too — same additive counts, shared
+        # quantile_drift_from_counts core, so snapshot == batch q192
+        import random
+
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        random.seed(47)
+        srcs = ["web", "books", "news"]
+        rows = [
+            {
+                "doc_id": i,
+                "text": "t",
+                "lang": "en",
+                "source": srcs[i % 3],
+                "n_chars": 50 + (i % 23) + (i % 3) * 25,
+            }
+            for i in range(140)
+        ]
+        src = tmp_path / "docs"
+        src.mkdir()
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(src, "b1.json", rows[:90])
+        q = ingest.start_length_histograms(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.DOC_STREAM_SCHEMA
+            ),
+            partials,
+            ckpt,
+        )
+        q.awaitTermination(60)
+        _write_batch(src, "b2.json", rows[90:])
+        q2 = ingest.start_length_histograms(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.DOC_STREAM_SCHEMA
+            ),
+            partials,
+            ckpt,
+        )
+        q2.awaitTermination(60)
+
+        got = sorted(
+            tuple(r)
+            for r in ingest.quantile_drift_snapshot(
+                spark, partials
+            ).collect()
+        )
+
+        sf_dir = tmp_path / "sf"
+        sf_dir.mkdir()
+        spark.createDataFrame(
+            [
+                (r["doc_id"], r["text"], r["lang"], r["source"],
+                 r["n_chars"])
+                for r in rows
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(str(sf_dir / "documents.parquet"))
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q192_quantile_drift"](
+                spark, str(sf_dir)
+            ).collect()
+        )
+        assert got == want
+        # 9 deciles per source
+        assert len(got) == 27

@@ -691,3 +691,83 @@ def score_separation_from_counts(
             ).alias("ks_stat"),
         )
     )
+
+
+def quantile_drift_from_counts(
+    sv: DataFrame,
+    group_col: str = "source",
+    value_col: str = "v",
+) -> DataFrame:
+    """Per-group decile table vs the pooled-corpus deciles, from a
+    pre-aggregated (group, value, cnt) count table — the inverse-CDF
+    lookup core shared by queries.q192 (batch) and
+    streaming.ingest.quantile_drift_snapshot (the SAME additive
+    length-histogram partials the KS twin stages reproduce this count
+    table exactly, so streaming == batch by construction).
+
+    The q-th decile is min{v : cum(v) ≥ ⌈q·n/10⌉}; the ceiling is
+    (q·n + 9) div 10 in exact longs — the whole computation is
+    integer, so the hash is trivially stable. See q192's docstring
+    for the grid/reuse shape; cost is value-domain × groups, never
+    corpus."""
+    from vnavc_spark.cache import tracked_persist
+
+    spark = sv.sparkSession
+    sv = tracked_persist(
+        sv.select(
+            group_col,
+            value_col,
+            F.col("cnt").cast("long").alias("cnt"),
+        ),
+        f"qdrift_sv:{group_col}",
+    )
+    vals = sv.select(value_col).distinct()
+    grps = sv.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n_s")
+    )
+    grid = (
+        vals.crossJoin(F.broadcast(grps.select(group_col)))
+        .join(sv, [group_col, value_col], "left")
+        .select(
+            group_col,
+            value_col,
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    cums = ordered_cumsum(
+        grid,
+        [group_col],
+        value_col,
+        mass_cols=["cnt"],
+        slot=f"qdrift_cums:{group_col}",
+    )
+    cums = tracked_persist(cums, f"qdrift_cums_out:{group_col}")
+    corp = cums.groupBy(value_col).agg(
+        F.sum("cum_cnt").cast("long").alias("ccum")
+    )
+    n = sv.agg(F.sum("cnt").cast("long").alias("n"))
+    qs = spark.range(1, 10).select(F.col("id").cast("int").alias("q"))
+    rank_of = lambda qc, nc: (  # noqa: E731
+        F.expr(f"CAST(({qc} * {nc} + 9) DIV 10 AS BIGINT)")
+    )
+    sq = (
+        cums.join(F.broadcast(grps), group_col)
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum_cnt") >= rank_of("q", "n_s"))
+        .groupBy(group_col, "q")
+        .agg(F.min(value_col).alias("src_value"))
+    )
+    cq = (
+        corp.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("ccum") >= rank_of("q", "n"))
+        .groupBy("q")
+        .agg(F.min(value_col).alias("corpus_value"))
+    )
+    return sq.join(cq, "q").select(
+        group_col,
+        F.col("q").cast("long").alias("decile"),
+        "src_value",
+        "corpus_value",
+        (F.col("src_value") - F.col("corpus_value")).alias("drift"),
+    )

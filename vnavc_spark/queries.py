@@ -10982,6 +10982,246 @@ def q191_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q192_quantile_drift",
+    oracle="""
+WITH sv AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source, n_chars),
+vals AS (SELECT DISTINCT v FROM sv),
+srcs AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM sv
+         GROUP BY source),
+grid AS (
+  SELECT s.source, vals.v, COALESCE(sv.cnt, 0) AS cnt
+  FROM srcs s CROSS JOIN vals
+  LEFT JOIN sv ON sv.source = s.source AND sv.v = vals.v),
+cums AS (
+  SELECT source, v,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+              AS BIGINT) AS cum
+  FROM grid),
+corp AS (SELECT v, CAST(sum(cum) AS BIGINT) AS ccum FROM cums GROUP BY v),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sv),
+qs AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) t(q)),
+sq AS (
+  SELECT c.source, qs.q, min(c.v) AS src_value
+  FROM cums c
+  JOIN srcs s ON s.source = c.source
+  CROSS JOIN qs
+  WHERE c.cum >= (qs.q * s.n_s + 9) // 10
+  GROUP BY c.source, qs.q),
+cq AS (
+  SELECT qs.q, min(corp.v) AS corpus_value
+  FROM corp CROSS JOIN qs CROSS JOIN tot
+  WHERE corp.ccum >= (qs.q * tot.n + 9) // 10
+  GROUP BY qs.q)
+SELECT sq.source, CAST(sq.q AS BIGINT) AS decile,
+       sq.src_value, cq.corpus_value,
+       sq.src_value - cq.corpus_value AS drift
+FROM sq JOIN cq ON cq.q = sq.q
+""",
+)
+def q192_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decile table vs the corpus deciles — the QQ-style
+    drift readout that says WHERE a source's length distribution sits
+    (q170's KS gives one sup number; curriculum/truncation decisions
+    need the actual quantile values). EXACT and 100%-integer: the
+    q-th decile is min{v : cum(v) ≥ ⌈q·n/10⌉} — an inverse-CDF lookup
+    on the ``ordered_cumsum`` value-domain table, with the ceiling
+    done as (q·n + 9) div 10 in exact longs, so there is NO float
+    anywhere in the query and the hash is trivially stable. The
+    zero-filled source × value grid (the q170 shape) makes the corpus
+    CDF a reuse of the per-source cums (corp(v) = Σ_s cum_s(v), no
+    second corpus pass); the decile spine is 9 broadcast rows and the
+    lookup is one filtered min per (source, decile). Cost:
+    value-domain × sources, never the corpus. The streaming side
+    needs NOTHING new: the same additive length histograms staged for
+    the KS twin (start_length_histograms) reproduce sv exactly."""
+    from vnavc_spark.operators.ordering import quantile_drift_from_counts
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    sv = d.groupBy(
+        "source", F.col("n_chars").cast("long").alias("v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    return quantile_drift_from_counts(sv, "source", "v")
+
+
+@query(
+    "q193_autocorr",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS vc
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)),
+pairs AS (
+  SELECT a.g, a.vc AS x, b.vc AS y
+  FROM daily a JOIN daily b ON b.g = a.g AND b.d = a.d + 1),
+m AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS qx,
+         CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS qy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS p
+  FROM pairs GROUP BY g)
+SELECT g AS event_type, n AS n_pairs,
+       floor((CAST(n AS DOUBLE) * CAST(p AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS acf1
+FROM m
+WHERE n >= 2
+  AND n * qx > sx * sx AND n * qy > sy * sy
+""",
+)
+def q193_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily value series per event type
+    — the persistence/momentum diagnostic that closes the time-series
+    family (q81 EWMA smooths, q129 finds the break, q139/q153 find
+    seasonality; ACF(1) says whether the series is mean-reverting or
+    trending, the first thing a forecasting pipeline checks). The
+    corpus collapses to the DAILY aggregate in one map-side pass
+    (exact cents); the lag pairing is a self-EQUI-join on (type,
+    day+1) — calendar-lag semantics, no window, no sort, and gap days
+    simply produce no pair (documented: this is ACF over consecutive-
+    day pairs, the standard irregular-series convention). The
+    correlation is q185's exact-moment Pearson tree: one
+    decimal(38,0)/HUGEINT moment aggregate over the (dates × types)-
+    sized pair table, two correctly-rounded sqrts, 1e-6-rounded.
+    Constant series (zero variance) drop via the integer
+    cross-multiplied guard — no NaN reaches the hash."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("g"), F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("vc")
+    )
+    from vnavc_spark.cache import tracked_persist
+
+    daily = tracked_persist(daily, "acf_daily")
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.g") == F.col("a.g"))
+        & (F.col("b.d") == F.date_add(F.col("a.d"), 1)),
+    ).select(
+        F.col("a.g").alias("g"),
+        F.col("a.vc").alias("x"),
+        F.col("b.vc").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pairs.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("qx"),
+        F.sum(dec("y") * dec("y")).alias("qy"),
+        F.sum(dec("x") * dec("y")).alias("p"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("p") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("qx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("qy") - d("sy") * d("sy")
+    )
+    return (
+        m.filter(
+            (F.col("n") >= 2)
+            & (dec("n") * F.col("qx") > F.col("sx") * F.col("sx"))
+            & (dec("n") * F.col("qy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").alias("n_pairs"),
+            stable_round(num / den, 6).alias("acf1"),
+        )
+    )
+
+
+@query(
+    "q194_hhi_concentration",
+    oracle="""
+WITH m AS (
+  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS mc
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+    AND n_chars IS NOT NULL AND n_chars > 0
+  GROUP BY lang, source),
+a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(CAST(mc AS HUGEINT) * CAST(mc AS HUGEINT))
+              AS HUGEINT) AS sq,
+         CAST(sum(mc) AS BIGINT) AS tot
+  FROM m GROUP BY lang)
+SELECT lang, n_sources,
+       floor(CAST(sq AS DOUBLE) * 10000.0
+             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+       floor(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)
+             / CAST(sq AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS effective_sources
+FROM a WHERE tot > 0
+""",
+)
+def q194_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of character mass across
+    sources, per language — the mixture-design concentration check
+    (is a language's training data dominated by one crawl?). HHI is
+    the anti-trust standard on a 0–10,000 scale; its reciprocal (the
+    "effective number of sources") is the diversity count mixture
+    designers actually reason about — and unlike the entropy-based
+    effective count it needs NO ln(), so it hash-certifies exactly:
+    HHI = 10⁴·Σ mc²/tot² with Σ mc² an exact decimal(38,0)/HUGEINT
+    integer (a long overflows past ~3·10⁹ chars/source — sf1 already
+    exceeds it squared, hence decimal) and ONE double division per
+    output. Complements q105 (Gini, rank-weighted inequality) and
+    q110 (pairwise overlap): HHI is the scale-free dominance number.
+    One map-side aggregate to (lang × source) cells, then a
+    cells-sized reduction — nothing corpus-sized past the first
+    pass."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+    )
+    m = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("long").alias("mc")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = m.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum(dec("mc") * dec("mc")).alias("sq"),
+        F.sum("mc").cast("long").alias("tot"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return a.filter(F.col("tot") > 0).select(
+        "lang",
+        "n_sources",
+        stable_round(
+            dd("sq") * F.lit(10000.0) / (dd("tot") * dd("tot")), 6
+        ).alias("hhi"),
+        stable_round(dd("tot") * dd("tot") / dd("sq"), 6).alias(
+            "effective_sources"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -463,6 +463,25 @@ def ks_drift_snapshot(spark, partials_path: str) -> DataFrame:
     return ks_drift_from_counts(sv)
 
 
+def quantile_drift_snapshot(spark, partials_path: str) -> DataFrame:
+    """Per-source decile drift table from the SAME staged length
+    histograms the KS twin writes (:func:`start_length_histograms`) —
+    identical output contract to queries.q192 (source, decile,
+    src_value, corpus_value, drift). One staged partial set feeds
+    both distribution monitors: summing the additive counts
+    reproduces the batch count table exactly, and the shared
+    ``ordering.quantile_drift_from_counts`` core does the rest
+    (streaming == batch identity, parity-tested)."""
+    from vnavc_spark.operators.ordering import quantile_drift_from_counts
+
+    sv = (
+        spark.read.parquet(partials_path)
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return quantile_drift_from_counts(sv, "source", "v")
+
+
 def start_label_histograms(
     stream: DataFrame,
     partials_path: str,
