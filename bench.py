@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "q192_quantile_drift",
     "q193_autocorr",
     "q194_hhi_concentration",
+    "q195_kcore",
+    "q196_k_anonymity",
 ]
 
 

@@ -1887,3 +1887,88 @@ class TestQuantileDriftFromCounts:
                     want_src - want_corp,
                 ), (g, q)
         assert len(out) == 27
+
+
+class TestKcorePeel:
+    """kcore_peel (operators/dedup.py) — fixed-round prefix AND
+    fixpoint form vs brute-force peeling, on a graph with a cascade
+    (a chain that dissolves one vertex per sweep) so round counts
+    actually matter."""
+
+    @staticmethod
+    def _brute(edges, k, rounds=None):
+        import collections
+
+        adj = collections.defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        alive = set(adj)
+        r = 0
+        while rounds is None or r < rounds:
+            drop = {
+                u for u in alive
+                if sum(1 for w in adj[u] if w in alive) < k
+            }
+            if not drop:
+                break
+            alive -= drop
+            r += 1
+        return {
+            u: sum(1 for w in adj[u] if w in alive) for u in alive
+        }
+
+    def _edges(self):
+        # triangle+appendage core, a 4-clique, and a long chain that
+        # peels one end per sweep
+        tri = [(1, 2), (2, 3), (1, 3)]
+        clique = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13),
+                  (12, 13)]
+        chain = [(20, 21), (21, 22), (22, 23), (23, 24)]
+        bridge = [(3, 10), (3, 20)]
+        return tri + clique + chain + bridge
+
+    def test_fixed_rounds_match_brute_force(self, spark):
+        from vnavc_spark.operators.dedup import kcore_peel
+
+        edges = self._edges()
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        for rounds in (1, 2, 3):
+            got = {
+                r.doc_id: r.residual_deg
+                for r in kcore_peel(df, k=2, rounds=rounds).collect()
+            }
+            assert got == self._brute(edges, 2, rounds), rounds
+
+    def test_fixpoint_form(self, spark):
+        from vnavc_spark.operators.dedup import kcore_peel
+
+        edges = self._edges()
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.residual_deg
+            for r in kcore_peel(
+                df, k=2, rounds=50, to_fixpoint=True
+            ).collect()
+        }
+        want = self._brute(edges, 2)
+        assert got == want
+        # the chain is gone, the cores remain
+        assert set(got) == {1, 2, 3, 10, 11, 12, 13}
+        # k=3: triangle+bridges dissolve, only the 4-clique survives
+        got3 = {
+            r.doc_id
+            for r in kcore_peel(
+                df, k=3, rounds=50, to_fixpoint=True
+            ).collect()
+        }
+        assert got3 == {10, 11, 12, 13}
+
+    def test_rejects_bad_k(self, spark):
+        import pytest
+
+        from vnavc_spark.operators.dedup import kcore_peel
+
+        df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        with pytest.raises(ValueError, match="k must be"):
+            kcore_peel(df, k=0)

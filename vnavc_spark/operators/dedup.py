@@ -1633,3 +1633,60 @@ def contamination_rollup(per_doc: DataFrame) -> DataFrame:
         F.sum("n_hits").cast("long").alias("hit_shingles"),
         F.sum("n_shingles").cast("long").alias("total_shingles"),
     )
+
+
+def kcore_peel(
+    pairs: DataFrame, k: int = 2, rounds: int = 3, to_fixpoint: bool = False
+) -> DataFrame:
+    """k-core peeling over an undirected pair table (doc_a, doc_b):
+    repeatedly delete vertices whose CURRENT degree is < k — the
+    density filter that isolates the cohesive subgraph (dedup-cluster
+    hubs, co-purchase cores, citation kernels). Returns the vertices
+    alive after the peel with their residual degree (degree counted
+    among survivors only).
+
+    ``rounds`` fixes the number of peel sweeps — the certified form
+    (q195 unrolls the same three sweeps in its DuckDB oracle; the
+    q176 fixed-iteration stance: certify a deterministic prefix of
+    the loop, run the loop itself as deep as the caller wants).
+    ``to_fixpoint=True`` keeps sweeping (bounded by ``rounds`` as a
+    backstop ceiling then) and early-exits when a sweep deletes
+    nothing — the production form; each extra sweep is the same
+    bounded work, so the prefix certification transfers.
+
+    Scale shape (dedup_clusters' loop discipline): per sweep, the
+    survivor set filters the edge table via two semi joins (edges
+    ship ids only), one map-side-combinable degree count, one
+    threshold filter; the survivor frame is localCheckpointed so the
+    plan stays flat instead of growing a 2^rounds lineage. Edges are
+    whatever bounded pair table feeds it (capped-basket pairs, LSH
+    candidates) — never corpus²."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    both = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    alive = both.select("u").distinct().localCheckpoint()
+    for _ in range(rounds):
+        kept = (
+            both.join(alive, on="u", how="leftsemi")
+            .join(
+                alive.select(F.col("u").alias("v")), on="v", how="leftsemi"
+            )
+        )
+        deg = kept.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+        nxt = deg.filter(F.col("deg") >= k).select("u").localCheckpoint()
+        if to_fixpoint and nxt.count() == alive.count():
+            alive = nxt
+            break
+        alive = nxt
+    survivors = (
+        both.join(alive, on="u", how="leftsemi")
+        .join(alive.select(F.col("u").alias("v")), on="v", how="leftsemi")
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("residual_deg"))
+    )
+    return survivors.select(F.col("u").alias("doc_id"), "residual_deg")

@@ -11222,6 +11222,117 @@ def q194_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q195_kcore",
+    oracle=f"""
+WITH {_BASKET_PAIRS_SQL},
+e AS (SELECT part_a AS u, part_b AS v FROM pr
+      UNION ALL SELECT part_b, part_a FROM pr),
+d1 AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY u),
+a1 AS (SELECT u FROM d1 WHERE dg >= 2),
+e2 AS (SELECT e.u, e.v FROM e
+       JOIN a1 x ON x.u = e.u JOIN a1 y ON y.u = e.v),
+d2 AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM e2 GROUP BY u),
+a2 AS (SELECT u FROM d2 WHERE dg >= 2),
+e3 AS (SELECT e.u, e.v FROM e
+       JOIN a2 x ON x.u = e.u JOIN a2 y ON y.u = e.v),
+d3 AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM e3 GROUP BY u),
+a3 AS (SELECT u FROM d3 WHERE dg >= 2),
+e4 AS (SELECT e.u, e.v FROM e
+       JOIN a3 x ON x.u = e.u JOIN a3 y ON y.u = e.v)
+SELECT u AS part, CAST(count(*) AS BIGINT) AS residual_deg
+FROM e4 GROUP BY u
+""",
+)
+def q195_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling of the co-purchase graph, THREE certified peel
+    sweeps — the graph-density filter that completes the graph family
+    (q56/q152 find components, q131 counts triangles, q70 ranks;
+    k-core isolates the cohesive kernel — the hub detector for
+    dedup-cluster auditing and recommendation cores). Each sweep
+    deletes vertices whose CURRENT degree is < k, so pendants and
+    chains dissolve cascade-style. The registry certifies a FIXED
+    3-sweep prefix (the q176 fixed-iteration stance: the oracle
+    unrolls the same three sweeps as chained CTEs; the
+    ``dedup.kcore_peel`` operator runs to fixpoint in production via
+    ``to_fixpoint=True`` — each extra sweep is the same bounded
+    work). Scale shape: per sweep, two semi joins filter the
+    support-capped edge table (ids only) + one map-side degree count;
+    survivor frames are localCheckpointed (flat plans, no 2^rounds
+    lineage); edges come from the capped-basket pair table (q124's
+    cap stance) — never corpus². Unit-tested against brute-force
+    peeling including the fixpoint form."""
+    from vnavc_spark.operators.dedup import kcore_peel
+
+    pairs = _basket_pair_counts(_capped_basket_items(spark, sf_dir)).select(
+        F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
+    )
+    return kcore_peel(pairs, k=2, rounds=3).select(
+        F.col("doc_id").alias("part"), "residual_deg"
+    )
+
+
+@query(
+    "q196_k_anonymity",
+    oracle="""
+WITH cls AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM customer
+  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    AND c_acctbal IS NOT NULL
+  GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000.0))
+SELECT CAST(nk AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_risky_rows
+FROM cls GROUP BY nk
+""",
+)
+def q196_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier triple (nation,
+    market segment, account-balance kilo-band) — the privacy gate a
+    pipeline runs BEFORE publishing training data containing people
+    (q52 scrubs direct identifiers; k-anonymity measures whether the
+    remaining quasi-identifiers still single people out: a row in an
+    equivalence class smaller than k = 5 is re-identifiable by
+    joining public attributes). Output per nation: class count, row
+    count, and the risky classes/rows below the k threshold — the
+    numbers a release review reads. Pure integer two-level aggregate
+    (QI-class count, then nation rollup with conditional integer
+    sums): one map-side-combinable pass over the corpus, then a
+    classes-sized reduction; trivially hash-stable, and the QI-class
+    table is the generalization candidate set if the audit fails
+    (widen bands → re-run)."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isNotNull()
+        & F.col("c_mktsegment").isNotNull()
+        & F.col("c_acctbal").isNotNull()
+    )
+    cls = c.groupBy(
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("band"),
+    ).agg(F.count("*").cast("long").alias("sz"))
+    risky = F.col("sz") < 5
+    return cls.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.sum(F.when(risky, 1).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_risky_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
