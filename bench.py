@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     "q194_hhi_concentration",
     "q195_kcore",
     "q196_k_anonymity",
+    "q197_robust_trend",
+    "q198_cusum_alarm",
+    "q199_power_iteration",
 ]
 
 

@@ -1972,3 +1972,185 @@ class TestKcorePeel:
         df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
         with pytest.raises(ValueError, match="k must be"):
             kcore_peel(df, k=0)
+
+
+class TestRobustTrendQuery:
+    """q197_robust_trend vs brute-force Theil-Sen / Mann-Kendall on a
+    synthetic events table (itertools pair enumeration — independent
+    of the query's join/window machinery)."""
+
+    def test_matches_brute_force(self, spark, tmp_path):
+        import datetime
+        import itertools
+        import math
+
+        from vnavc_spark.queries import QUERIES
+
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        series = {
+            # upward with one outlier day (Theil-Sen must shrug it off)
+            "up": [10, 12, 14, 500, 18, 20, 22],
+            # flat with ties (MK S must be 0-ish, slope 0)
+            "flat": [5, 5, 5, 5, 5],
+            # strictly down
+            "down": [30, 25, 20, 15],
+        }
+        rows = []
+        eid = 0
+        for g, vals in series.items():
+            for i, v in enumerate(vals):
+                rows.append(
+                    (eid, base + datetime.timedelta(days=i), 1, g,
+                     float(v), "{}")
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.write.parquet(str(sf / "events.parquet"))
+        out = {
+            r.event_type: r
+            for r in QUERIES["q197_robust_trend"](spark, str(sf)).collect()
+        }
+        for g, vals in series.items():
+            cents = [v * 100 for v in vals]
+            pairs = [
+                ((cents[j] - cents[i]) / (j - i), i, j)
+                for i, j in itertools.combinations(range(len(vals)), 2)
+            ]
+            slopes = sorted(pairs)
+            med = slopes[(len(slopes) + 1) // 2 - 1][0]
+            mk = sum(
+                1 if b > a else (-1 if b < a else 0)
+                for (a, i), (b, j) in itertools.combinations(
+                    list(zip(cents, range(len(cents)))), 2
+                )
+            )
+            r = out[g]
+            assert r.n_days == len(vals)
+            assert r.n_pairs == len(slopes)
+            assert r.mk_s == mk, g
+            assert r.theil_sen_slope == math.floor(med * 1e6 + 0.5) / 1e6, g
+        assert out["flat"].theil_sen_slope == 0.0
+        assert out["flat"].mk_s == 0
+        assert out["down"].mk_s == -6
+        # the 500-spike day cannot drag the median slope far from 2/day
+        assert abs(out["up"].theil_sen_slope - 200.0) < 150.0
+
+
+class TestCusumAlarmQuery:
+    """q198_cusum_alarm vs the sequential recurrence S_t = max(0,
+    S_{t-1} + n*x_t - tot) run directly in Python — verifying the
+    prefix-sum/running-min closed form the query uses instead."""
+
+    def test_matches_sequential_recurrence(self, spark, tmp_path):
+        import datetime
+        import math
+
+        from vnavc_spark.queries import QUERIES
+
+        base = datetime.datetime(2024, 3, 1, 9, 0, 0)
+        series = {
+            # level shift mid-series: alarm must fire after the jump
+            "shift": [10] * 10 + [100] * 10,
+            # steady: never alarms
+            "steady": [50] * 12,
+            # single spike, then recovery: resets must work
+            "spike": [10, 10, 10, 300, 10, 10, 10, 10, 10, 10],
+        }
+        rows = []
+        eid = 0
+        for g, vals in series.items():
+            for i, v in enumerate(vals):
+                rows.append(
+                    (eid, base + datetime.timedelta(days=i), 1, g,
+                     float(v), "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+        out = {
+            r.event_type: r
+            for r in QUERIES["q198_cusum_alarm"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        for g, vals in series.items():
+            cents = [v * 100 for v in vals]
+            n, tot = len(cents), sum(cents)
+            s = 0
+            peak = 0
+            alarm = None
+            for i, x in enumerate(cents):
+                s = max(0, s + n * x - tot)
+                peak = max(peak, s)
+                if alarm is None and s > 3 * tot:
+                    alarm = (base + datetime.timedelta(days=i)).strftime(
+                        "%Y-%m-%d"
+                    )
+            r = out[g]
+            assert r.n_days == n
+            assert r.alarm_date == (alarm or "none"), g
+            want = math.floor(peak / (n * tot) * 1e6 + 0.5) / 1e6
+            assert r.peak_mean_days == want, (g, r.peak_mean_days, want)
+        assert out["steady"].alarm_date == "none"
+        assert out["shift"].alarm_date != "none"
+
+
+class TestPowerIterationQuery:
+    """q199_power_iteration vs the same two quantized matvec
+    iterations run densely in numpy — and a sanity check that the
+    result aligns with the true top eigenvector on a planted-spike
+    corpus."""
+
+    def test_matches_numpy_and_finds_planted_direction(
+        self, spark, tmp_path
+    ):
+        import math
+
+        import numpy as np
+
+        from vnavc_spark.queries import QUERIES
+
+        rng = np.random.RandomState(13)
+        # planted dominant direction + small noise
+        u = np.zeros(64)
+        u[7], u[21] = 0.8, -0.6
+        X = (
+            rng.randn(300, 1) * 0.4 * u[None, :]
+            + rng.randn(300, 64) * 0.02
+        )
+        spark.createDataFrame(
+            [(i, [float(x) for x in X[i]], "a") for i in range(300)],
+            "vec_id long, embedding array<double>, label string",
+        ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+        got = {
+            r.dim: r.v2
+            for r in QUERIES["q199_power_iteration"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+
+        xq = np.floor(X * 1000.0 + 0.5).astype(np.int64)
+        v = np.ones(64, dtype=np.int64)
+        for _ in range(2):
+            raw = xq.T.astype(object) @ (xq.astype(object) @ v)
+            m = max(abs(int(r)) for r in raw)
+            v = np.array(
+                [math.floor(float(r) * 1000.0 / float(m) + 0.5)
+                 for r in raw],
+                dtype=np.int64,
+            )
+        assert got == {d: int(v[d]) for d in range(64)}
+        # alignment with the planted direction (up to sign)
+        vv = np.array([got[d] for d in range(64)], dtype=float)
+        cos = abs(vv @ u) / (np.linalg.norm(vv) * np.linalg.norm(u))
+        assert cos > 0.98

@@ -150,6 +150,34 @@ SWEEP = [
     ("q183_effect_size", ("orders",), True, False),
     ("q184_mann_whitney", ("orders",), True, False),
     ("q185_spearman_corr", ("lineitem",), False, False),
+    # round 9 back half: the separation/drift pair ride the same
+    # value-domain histograms as q170 (verbatim replication keeps the
+    # grid CONSTANT, only the count scan grows); kendall cells are
+    # joint-value-domain-sized (constant under replication); benford
+    # is a 9-row spine after one scan; the TPC-H trio are scan/join
+    # families already represented but cheap to witness; autocorr's
+    # daily table is date-bounded (constant rows, growing masses);
+    # HHI cells are (lang x source)-sized; kcore sweeps semi-join the
+    # support-capped pair table (disjoint replicated subgraphs, like
+    # the communities row)
+    ("q186_score_separation", ("documents",), True, False),
+    ("q187_kendall_tau", ("lineitem",), True, False),
+    ("q188_benford_gate", ("orders",), True, False),
+    ("q189_product_profit", ("lineitem", "orders"), True, False),
+    ("q190_forecast_revenue", ("lineitem",), True, False),
+    ("q191_top_supplier", ("lineitem",), True, False),
+    ("q192_quantile_drift", ("documents",), True, False),
+    ("q193_autocorr", ("events",), True, False),
+    ("q194_hhi_concentration", ("documents",), True, False),
+    ("q195_kcore", ("lineitem",), False, False),
+    ("q196_k_anonymity", ("customer",), True, False),
+    # trend/CUSUM ride the calendar-bounded daily table (pair join /
+    # windows are date-domain-sized — constant under replication;
+    # only the daily reduction scan grows); power iteration is two
+    # corpus matvec passes with 64-int driver state
+    ("q197_robust_trend", ("events",), True, False),
+    ("q198_cusum_alarm", ("events",), True, False),
+    ("q199_power_iteration", ("embeddings",), True, False),
 ]
 
 

@@ -11051,6 +11051,44 @@ def q192_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_drift_from_counts(sv, "source", "v")
 
 
+def _daily_event_cents(
+    spark: SparkSession, sf_dir: str, slot: str
+) -> DataFrame:
+    """Per-(event_type, calendar day) exact-cent value sums — the
+    shared daily-series reduction feeding the time-series family
+    (q193 ACF, q197 robust trend, q198 CUSUM). ONE map-side-
+    combinable corpus pass; the result is (types × dates)-sized,
+    bounded by the calendar, never the corpus — every downstream
+    pairwise join, window, or fold runs on THIS table. Persisted per
+    consumer slot (each query drives its own lifecycle).
+
+    DuckDB mirror (shared by the consumers' oracles):
+    ``_DAILY_CENTS_SQL``."""
+    from vnavc_spark.cache import tracked_persist
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("g"), F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("vc")
+    )
+    return tracked_persist(daily, slot)
+
+
+_DAILY_CENTS_SQL = """daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS vc
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE))"""
+
+
 @query(
     "q193_autocorr",
     oracle="""
@@ -11100,21 +11138,7 @@ def q193_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized pair table, two correctly-rounded sqrts, 1e-6-rounded.
     Constant series (zero variance) drop via the integer
     cross-multiplied guard — no NaN reaches the hash."""
-    e = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull()
-        & F.col("ts").isNotNull()
-        & F.col("value").isNotNull()
-    )
-    daily = e.groupBy(
-        F.col("event_type").alias("g"), F.to_date("ts").alias("d")
-    ).agg(
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
-        .cast("long")
-        .alias("vc")
-    )
-    from vnavc_spark.cache import tracked_persist
-
-    daily = tracked_persist(daily, "acf_daily")
+    daily = _daily_event_cents(spark, sf_dir, slot="acf_daily")
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(
         b,
@@ -11331,6 +11355,301 @@ def q196_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_risky_rows"),
     )
+
+
+@query(
+    "q197_robust_trend",
+    oracle=f"""
+WITH {_DAILY_CENTS_SQL},
+p AS (
+  SELECT a.g, a.d AS da, b.d AS db,
+         CAST(b.vc - a.vc AS DOUBLE)
+           / CAST(datediff('day', a.d, b.d) AS DOUBLE) AS slope,
+         CASE WHEN b.vc > a.vc THEN 1 WHEN b.vc < a.vc THEN -1
+              ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON b.g = a.g AND b.d > a.d),
+s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(sgn) AS BIGINT) AS mk_s
+  FROM p GROUP BY g),
+r AS (
+  SELECT g, slope,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY slope, da, db) AS rn
+  FROM p),
+nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY g)
+SELECT s.g AS event_type, nd.n_days, s.m AS n_pairs, s.mk_s,
+       floor(r.slope * 1000000.0 + 0.5) / 1000000.0 AS theil_sen_slope
+FROM s
+JOIN nd ON nd.g = s.g
+JOIN r ON r.g = s.g AND r.rn = (s.m + 1) // 2
+""",
+)
+def q197_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend readout per event-type daily series: the
+    Theil–Sen slope (median of all pairwise slopes — up to ~29%
+    contaminated days cannot move it, unlike q107's OLS where one
+    spiked day owns the fit) plus the Mann–Kendall S statistic (the
+    pure-sign monotone-trend test, the standard before acting on a
+    drift alarm). The all-pairs definition is series², but the series
+    is the CALENDAR-BOUNDED daily table (`_daily_event_cents`: one
+    corpus pass, then types × dates rows), so the pair join is
+    date-domain² — constant as the corpus grows. Every pair slope is
+    one identical IEEE division of exact integers; MK S is a pure
+    integer sign sum; the median is the LOWER median (rank
+    (m+1) div 2 — deterministic, no midpoint averaging) selected by a
+    row_number window ordered (slope, day-pair) so double ties break
+    deterministically. Windows partition by type over date-bounded
+    rows — never corpus-sized."""
+    daily = _daily_event_cents(spark, sf_dir, slot="trend_daily")
+    a, b = daily.alias("a"), daily.alias("b")
+    p = a.join(
+        b,
+        (F.col("b.g") == F.col("a.g")) & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.g").alias("g"),
+        F.col("a.d").alias("da"),
+        F.col("b.d").alias("db"),
+        (
+            (F.col("b.vc") - F.col("a.vc")).cast("double")
+            / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
+        ).alias("slope"),
+        F.when(F.col("b.vc") > F.col("a.vc"), 1)
+        .when(F.col("b.vc") < F.col("a.vc"), -1)
+        .otherwise(F.lit(0))
+        .alias("sgn"),
+    )
+    from vnavc_spark.cache import tracked_persist
+
+    p = tracked_persist(p, "trend_pairs")
+    s = p.groupBy("g").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("sgn").cast("long").alias("mk_s"),
+    )
+    w = Window.partitionBy("g").orderBy("slope", "da", "db")
+    r = p.select("g", "slope", F.row_number().over(w).alias("rn"))
+    nd = daily.groupBy("g").agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        s.join(F.broadcast(nd), "g")
+        .join(
+            r,
+            (r.g == s.g)
+            & (F.col("rn") == F.expr("CAST((m + 1) DIV 2 AS INT)")),
+        )
+        .select(
+            s.g.alias("event_type"),
+            "n_days",
+            F.col("m").alias("n_pairs"),
+            "mk_s",
+            stable_round(F.col("slope"), 6).alias("theil_sen_slope"),
+        )
+    )
+
+
+@query(
+    "q198_cusum_alarm",
+    oracle=f"""
+WITH {_DAILY_CENTS_SQL},
+t AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vc) AS BIGINT) AS tot
+      FROM daily GROUP BY g),
+c AS (
+  SELECT daily.g, d, t.n, t.tot,
+         CAST(sum(CAST(n AS HUGEINT) * vc - tot)
+              OVER (PARTITION BY daily.g ORDER BY d) AS HUGEINT) AS cum
+  FROM daily JOIN t ON t.g = daily.g),
+s AS (
+  SELECT g, d, n, tot, cum,
+         cum - least(CAST(0 AS HUGEINT),
+                     min(cum) OVER (PARTITION BY g ORDER BY d)) AS st
+  FROM c),
+a AS (
+  SELECT g, n, tot,
+         max(st) AS peak,
+         min(CASE WHEN st > 3 * CAST(tot AS HUGEINT) THEN d END)
+           AS alarm_d
+  FROM s GROUP BY g, n, tot)
+SELECT g AS event_type, n AS n_days,
+       COALESCE(strftime(alarm_d, '%Y-%m-%d'), 'none') AS alarm_date,
+       floor(CAST(peak AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS peak_mean_days
+FROM a WHERE tot > 0
+""",
+)
+def q198_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alarm per event-type daily series — the
+    sequential change detector (q129 finds the single best historical
+    split; CUSUM is what MONITORING runs: accumulate excess over the
+    baseline, reset at zero, alarm when the excess exceeds h). The
+    recurrence S_t = max(0, S_{t-1} + x_t − μ) looks
+    fold-only, but its closed form is S_t = C_t − min(0, min_{u≤t}
+    C_u) over the deviation prefix sums C — so TWO calendar-bounded
+    windows replace the sequential fold, and everything stays exact:
+    deviations are scaled by n (n·x_t − Σx, integers — no rational
+    mean), prefix sums and running minima ride decimal(38,0)/HUGEINT,
+    the alarm test S_t > 3·n·μ = 3·Σx is an integer compare, and the
+    only double is the reported peak (in mean-day units, peak/(n·Σx),
+    one terminal division). First alarm day = min date passing the
+    integer test; 'none' when the series never drifts. Windows
+    partition by type over date-bounded rows."""
+    daily = _daily_event_cents(spark, sf_dir, slot="cusum_daily")
+    t = daily.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("tot"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    c = daily.join(F.broadcast(t), "g").select(
+        "g",
+        "d",
+        "n",
+        "tot",
+        (dec("n") * F.col("vc") - F.col("tot")).alias("dev"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = c.withColumn("cum", F.sum("dev").over(w))
+    c = c.withColumn(
+        "st",
+        F.col("cum")
+        - F.least(
+            F.lit(0).cast("decimal(38,0)"), F.min("cum").over(w)
+        ),
+    )
+    a = c.groupBy("g", "n", "tot").agg(
+        F.max("st").alias("peak"),
+        F.min(
+            F.when(
+                F.col("st") > F.lit(3) * dec("tot"), F.col("d")
+            )
+        ).alias("alarm_d"),
+    )
+    return a.filter(F.col("tot") > 0).select(
+        F.col("g").alias("event_type"),
+        F.col("n").alias("n_days"),
+        F.coalesce(
+            F.date_format("alarm_d", "yyyy-MM-dd"), F.lit("none")
+        ).alias("alarm_date"),
+        stable_round(
+            F.col("peak").cast("double")
+            / (F.col("n").cast("double") * F.col("tot").cast("double")),
+            6,
+        ).alias("peak_mean_days"),
+    )
+
+
+@query(
+    "q199_power_iteration",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+ex AS (SELECT vec_id, CAST(i AS BIGINT) - 1 AS dim,
+              CAST(floor(e[CAST(i AS INT)] * 1000.0 + 0.5) AS BIGINT)
+                AS xq
+       FROM v CROSS JOIN range(1, 65) t(i)),
+d1 AS (SELECT vec_id, CAST(sum(xq) AS BIGINT) AS dot
+       FROM ex GROUP BY vec_id),
+r1 AS (SELECT dim, CAST(sum(CAST(ex.xq AS HUGEINT) * d1.dot)
+                        AS HUGEINT) AS raw
+       FROM ex JOIN d1 ON d1.vec_id = ex.vec_id GROUP BY dim),
+m1 AS (SELECT max(abs(raw)) AS m FROM r1),
+v1 AS (SELECT dim,
+              CAST(floor(CAST(raw AS DOUBLE) * 1000.0
+                         / CAST(m AS DOUBLE) + 0.5) AS BIGINT) AS vq
+       FROM r1 CROSS JOIN m1),
+d2 AS (SELECT vec_id, CAST(sum(ex.xq * v1.vq) AS BIGINT) AS dot
+       FROM ex JOIN v1 ON v1.dim = ex.dim GROUP BY vec_id),
+r2 AS (SELECT ex.dim, CAST(sum(CAST(ex.xq AS HUGEINT) * d2.dot)
+                           AS HUGEINT) AS raw
+       FROM ex JOIN d2 ON d2.vec_id = ex.vec_id GROUP BY ex.dim),
+m2 AS (SELECT max(abs(raw)) AS m FROM r2)
+SELECT dim,
+       CAST(floor(CAST(raw AS DOUBLE) * 1000.0
+                  / CAST(m AS DOUBLE) + 0.5) AS BIGINT) AS v2
+FROM r2 CROSS JOIN m2
+""",
+)
+def q199_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA power iteration over the embedding corpus —
+    TWO certified matvec iterations toward the top principal
+    direction (the q176 fixed-iteration stance: certify a
+    deterministic prefix of the loop, run it as deep as the caller
+    wants). The uncentered covariance matvec (Σᵀ·Σ)v = Σᵢ xᵢ(xᵢ·v)
+    never materializes the 64×64 Gram matrix: each iteration is (a)
+    per-row dot against the current direction and (b) a per-dim
+    weighted sum — one corpus pass each. Hash-portability comes from
+    quantization: embeddings round once to exact 1e-3-grid integers
+    (the q102 int8 stance), v₀ = 1⃗ (fixed), every sum is exact
+    decimal(38,0)/HUGEINT, and the per-iteration renormalization to
+    the ±1000 grid is ONE identical double tree
+    (floor(raw·1000/max|raw| + 0.5)) — deterministic in both engines
+    even though it is a rounding, so iteration 2 starts from
+    bit-identical state. Output: the 64 quantized components after
+    two iterations (sign fixed by v₀). Scale: two corpus passes per
+    iteration total, shuffle payload is (dim × partials) +
+    vec-keyed dots, driver state is the 64-int direction (collected
+    and size-asserted, the q176 centroid pattern)."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x") * 1000 + F.lit(0.5)).cast("long").alias("xq"),
+    )
+    from vnavc_spark.cache import tracked_persist
+
+    ex = tracked_persist(ex, "powit_ex")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+
+    def matvec(vq: DataFrame | None) -> DataFrame:
+        # dot_i = x_i . v  (v0 = all-ones when vq is None)
+        if vq is None:
+            dots = ex.groupBy("vec_id").agg(
+                F.sum("xq").cast("long").alias("dot")
+            )
+        else:
+            dots = (
+                ex.join(F.broadcast(vq), "dim")
+                .groupBy("vec_id")
+                .agg(
+                    F.sum(F.col("xq") * F.col("vq"))
+                    .cast("long")
+                    .alias("dot")
+                )
+            )
+        raw = (
+            ex.join(dots, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(dec("xq") * F.col("dot")).alias("raw"))
+        )
+        m = raw.agg(F.max(F.abs(F.col("raw"))).alias("m"))
+        return raw.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.floor(
+                F.col("raw").cast("double")
+                * F.lit(1000.0)
+                / F.col("m").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("vq"),
+        )
+
+    v1 = matvec(None)
+    # driver-collected 64-int direction (q176's bounded-state
+    # pattern) so iteration 2's broadcast is a literal, not a
+    # recomputation of iteration 1's whole lineage inside each task
+    rows = v1.collect()
+    assert len(rows) <= 64, f"direction blew up: {len(rows)} dims"
+    v1_lit = emb.sparkSession.createDataFrame(
+        [(r["dim"], r["vq"]) for r in rows], "dim long, vq long"
+    )
+    v2 = matvec(v1_lit)
+    return v2.select("dim", F.col("vq").alias("v2"))
 
 
 # ---------------------------------------------------------------------------
