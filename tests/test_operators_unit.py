@@ -2154,3 +2154,33 @@ class TestPowerIterationQuery:
         vv = np.array([got[d] for d in range(64)], dtype=float)
         cos = abs(vv @ u) / (np.linalg.norm(vv) * np.linalg.norm(u))
         assert cos > 0.98
+
+
+class TestPpsEmptyCorpusGuard:
+    """Regression: the pps_systematic int64 guard must pass
+    TRIVIALLY on an empty input. An ungrouped aggregate over zero
+    rows emits one row with a NULL sum, and Catalyst may push the
+    single-column guard filter below the join onto that row —
+    assert_true(NULL) raised, killing the empty corpus inside the
+    guard meant for the oversized one (suite-order-dependent flake,
+    round 9)."""
+
+    def test_empty_input_yields_empty_sample_without_raising(self, spark):
+        from vnavc_spark.operators.sampling import pps_systematic
+
+        empty = spark.createDataFrame([], "id long, w long")
+        assert pps_systematic(empty, "id", "w", 50).count() == 0
+
+    def test_oversize_mass_still_raises(self, spark):
+        import pytest
+
+        from vnavc_spark.operators.sampling import pps_systematic
+
+        # sum fits int64 (2^62) but sum * k=50 does not — the regime
+        # the guard exists for (values that overflow the long sum
+        # itself die earlier in ANSI's own ARITHMETIC_OVERFLOW)
+        big = spark.createDataFrame(
+            [(1, 2**61), (2, 2**61)], "id long, w long"
+        )
+        with pytest.raises(Exception, match="exceeds"):
+            pps_systematic(big, "id", "w", 50).count()

@@ -318,9 +318,18 @@ def pps_systematic(
     # corrupting the sample with no error. The already-broadcast
     # total bounds every cum, so one cheap per-row assert makes an
     # oversize corpus fail loudly instead of sampling wrongly.
+    # _td is COALESCED for the guard: an ungrouped aggregate over an
+    # EMPTY corpus still emits one row with a NULL sum, and Catalyst
+    # may push this single-column filter below the join onto that
+    # row — assert_true(NULL) raises, so the empty corpus would die
+    # in the guard that exists to protect the oversized one (seen as
+    # a suite-order-dependent flake: the pushdown decision shifts
+    # with the session's cached-plan state).
     j = j.filter(
         F.assert_true(
-            F.col("_td")
+            F.coalesce(
+                F.col("_td"), F.lit(0).cast("decimal(38,0)")
+            )
             <= F.lit((2**63 - 1) // max(k, 1)).cast("decimal(38,0)"),
             F.lit(
                 f"pps_systematic: total weight mass * k={k} exceeds "
