@@ -188,6 +188,17 @@ def main() -> None:
         impl_fingerprint,
     )
 
+    known = {"--force", "--check"}
+    unknown = [a for a in sys.argv[1:] if a not in known]
+    if unknown:
+        # a typo'd (or --help) invocation must NOT silently REGENERATE
+        # the snapshot — this tool mutates certification state
+        print(
+            f"unknown argument(s) {unknown}; usage: "
+            "update_fingerprints.py [--check] [--force]",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     force = "--force" in sys.argv[1:]
     check = "--check" in sys.argv[1:]
     old: dict[str, object] = {}
