@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q197_robust_trend",
     "q198_cusum_alarm",
     "q199_power_iteration",
+    "q200_pipeline_manifest",
 ]
 
 

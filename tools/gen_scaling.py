@@ -178,6 +178,10 @@ SWEEP = [
     ("q197_robust_trend", ("events",), True, False),
     ("q198_cusum_alarm", ("events",), True, False),
     ("q199_power_iteration", ("embeddings",), True, False),
+    # composition manifest: dedup-key aggregate + two free-rider
+    # filters; verbatim replication makes every doc a dup clique so
+    # survivors stay source-sized (sublinear by construction)
+    ("q200_pipeline_manifest", ("documents",), True, False),
 ]
 
 

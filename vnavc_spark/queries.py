@@ -11652,6 +11652,87 @@ def q199_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v2.select("dim", F.col("vq").alias("v2"))
 
 
+@query(
+    "q200_pipeline_manifest",
+    oracle=f"""
+WITH d0 AS (
+  SELECT doc_id, lang, n_chars,
+         md5({NORM_SQL.format(c="text")}) AS k,
+         CAST({_TOK_COUNT_SQL} AS BIGINT) AS n_tok
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL),
+keep AS (SELECT k, min(doc_id) AS doc_id FROM d0 GROUP BY k),
+dd AS (SELECT d0.* FROM d0
+       JOIN keep ON keep.k = d0.k AND keep.doc_id = d0.doc_id),
+gated AS (SELECT * FROM dd WHERE n_tok >= 10 AND n_tok <= 5000),
+sp AS (
+  SELECT *,
+         CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   = 'f'
+              THEN 'eval' ELSE 'train' END AS split
+  FROM gated)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM sp GROUP BY split, lang
+""",
+)
+def q200_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pipeline composition witness — the corpus manifest
+    a training run reads after the whole prep pipeline ran: exact
+    dedup (min doc id per normalized-text md5, q20/q106's stance) →
+    token-count quality gate (10 ≤ tokens ≤ 5000, the q51/q83
+    band shape) → deterministic hash split (15/16 train via the md5
+    first-hex convention — content-stable like q66's, no RNG) →
+    per-(split, lang) document/token/char totals. One query certifies
+    the STAGES COMPOSED: a wrong answer in any stage (dedup keeping
+    the wrong copy, the gate off by one token, the split hash
+    diverging) moves the manifest counts, so the hash match is an
+    integration test across the operator families, not a single
+    operator. Shape: one corpus pass computes (key, token count), the
+    dedup survivor join is key-aggregate-sized, and the manifest is a
+    (2 × langs)-row reduction — the gate and split are free riders on
+    the survivor scan. All-integer output."""
+    d0 = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    n_tok = (
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+    )
+    d0 = d0.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(Q.normalized_text("text")).alias("k"),
+        n_tok.alias("n_tok"),
+    )
+    from vnavc_spark.cache import tracked_persist
+
+    d0 = tracked_persist(d0, "manifest_d0")
+    keep = d0.groupBy("k").agg(F.min("doc_id").alias("doc_id"))
+    dd = d0.join(keep, on=["k", "doc_id"], how="leftsemi")
+    gated = dd.filter((F.col("n_tok") >= 10) & (F.col("n_tok") <= 5000))
+    split = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        )
+        == F.lit("f"),
+        F.lit("eval"),
+    ).otherwise(F.lit("train"))
+    return gated.withColumn("split", split).groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
