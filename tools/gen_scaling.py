@@ -238,7 +238,16 @@ def main() -> None:
     ap.add_argument("--work", default="/tmp/scale_work")
     ap.add_argument("--skip-100x", action="store_true")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: re-measure just these and "
+        "MERGE into the round's existing artifact (same protocol) — "
+        "for re-adjudicating a one-off environmental stall without "
+        "a full 30-minute sweep",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     from vnavc_spark.queries import all_queries
     from vnavc_spark.session import get_spark
@@ -271,6 +280,8 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(args.base.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir):
         for name, _, _, _ in SWEEP:
+            if only is not None and name not in only:
+                continue
             try:
                 queries[name](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -280,6 +291,8 @@ def main() -> None:
 
     out: dict = {}
     for name, tables, runs_100, quad in SWEEP:
+        if only is not None and name not in only:
+            continue
         base_s = run_query(queries, spark, name, args.base)
         row = {"base_s": round(base_s, 3), "bound_tables": list(tables)}
         s10 = run_query(queries, spark, name, x10)
@@ -299,21 +312,30 @@ def main() -> None:
         out[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
 
-    artifact = {
-        "round": args.round,
-        "generated_by": "tools/gen_scaling.py",
-        "base_sf_dir": args.base,
-        "cpus": int(args.cpus),
-        "sink": "noop (full materialization — count() lets Catalyst prune)",
-        "replication": "shifted keys; document text verbatim (dedup "
-        "output grows ~factor^2 by design)",
-        "queries": out,
-    }
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
         f"SCALING_r{args.round:02d}.json",
     )
+    if only is not None and os.path.exists(dst):
+        with open(dst) as fh:
+            artifact = json.load(fh)
+        artifact["queries"].update(out)
+        artifact["remeasured"] = sorted(
+            set(artifact.get("remeasured", [])) | set(out)
+        )
+    else:
+        artifact = {
+            "round": args.round,
+            "generated_by": "tools/gen_scaling.py",
+            "base_sf_dir": args.base,
+            "cpus": int(args.cpus),
+            "sink": "noop (full materialization — count() lets Catalyst"
+            " prune)",
+            "replication": "shifted keys; document text verbatim (dedup "
+            "output grows ~factor^2 by design)",
+            "queries": out,
+        }
     with open(dst, "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)
         fh.write("\n")
