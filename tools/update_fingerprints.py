@@ -180,7 +180,7 @@ def tested_tree_fingerprints(names: list[str], current_regime: int):
         return None
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
     from vnavc_spark.queries import (
         FP_REGIME,
         QUERIES,
@@ -188,19 +188,10 @@ def main() -> None:
         impl_fingerprint,
     )
 
-    known = {"--force", "--check"}
-    unknown = [a for a in sys.argv[1:] if a not in known]
-    if unknown:
-        # a typo'd (or --help) invocation must NOT silently REGENERATE
-        # the snapshot — this tool mutates certification state
-        print(
-            f"unknown argument(s) {unknown}; usage: "
-            "update_fingerprints.py [--check] [--force]",
-            file=sys.stderr,
-        )
-        raise SystemExit(2)
-    force = "--force" in sys.argv[1:]
-    check = "--check" in sys.argv[1:]
+    if argv is None:
+        argv = sys.argv[1:]
+    force = "--force" in argv
+    check = "--check" in argv
     old: dict[str, object] = {}
     try:
         with open(SNAP_PATH) as fh:
@@ -326,4 +317,17 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # CLI strictness lives HERE, not in main(): a typo'd (or --help)
+    # invocation must NOT silently REGENERATE the snapshot (this tool
+    # mutates certification state), but in-process callers — the test
+    # suite calls main() under pytest's argv — pass their flags
+    # explicitly and must not trip over the host argv.
+    _unknown = [a for a in sys.argv[1:] if a not in {"--force", "--check"}]
+    if _unknown:
+        print(
+            f"unknown argument(s) {_unknown}; usage: "
+            "update_fingerprints.py [--check] [--force]",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    main(sys.argv[1:])
