@@ -949,3 +949,77 @@ class TestStreamingQuantileDrift:
         assert got == want
         # 9 deciles per source
         assert len(got) == 27
+
+
+class TestStreamingHhi:
+    def test_snapshot_equals_batch_q194(self, spark, tmp_path):
+        # additive (lang, source, mass) partials summed across batches
+        # must reproduce q194's cell table exactly; HHI is recomputed
+        # at snapshot time (squared shares aren't additive)
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        langs = ["en", "de"]
+        srcs = ["web", "books", "news"]
+        rows = [
+            {
+                "doc_id": i,
+                "text": "t",
+                "lang": langs[i % 2],
+                "source": srcs[(i * 7) % 3],
+                # skewed masses so HHI is far from uniform
+                "n_chars": 100 + (i % 4) * 900,
+            }
+            for i in range(90)
+        ]
+        rows.append({"doc_id": 900, "text": "x", "lang": None,
+                     "source": "web", "n_chars": 10})
+        rows.append({"doc_id": 901, "text": "x", "lang": "en",
+                     "source": "web", "n_chars": None})
+
+        src = tmp_path / "docs"
+        src.mkdir()
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(src, "b1.json", rows[:50])
+        q = ingest.start_mass_partials(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.DOC_STREAM_SCHEMA
+            ),
+            partials,
+            ckpt,
+        )
+        q.awaitTermination(60)
+        _write_batch(src, "b2.json", rows[50:])
+        q2 = ingest.start_mass_partials(
+            ingest.read_json_stream(
+                spark, str(src), schema=ingest.DOC_STREAM_SCHEMA
+            ),
+            partials,
+            ckpt,
+        )
+        q2.awaitTermination(60)
+
+        got = sorted(
+            tuple(r) for r in ingest.hhi_snapshot(spark, partials).collect()
+        )
+
+        sf_dir = tmp_path / "sf"
+        sf_dir.mkdir()
+        spark.createDataFrame(
+            [
+                (r["doc_id"], r["text"], r["lang"], r["source"],
+                 r["n_chars"])
+                for r in rows
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(str(sf_dir / "documents.parquet"))
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q194_hhi_concentration"](
+                spark, str(sf_dir)
+            ).collect()
+        )
+        assert got == want
+        assert len(got) == 2

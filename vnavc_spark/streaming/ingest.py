@@ -553,6 +553,79 @@ def score_separation_snapshot(spark, partials_path: str) -> DataFrame:
     return score_separation_from_counts(sv)
 
 
+def start_mass_partials(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    group_col: str = "lang",
+    cell_col: str = "source",
+    mass_col: str = "n_chars",
+):
+    """Stream side of the concentration monitor (queries.q194's
+    streaming twin): each micro-batch aggregates ITS OWN rows to
+    (group, cell, mass) partials under ``partials_path/batch_id=N``.
+    Mass sums are ADDITIVE, so the cumulative (group, cell) mass
+    table is a plain sum over batch partials; a replayed batch id
+    overwrites its own partial in place (the established exactly-once
+    stance). HHI itself is NOT computed per batch — squared shares
+    are not additive; the snapshot recomputes them from the staged
+    cells at (group × cell) cost."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(
+                F.col(group_col).isNotNull()
+                & F.col(cell_col).isNotNull()
+                & F.col(mass_col).isNotNull()
+                & (F.col(mass_col) > 0)
+            )
+            .groupBy(group_col, cell_col)
+            .agg(F.sum(mass_col).cast("long").alias("mass"))
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hhi_snapshot(spark, partials_path: str) -> DataFrame:
+    """Per-language HHI / effective-source concentration from the
+    staged mass partials — identical output contract to queries.q194
+    (lang, n_sources, hhi, effective_sources). Summing the additive
+    partials reproduces the batch (lang × source) mass table EXACTLY,
+    and the same exact-decimal squared-mass reduction does the rest
+    (streaming == batch identity, parity-tested)."""
+    from vnavc_spark.functions.portable import stable_round
+
+    m = (
+        spark.read.parquet(partials_path)
+        .groupBy("lang", "source")
+        .agg(F.sum("mass").cast("long").alias("mc"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = m.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum(dec("mc") * dec("mc")).alias("sq"),
+        F.sum("mc").cast("long").alias("tot"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return a.filter(F.col("tot") > 0).select(
+        "lang",
+        "n_sources",
+        stable_round(
+            dd("sq") * F.lit(10000.0) / (dd("tot") * dd("tot")), 6
+        ).alias("hhi"),
+        stable_round(dd("tot") * dd("tot") / dd("sq"), 6).alias(
+            "effective_sources"
+        ),
+    )
+
+
 def start_contamination_screen(
     stream: DataFrame,
     bench_hashes: DataFrame,
