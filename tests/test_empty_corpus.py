@@ -262,6 +262,21 @@ NULL_SENSITIVE = [
     "q173_interval_coverage",
     "q174_bpe_encode",
     "q175_bigram_oov_gate",
+    # round-9 back half: null lang must fall into the NEGATIVE class
+    # (not drop) in the AUC label, null source/n_chars drop from the
+    # separation/decile grids, null quantity/discount drop from the
+    # kendall cells, null event fields drop from the daily series,
+    # null text/lang/n_chars drop from the manifest identically in
+    # both engines
+    "q186_score_separation",
+    "q187_kendall_tau",
+    "q192_quantile_drift",
+    "q193_autocorr",
+    "q194_hhi_concentration",
+    "q196_k_anonymity",
+    "q197_robust_trend",
+    "q198_cusum_alarm",
+    "q200_pipeline_manifest",
 ]
 
 
