@@ -1023,3 +1023,37 @@ class TestStreamingHhi:
         )
         assert got == want
         assert len(got) == 2
+
+    def test_replayed_mass_partial_is_idempotent(self, spark, tmp_path):
+        # foreachBatch may replay a batch id after a crash: the partial
+        # write is mode=overwrite into batch_id=N, so a replay must
+        # leave the summed cells (and the snapshot) unchanged
+        from pyspark.sql import functions as F
+
+        from vnavc_spark.streaming import ingest
+
+        partials = str(tmp_path / "partials")
+        df = spark.createDataFrame(
+            [("en", "web", 100), ("en", "books", 300), ("de", "web", 50)],
+            "lang string, source string, n_chars long",
+        )
+        (
+            df.groupBy("lang", "source")
+            .agg(F.sum("n_chars").cast("long").alias("mass"))
+            .write.mode("overwrite")
+            .parquet(f"{partials}/batch_id=0")
+        )
+        once = sorted(
+            tuple(r) for r in ingest.hhi_snapshot(spark, partials).collect()
+        )
+        # replay batch 0 (same rows)
+        (
+            df.groupBy("lang", "source")
+            .agg(F.sum("n_chars").cast("long").alias("mass"))
+            .write.mode("overwrite")
+            .parquet(f"{partials}/batch_id=0")
+        )
+        again = sorted(
+            tuple(r) for r in ingest.hhi_snapshot(spark, partials).collect()
+        )
+        assert once == again
