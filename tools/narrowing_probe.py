@@ -28,6 +28,11 @@ DEFAULT = [
 
 
 def main() -> None:
+    if any(a.startswith("-") for a in sys.argv[1:]):
+        # flag-shaped args (incl. --help) must not silently start a
+        # 5-minute Spark measurement run
+        print(__doc__.strip(), file=sys.stderr)
+        raise SystemExit(0 if "--help" in sys.argv[1:] else 2)
     names = sys.argv[1:] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
