@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "q198_cusum_alarm",
     "q199_power_iteration",
     "q200_pipeline_manifest",
+    "q201_cramers_v",
 ]
 
 

@@ -182,6 +182,9 @@ SWEEP = [
     # filters; verbatim replication makes every doc a dup clique so
     # survivors stay source-sized (sublinear by construction)
     ("q200_pipeline_manifest", ("documents",), True, False),
+    # one count pass + a dozens-row grid; the sorted-fold sum is
+    # cell-table-sized
+    ("q201_cramers_v", ("orders",), True, False),
 ]
 
 

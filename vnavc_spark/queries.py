@@ -11733,6 +11733,114 @@ def q200_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q201_cramers_v",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2),
+r AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS rt FROM c GROUP BY pri),
+cl AS (SELECT st, CAST(sum(obs) AS BIGINT) AS ct FROM c GROUP BY st),
+t AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+             CAST(count(DISTINCT pri) AS BIGINT) AS nr,
+             CAST(count(DISTINCT st) AS BIGINT) AS nc
+      FROM c),
+grid AS (
+  SELECT r.pri, cl.st, r.rt, cl.ct, coalesce(c.obs, 0) AS obs
+  FROM r CROSS JOIN cl
+  LEFT JOIN c ON c.pri = r.pri AND c.st = cl.st),
+cc AS (
+  SELECT floor((CAST(obs AS DOUBLE)
+                - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(obs AS DOUBLE)
+                  - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS contrib
+  FROM grid CROSS JOIN t),
+s AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        list_sort(list(contrib))),
+           (acc, x) -> acc + x) AS chi2
+  FROM cc)
+SELECT t.n AS n_rows, t.nr * t.nc AS n_cells,
+       floor(s.chi2 * 1000000.0 + 0.5) / 1000000.0 AS chi2_stat,
+       floor(sqrt(s.chi2 / (CAST(t.n AS DOUBLE)
+                            * CAST(least(t.nr - 1, t.nc - 1) AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+FROM s CROSS JOIN t
+""",
+)
+def q201_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for priority × status — the NORMALIZED effect size
+    on top of q128's chi-square cells (χ² grows with n, so a
+    trillion-row table makes any microscopic dependence "significant";
+    V = √(χ²/(n·min(r−1,c−1))) ∈ [0,1] is the scale-free number a
+    mixture audit actually compares across tables). The certification
+    problem is the CROSS-CELL float sum: cell counts are
+    data-dependent (unlike q188's fixed 9 digits), so the pivoted
+    fixed-tree trick doesn't apply. Instead the per-cell contributions
+    are 6-dp-rounded by the shared stable tree, then summed by an
+    ORDERED fold over the SORTED contribution array — sort + fold is
+    deterministic in BOTH engines (Spark array_sort/aggregate, DuckDB
+    list_sort/list_reduce), so the one float reduction in the query
+    has exactly one evaluation order. Rounding-before-summing costs
+    < r·c·5e-7 absolute — a documented convention, identical on both
+    sides. Cell table is (r × c)-sized; everything after the one
+    map-side count pass is a ≤dozens-row reduction."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").cast("long").alias("obs"))
+    from vnavc_spark.cache import tracked_persist
+
+    c = tracked_persist(c, "cramers_cells")
+    r = c.groupBy("pri").agg(F.sum("obs").cast("long").alias("rt"))
+    cl = c.groupBy("st").agg(F.sum("obs").cast("long").alias("ct"))
+    t = c.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("pri").cast("long").alias("nr"),
+        F.countDistinct("st").cast("long").alias("nc"),
+    )
+    grid = (
+        r.crossJoin(cl)
+        .join(c, on=["pri", "st"], how="left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(t))
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    d = F.col("obs").cast("double") - e
+    cc = grid.select(stable_round(d * d / e, 6).alias("contrib"))
+    s = cc.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("contrib")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2")
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        F.col("n").alias("n_rows"),
+        (F.col("nr") * F.col("nc")).alias("n_cells"),
+        stable_round(F.col("chi2"), 6).alias("chi2_stat"),
+        stable_round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(
+                        F.col("nr") - F.lit(1), F.col("nc") - F.lit(1)
+                    ).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
