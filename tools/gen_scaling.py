@@ -251,6 +251,15 @@ def main() -> None:
     )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
+    if only is not None:
+        # a typo'd name would be silently skipped by the sweep loop,
+        # so a re-adjudication run could no-op while still rewriting
+        # the artifact — fail loudly instead
+        unknown = only - {name for name, _, _, _ in SWEEP}
+        if unknown:
+            raise SystemExit(
+                f"--only names not in SWEEP: {sorted(unknown)}"
+            )
 
     from vnavc_spark.queries import all_queries
     from vnavc_spark.session import get_spark
@@ -327,6 +336,13 @@ def main() -> None:
         artifact["remeasured"] = sorted(
             set(artifact.get("remeasured", [])) | set(out)
         )
+        # the merged artifact keeps the ORIGINAL run's top-level
+        # cpus/base_sf_dir — record the re-measure's environment
+        # per query so a re-adjudication under a different setup is
+        # visible in the artifact, not just the shell history
+        env = artifact.setdefault("remeasured_env", {})
+        for name in out:
+            env[name] = {"cpus": int(args.cpus), "base_sf_dir": args.base}
     else:
         artifact = {
             "round": args.round,

@@ -11644,7 +11644,18 @@ def q199_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern) so iteration 2's broadcast is a literal, not a
     # recomputation of iteration 1's whole lineage inside each task
     rows = v1.collect()
-    assert len(rows) <= 64, f"direction blew up: {len(rows)} dims"
+    # explicit raises (not assert — stripped under python -O): the
+    # driver-state bound AND the all-zero-corpus degenerate case
+    # (max|raw| = 0 makes the renormalization divide by zero and the
+    # quantized direction comes back NULL — fail loudly instead of
+    # silently propagating a null direction into iteration 2)
+    if len(rows) > 64:
+        raise ValueError(f"direction blew up: {len(rows)} dims")
+    if any(r["vq"] is None for r in rows):
+        raise ValueError(
+            "power iteration degenerate: max|raw| = 0 (all-zero "
+            "embedding corpus?) — direction is undefined"
+        )
     v1_lit = emb.sparkSession.createDataFrame(
         [(r["dim"], r["vq"]) for r in rows], "dim long, vq long"
     )
