@@ -878,7 +878,16 @@ def compact_signature_table(
 # near-dup clustering (connected components) + keep-one
 # ---------------------------------------------------------------------------
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+#: Telemetry for the CC loop (the NARROWING_STATS pattern): one dict
+#: per dedup_clusters call — propagation rounds run, checkpoint
+#: batches (= expensive driver syncs), wall per batch. Cleared and
+#: read by probes/tests; never consulted by the operator itself.
+CC_STATS: list[dict] = []
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iters: int = 50, check_every: int = 2
+) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
     for every doc appearing in a pair, cluster_id = min doc id of its
     component — the step that turns PAIRS into dedup GROUPS (A~B,
@@ -889,10 +898,20 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     O(component diameter) rounds (near-dup components are cliques or
     short chains — diameter is tiny in practice; ``max_iters`` is a
     pathological-chain backstop). Each round is one join + one
-    map-side-combinable min-agg; labels are localCheckpointed per
-    round so the plan stays flat instead of growing a 2^k lineage.
-    This is the simple form of the large-star/small-star CC
-    algorithm; same per-round shuffle shape."""
+    map-side-combinable min-agg. This is the simple form of the
+    large-star/small-star CC algorithm; same per-round shuffle shape.
+
+    Driver-sync discipline (round-10): rounds run in BATCHES of
+    ``check_every`` — one flat lineage of k join+min rounds, ONE
+    eager localCheckpoint per batch (instead of per round), then the
+    convergence check counts rows whose label moved in the batch's
+    LAST round straight off the checkpointed blocks (the previous
+    label rides along as a column, so the old per-round
+    labels-vs-labels join is gone entirely). Comparing only the last
+    round is sound: propagation is a deterministic function of the
+    label table, so one no-change round IS the fixpoint. Labels only
+    ever decrease, so batching never overshoots — it just converges
+    in ceil((D+1)/k) syncs instead of 2·(D+1)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -905,29 +924,37 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, on="node", how="left")
-            .select(
+    import time as _time
+
+    stats = {"rounds": 0, "batches": 0, "batch_s": []}
+    CC_STATS.append(stats)
+    rounds_left = max_iters
+    while rounds_left > 0:
+        t0 = _time.perf_counter()
+        k = min(check_every, rounds_left)
+        rounds_left -= k
+        cur = labels
+        for i in range(k):
+            nbr_min = (
+                edges.join(cur.select("node", "label"), edges.src == F.col("node"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            cur = cur.select("node", "label").join(
+                nbr_min, on="node", how="left"
+            ).select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                F.col("label").alias("prev"),
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        cur = cur.localCheckpoint()
+        changed = cur.filter(F.col("label") != F.col("prev")).count()
+        labels = cur.select("node", "label")
+        stats["rounds"] += k
+        stats["batches"] += 1
+        stats["batch_s"].append(round(_time.perf_counter() - t0, 3))
         if changed == 0:
             break
     return labels.select(
