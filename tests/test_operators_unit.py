@@ -985,6 +985,47 @@ class TestContainmentPairs:
             }
             assert rows == {(1, 0): 1.0}  # small-in-big only, NOT (0, 1)
 
+    def test_clique_guard_bounds_identical_set_blowup(self, spark):
+        """The run-exact-dedup-first precondition is enforced in the
+        operator: >clique_cap docs with IDENTICAL shingle sets
+        collapse to one min-id representative before pairing, so a
+        k-clique contributes zero internal pairs instead of k(k-1);
+        pairs involving a representative carry the clique size in
+        the audit columns."""
+        import os
+        import tempfile
+        import uuid
+
+        from vnavc_spark.queries import all_queries
+
+        filler = [f"w{uuid.uuid4().hex[:8]}{i}" for i in range(120)]
+        big = " ".join(filler)
+        # the clique shares a 30-token window of big -> every clique
+        # member is contained in big (containment 1.0)
+        chunk = " ".join(filler[40:72])
+        with tempfile.TemporaryDirectory() as td:
+            rows = [(i, chunk, "en", "s", 10) for i in range(50)]
+            rows.append((1000, big, "en", "s0", len(big)))
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long",
+            ).write.parquet(os.path.join(td, "documents.parquet"))
+            out = all_queries()["q117_containment_dedup"](
+                spark, td
+            ).collect()
+            # 50-clique internal pairs (2450) are gone; the one
+            # representative (doc 0) still pairs with big, standing
+            # for all 50 collapsed docs via the audit column
+            pairs = {
+                (r.contained_id, r.container_id): (
+                    r.n_collapsed_contained,
+                    r.n_collapsed_container,
+                )
+                for r in out
+            }
+            assert pairs == {(0, 1000): (50, 1)}, pairs
+
     def test_bucket_cell_budget_fails_fast(self, spark):
         import pytest
 

@@ -68,11 +68,13 @@ SWEEP = [
     ("q113_exact_median_scalable", ("lineitem",), True, False),
     # round 4: CMS-screened heavy hitters (sketch shuffle is constant
     # -> expect sublinear growth), TV drift (one (source, token)
-    # shuffle), containment prefix join (dup cliques grow ~factor^2
-    # like the other near-dup rows)
+    # shuffle), containment prefix join (round 10: the in-operator
+    # clique guard collapses identical-set groups, so the formerly
+    # output-quadratic verbatim-replication regime is now held to
+    # the LINEAR bar — measured x10 ratio 18.8 pre-guard, 3.6 post)
     ("q116_heavy_hitters", ("documents",), False, False),
     ("q118_distribution_drift", ("documents",), False, False),
-    ("q117_containment_dedup", ("documents",), False, True),
+    ("q117_containment_dedup", ("documents",), False, False),
     ("q120_gap_fill", ("events",), False, False),
     ("q121_exact_mad_scalable", ("lineitem",), False, False),
     ("q122_skyline", ("orders",), True, False),

@@ -1499,6 +1499,7 @@ def containment_join(
     threshold_den: int = 10,
     min_shingles: int = 8,
     bucket_cap: int | None = None,
+    clique_cap: int | None = 8,
 ) -> DataFrame:
     """EXACT asymmetric containment self-join: pairs (A, B) with
     |sh(A) ∩ sh(B)| / |sh(A)| ≥ num/den — Broder's second measure;
@@ -1527,26 +1528,82 @@ def containment_join(
     oracle). Verification is per-pair ``array_intersect`` over the
     two sorted sets — no second fan-out.
 
-    Run EXACT dedup first in a real pipeline: k identical copies of
-    a document form a k-clique, so candidate and output volume grow
-    ~k² per clique (any containment definition does — the pairs
-    genuinely exist). The scaling sweep's verbatim-replication
-    stress measures exactly this output-quadratic regime
-    (docs/SCALING_r04.json flags it ``output_quadratic``).
+    The "run exact dedup first" precondition is ENFORCED, not just
+    documented (round-10): k identical copies of a document form a
+    k-clique, so candidate and output volume grow ~k² per clique
+    (any containment definition does — the pairs genuinely exist).
+    Docs are grouped by a signature of their full shingle SET; a
+    group larger than ``clique_cap`` collapses to its min-id
+    representative before pairing, and every output pair carries
+    ``n_collapsed_contained`` / ``n_collapsed_container`` audit
+    columns (1 for uncollapsed docs, the clique size for a
+    representative — the pair stands for that many collapsed pairs;
+    the clique's internal identical-set pairs are exactly what exact
+    dedup removes). The signature only partitions docs WITHIN each
+    engine, so an oracle mirrors the rule with any equivalent
+    grouping. ``clique_cap=None`` disables the collapse. The scaling
+    sweep's verbatim-replication stress measures exactly the
+    output-quadratic regime this bounds (docs/SCALING_r04.json
+    flagged it ``output_quadratic`` pre-guard).
 
     Returns (contained_id, container_id, n_shared, n_contained,
-    containment) for verified pairs, both directions when both hold.
+    containment, n_collapsed_contained, n_collapsed_container) for
+    verified pairs, both directions when both hold.
     """
     from vnavc_spark.cache import tracked_persist
 
     sets = ordered_shingle_sets(df, id_col, text_col, n).filter(
         F.col("n_sh") >= min_shingles
     )
+    if clique_cap is not None:
+        sets = sets.withColumn(
+            "_sig", F.md5(F.concat_ws("\x1f", F.array_sort("sets")))
+        )
     # the ordered-sets subtree (explode + vocab join + per-doc array
     # build) feeds FOUR consumers (probes, occurrences, both verify
     # sides) — persist it so the heavy lineage runs once per job, not
     # four times (at most one cache alive per session, see cache.py)
     sets = tracked_persist(sets, "containment_sets")
+    if clique_cap is not None:
+        # clique decisions computed ARRAY-FREE off the cache: project
+        # (id, sig) → group-count + min-id per sig (map-side
+        # combinable; shuffles only scalar rows, never the shingle
+        # arrays — a window over the full rows measured 2× the whole
+        # query at sf0.1) → per-doc keep/multiplicity verdicts → one
+        # id-keyed join back (AQE broadcasts the verdict table; at
+        # cluster scale it's one id-shuffle — far cheaper than the
+        # k² pairs it prevents)
+        over = (
+            sets.select(id_col, "_sig")
+            .groupBy("_sig")
+            .agg(
+                F.count("*").alias("_cn"),
+                F.min(id_col).alias("_rep"),
+            )
+            .filter(F.col("_cn") > clique_cap)
+        )
+        # only OVER-cap cliques need rows (sub-cap docs default to
+        # keep/multiplicity-1 through the left join) — on a clean
+        # corpus this table is EMPTY, so the per-consumer cost is a
+        # broadcast probe, not a per-doc verdict join (a full
+        # verdict table measured +50%, persisted still +20%).
+        # Persisted so its cache-scan + tiny shuffle run once, not
+        # once per downstream consumer.
+        over = tracked_persist(over, "containment_over")
+        sets = (
+            sets.join(over, on="_sig", how="left")
+            .filter(
+                F.col("_cn").isNull()
+                | (F.col(id_col) == F.col("_rep"))
+            )
+            .withColumn(
+                "clique_n",
+                F.coalesce(F.col("_cn"), F.lit(1)).cast("long"),
+            )
+            .drop("_sig", "_cn", "_rep")
+        )
+    else:
+        sets = sets.withColumn("clique_n", F.lit(1).cast("long"))
     # ceil(n_sh * num / den) in exact integer arithmetic
     need = F.floor(
         (F.col("n_sh") * threshold_num + (threshold_den - 1))
@@ -1578,9 +1635,12 @@ def containment_join(
         F.col(id_col).alias("contained_id"),
         F.col("sets").alias("_sa"),
         F.col("n_sh").alias("n_contained"),
+        F.col("clique_n").alias("n_collapsed_contained"),
     )
     sb = sets.select(
-        F.col(id_col).alias("container_id"), F.col("sets").alias("_sb")
+        F.col(id_col).alias("container_id"),
+        F.col("sets").alias("_sb"),
+        F.col("clique_n").alias("n_collapsed_container"),
     )
     return (
         cands.join(sa, "contained_id")
@@ -1602,6 +1662,8 @@ def containment_join(
                 F.col("n_shared")
                 / F.col("n_contained").cast("double")
             ).alias("containment"),
+            "n_collapsed_contained",
+            "n_collapsed_container",
         )
     )
 

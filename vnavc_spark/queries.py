@@ -5287,9 +5287,21 @@ def q116_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q117_containment_dedup",
     oracle=f"""
 WITH {_shingle_cte()},
-shx AS (
+shx0 AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
   WHERE len(shingles) >= 8),
+sig AS (
+  SELECT doc_id, md5(string_agg(s, chr(31) ORDER BY s)) AS k
+  FROM shx0 GROUP BY doc_id),
+grp AS (SELECT k, CAST(count(*) AS BIGINT) AS cn,
+               min(doc_id) AS rep
+        FROM sig GROUP BY k),
+act AS (
+  SELECT sig.doc_id,
+         CASE WHEN grp.cn <= 8 THEN 1 ELSE grp.cn END AS clique_n
+  FROM sig JOIN grp ON grp.k = sig.k
+  WHERE grp.cn <= 8 OR sig.doc_id = grp.rep),
+shx AS (SELECT shx0.* FROM shx0 JOIN act ON act.doc_id = shx0.doc_id),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
           FROM shx GROUP BY doc_id),
 shared AS (
@@ -5299,8 +5311,13 @@ shared AS (
   GROUP BY a.doc_id, b.doc_id)
 SELECT contained_id, container_id, n_shared, n_sh AS n_contained,
        floor(CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE)
-             * 1000000.0 + 0.5) / 1000000.0 AS containment
-FROM shared JOIN sizes ON sizes.doc_id = contained_id
+             * 1000000.0 + 0.5) / 1000000.0 AS containment,
+       ca.clique_n AS n_collapsed_contained,
+       cb.clique_n AS n_collapsed_container
+FROM shared
+JOIN sizes ON sizes.doc_id = contained_id
+JOIN act ca ON ca.doc_id = contained_id
+JOIN act cb ON cb.doc_id = container_id
 WHERE n_shared * 10 >= n_sh * 8
 """,
 )
@@ -5318,7 +5335,14 @@ def q117_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on hot shingles: boilerplate shingles sort to the array TAIL and
     never enter a probe prefix (an earlier all-occurrence pair join
     was 22 s at sf0.1; the prefix probe shape is ~3 s). Per-pair
-    verification is one ``array_intersect`` — no second fan-out."""
+    verification is one ``array_intersect`` — no second fan-out.
+    The run-exact-dedup-first precondition is enforced in the
+    operator (round-10): identical-shingle-set groups larger than 8
+    collapse to their min-id representative before pairing, and each
+    pair carries n_collapsed_contained / n_collapsed_container audit
+    multiplicities (1 when nothing collapsed) — the oracle mirrors
+    the collapse, so the output-quadratic clique regime is bounded
+    on BOTH engines."""
     d = table(spark, sf_dir, "documents")
     out = dedup.containment_join(
         d,
@@ -5335,6 +5359,8 @@ def q117_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         "n_contained",
         stable_round(F.col("containment"), 6).alias("containment"),
+        "n_collapsed_contained",
+        "n_collapsed_container",
     )
 
 
