@@ -137,6 +137,10 @@ BENCH_QUERIES = [
     "q199_power_iteration",
     "q200_pipeline_manifest",
     "q201_cramers_v",
+    # round 10 additions: record-linkage blocking and the
+    # second-consumer AUC (events shape)
+    "q202_name_linkage",
+    "q203_weekend_value_auc",
 ]
 
 #: Bit-unchanged ambient witnesses (round-10 verdict item #1): four

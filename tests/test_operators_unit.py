@@ -2225,3 +2225,49 @@ class TestPpsEmptyCorpusGuard:
         )
         with pytest.raises(Exception, match="exceeds"):
             pps_systematic(big, "id", "w", 50).count()
+
+
+class TestNameLinkage:
+    """q202_name_linkage: radius-1 deletion blocking + levenshtein
+    verify over DISTINCT names, exact-duplicate records collapsed to
+    one entity row with the record count as multiplicity."""
+
+    def test_planted_typos_and_exact_dup_collapse(self, spark, tmp_path):
+        import os
+
+        from vnavc_spark.queries import all_queries
+
+        rows = [
+            # three records of the SAME name -> ONE entity (n_recs=3),
+            # zero intra-name pairs
+            (1, "alice cooper"),
+            (2, "alice cooper"),
+            (3, "alice cooper"),
+            # substitution, deletion, insertion neighbors
+            (4, "alice coopar"),
+            (5, "alice coper"),
+            (6, "alice coopper"),
+            # distance 2 -> must NOT pair with "alice cooper"
+            (7, "alize coopar"),
+            # far away
+            (8, "bob"),
+        ]
+        df = spark.createDataFrame(
+            [(k, nm, 1, "x", 0.0) for k, nm in rows],
+            "c_custkey long, c_name string, c_nationkey long, "
+            "c_phone string, c_acctbal double",
+        )
+        df.write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+        out = all_queries()["q202_name_linkage"](spark, str(tmp_path))
+        pairs = {
+            (r.name_a, r.name_b): (r.n_recs_a, r.n_recs_b, r.dist)
+            for r in out.collect()
+        }
+        assert pairs == {
+            ("alice coopar", "alice cooper"): (1, 3, 1),
+            ("alice cooper", "alice coopper"): (3, 1, 1),
+            ("alice cooper", "alice coper"): (3, 1, 1),
+            # the lev-1 neighbors of "alice cooper" are lev<=2 from
+            # each other; only genuinely lev-1 pairs survive verify
+            ("alice coopar", "alize coopar"): (1, 1, 1),
+        }, pairs

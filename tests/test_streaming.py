@@ -1057,3 +1057,189 @@ class TestStreamingHhi:
             tuple(r) for r in ingest.hhi_snapshot(spark, partials).collect()
         )
         assert once == again
+
+
+class TestBenfordTwin:
+    """queries.q188's streaming twin: per-batch additive first-digit
+    count partials (start_digit_partials) summed at snapshot time
+    into the shared aggregates.benford_gate_from_digit_counts core —
+    snapshot == batch identity on the REAL sf0.001 orders table."""
+
+    def test_snapshot_equals_batch_on_real_orders(self, spark, tmp_path):
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        orders = table(spark, sf, "orders")
+        # split the real table into two micro-batches by key parity:
+        # one source dir + ONE checkpoint, so the second start
+        # continues at batch_id=1 instead of overwriting partial 0
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, half in enumerate(
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 0),
+                orders.filter(F.col("o_orderkey") % 2 == 1),
+            )
+        ):
+            part = tmp_path / f"stage{i}"
+            half.select(
+                "o_orderpriority", "o_totalprice"
+            ).coalesce(1).write.json(str(part))
+            import glob as _glob
+            import shutil as _shutil
+
+            for j, f in enumerate(
+                sorted(_glob.glob(str(part / "*.json")))
+            ):
+                _shutil.copy(f, src / f"half{i}_{j}.json")
+            q = ingest.start_digit_partials(
+                spark.readStream.schema(
+                    "o_orderpriority string, o_totalprice double"
+                ).json(str(src)),
+                partials,
+                ckpt,
+            )
+            q.awaitTermination(60)
+        got = sorted(
+            tuple(r)
+            for r in ingest.benford_snapshot(spark, partials).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q188_benford_gate"](spark, sf).collect()
+        )
+        assert got == want and len(got) == 5
+
+    def test_replayed_digit_partial_is_idempotent(self, spark, tmp_path):
+        from vnavc_spark.streaming import ingest
+
+        partials = str(tmp_path / "partials")
+        df = spark.createDataFrame(
+            [("HI", 123.45), ("HI", 913.0), ("LO", 55.5)],
+            "o_orderpriority string, o_totalprice double",
+        )
+
+        def stage():
+            (
+                df.select(
+                    F.col("o_orderpriority").alias("pri"),
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")
+                    .alias("vc"),
+                )
+                .groupBy(
+                    "pri",
+                    F.substring(F.col("vc").cast("string"), 1, 1)
+                    .cast("int")
+                    .alias("d"),
+                )
+                .agg(F.count("*").cast("long").alias("obs"))
+                .write.mode("overwrite")
+                .parquet(f"{partials}/batch_id=0")
+            )
+
+        stage()
+        once = sorted(
+            tuple(r)
+            for r in ingest.benford_snapshot(spark, partials).collect()
+        )
+        stage()  # replay batch 0
+        again = sorted(
+            tuple(r)
+            for r in ingest.benford_snapshot(spark, partials).collect()
+        )
+        assert once == again
+
+
+class TestEventsAucTwin:
+    """The label-histogram twin certified against its SECOND consumer
+    (queries.q203): the stream pre-projects events to (event_type,
+    cents, weekend-label) — q203's exact projection — stages the same
+    additive class-conditional histograms, and the parameterized
+    score_separation_snapshot reproduces the batch query."""
+
+    def test_snapshot_equals_batch_q203_on_real_events(
+        self, spark, tmp_path
+    ):
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        ev = table(spark, sf, "events")
+        partials = str(tmp_path / "partials")
+
+        def project(df):
+            # q203's exact projection: non-null gate, exact cents,
+            # epoch-day weekend label (as a string class so the
+            # operator's label equality applies)
+            epoch = F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            wk = ((epoch + 3) % 7 + 1).isin(6, 7)
+            return df.filter(
+                F.col("event_type").isNotNull()
+                & F.col("value").isNotNull()
+                & F.col("ts").isNotNull()
+            ).select(
+                "event_type",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+                F.when(wk, F.lit("we")).otherwise(F.lit("wd")).alias(
+                    "wk"
+                ),
+            )
+
+        ckpt = str(tmp_path / "ckpt")
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, half in enumerate(
+            (
+                ev.filter(F.col("event_id") % 2 == 0),
+                ev.filter(F.col("event_id") % 2 == 1),
+            )
+        ):
+            part = tmp_path / f"stage{i}"
+            half.select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ).coalesce(1).write.json(str(part))
+            import glob as _glob
+            import shutil as _shutil
+
+            for j, f in enumerate(
+                sorted(_glob.glob(str(part / "*.json")))
+            ):
+                _shutil.copy(f, src / f"half{i}_{j}.json")
+            q = ingest.start_label_histograms(
+                project(
+                    spark.readStream.schema(
+                        ingest.EVENT_STREAM_SCHEMA
+                    ).json(str(src))
+                ),
+                partials,
+                ckpt,
+                source_col="event_type",
+                len_col="cents",
+                label_col="wk",
+                pos_value="we",
+            )
+            q.awaitTermination(60)
+        got = sorted(
+            tuple(r)
+            for r in ingest.score_separation_snapshot(
+                spark, partials, group_col="event_type", value_col="cents"
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q203_weekend_value_auc"](
+                spark, sf
+            ).collect()
+        )
+        assert got == want and len(got) == 5

@@ -75,6 +75,12 @@ SWEEP = [
     ("q116_heavy_hitters", ("documents",), False, False),
     ("q118_distribution_drift", ("documents",), False, False),
     ("q117_containment_dedup", ("documents",), False, False),
+    # round 10: deletion-neighborhood linkage (variant fan-out is
+    # len+1 per DISTINCT name; replicated customers are passthrough
+    # dims so the entity table is constant — expect flat), weekend
+    # AUC (cents grid saturates; only the count pass grows)
+    ("q202_name_linkage", ("customer",), False, False),
+    ("q203_weekend_value_auc", ("events",), True, False),
     ("q120_gap_fill", ("events",), False, False),
     ("q121_exact_mad_scalable", ("lineitem",), False, False),
     ("q122_skyline", ("orders",), True, False),

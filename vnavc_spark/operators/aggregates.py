@@ -1690,3 +1690,75 @@ def robust_location(
             6,
         ).alias("mean"),
     )
+
+
+#: Benford first-digit micro-probabilities: round(log10(1 + 1/d)·1e6)
+#: for d = 1..9 — FIXED integer literals (they sum to exactly
+#: 1,000,000) shared by queries.q188's oracle, so the expected count
+#: n·p is an exact integer product on both engines and log10 never
+#: has to be bit-portable.
+BENFORD_PM = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+              51153, 45757]
+
+
+def benford_gate_from_digit_counts(
+    obs: DataFrame, group_col: str = "pri"
+) -> DataFrame:
+    """Benford first-digit χ² gate per group from a pre-aggregated
+    (group, d, obs) first-digit count table — the math core of
+    queries.q188, factored out so the streaming twin
+    (ingest.benford_snapshot) sums its additive per-batch digit
+    partials into the same count table and gets streaming == batch
+    as an identity (the q170/q186/q194 twin pattern: one math core,
+    two drivers).
+
+    Input contract: ``obs`` holds exact long counts per (group,
+    first digit 1..9) with zero-count digits simply absent (the
+    9-digit spine is rebuilt here). Everything downstream of the
+    count table is 9 × |groups| rows; the only float reduction is
+    the fixed left-associated 9-term sum over pivoted digit columns
+    — one evaluation order on both engines. Flags at the χ²(8 df)
+    p = 0.995 literal (21.955)."""
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.functions.portable import stable_round
+
+    obs = tracked_persist(obs, f"benford_obs:{group_col}")
+    digits = obs.sparkSession.createDataFrame(
+        [(i + 1, pm) for i, pm in enumerate(BENFORD_PM)], "d int, pm long"
+    )
+    tot = obs.groupBy(group_col).agg(
+        F.sum("obs").cast("long").alias("n")
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(digits))
+        .join(obs, [group_col, "d"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0).cast("long")))
+    )
+    e = (F.col("n") * F.col("pm")).cast("double") / F.lit(1000000.0)
+    diff = F.col("obs").cast("double") - e
+    cc = grid.select(
+        group_col, "n", "d", (diff * diff / e).alias("contrib")
+    )
+    piv = cc.groupBy(group_col, "n").agg(
+        *[
+            F.sum(
+                F.when(F.col("d") == F.lit(i), F.col("contrib")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    chi2 = (
+        F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4")
+        + F.col("c5") + F.col("c6") + F.col("c7") + F.col("c8")
+        + F.col("c9")
+    )
+    return piv.select(
+        group_col,
+        F.col("n").alias("n_rows"),
+        stable_round(chi2, 6).alias("chi2_stat"),
+        F.when(chi2 > F.lit(21.955), 1).otherwise(F.lit(0)).alias(
+            "benford_flag"
+        ),
+    )

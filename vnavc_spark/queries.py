@@ -10795,7 +10795,11 @@ def q188_benford_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-string head of the cent-scaled BIGINT (a ×100 power-of-10
     scale never changes the leading significant digit). One map-side
     count pass over the facts; everything downstream is
-    9 × |priorities| rows."""
+    9 × |priorities| rows — since round 10 factored into
+    ``aggregates.benford_gate_from_digit_counts`` so the streaming
+    twin (ingest.start_digit_partials / benford_snapshot) sums its
+    additive per-batch digit partials into the same core and
+    snapshot == batch is an identity (parity-tested)."""
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice").isNotNull()
     )
@@ -10811,49 +10815,15 @@ def q188_benford_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("d"),
     ).agg(F.count("*").cast("long").alias("obs"))
-    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.operators.aggregates import (
+        benford_gate_from_digit_counts,
+    )
 
-    obs = tracked_persist(obs, "benford_obs")
-    # Benford micro-probabilities: round(log10(1 + 1/d) * 1e6) —
-    # fixed literals shared with the oracle; they sum to 1,000,000
-    PM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
-          45757]
-    digits = spark.createDataFrame(
-        [(i + 1, pm) for i, pm in enumerate(PM)], "d int, pm long"
-    )
-    tot = obs.groupBy("pri").agg(F.sum("obs").cast("long").alias("n"))
-    grid = (
-        tot.crossJoin(F.broadcast(digits))
-        .join(obs, ["pri", "d"], "left")
-        .withColumn("obs", F.coalesce("obs", F.lit(0).cast("long")))
-    )
-    e = (F.col("n") * F.col("pm")).cast("double") / F.lit(1000000.0)
-    diff = F.col("obs").cast("double") - e
-    cc = grid.select(
-        "pri", "n", "d", (diff * diff / e).alias("contrib")
-    )
-    piv = cc.groupBy("pri", "n").agg(
-        *[
-            F.sum(
-                F.when(F.col("d") == F.lit(i), F.col("contrib")).otherwise(
-                    F.lit(0.0)
-                )
-            ).alias(f"c{i}")
-            for i in range(1, 10)
-        ]
-    )
-    chi2 = (
-        F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4")
-        + F.col("c5") + F.col("c6") + F.col("c7") + F.col("c8")
-        + F.col("c9")
-    )
-    return piv.select(
+    return benford_gate_from_digit_counts(obs, "pri").select(
         F.col("pri").alias("o_orderpriority"),
-        F.col("n").alias("n_orders"),
-        stable_round(chi2, 6).alias("chi2_stat"),
-        F.when(chi2 > F.lit(21.955), 1).otherwise(F.lit(0)).alias(
-            "benford_flag"
-        ),
+        F.col("n_rows").alias("n_orders"),
+        "chi2_stat",
+        "benford_flag",
     )
 
 
@@ -11876,6 +11846,185 @@ def q201_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q202_name_linkage",
+    oracle="""
+WITH names AS (
+  SELECT c_name AS nm, CAST(count(*) AS BIGINT) AS n_recs
+  FROM customer WHERE c_name IS NOT NULL GROUP BY c_name)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       a.n_recs AS n_recs_a, b.n_recs AS n_recs_b,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 1
+""",
+)
+def q202_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution over customer names:
+    DISTINCT name pairs within Levenshtein distance 1 plus each
+    name's record count — the blocking+verify primitive behind
+    "are these two records the same entity" (Fellegi-Sunter-style
+    pipelines; FastSS deletion blocking, Bocek et al. 2007).
+
+    Scale shape — candidate-bounded, never name×name: entities are
+    DISTINCT names (the groupBy collapses exact-duplicate records
+    first — the q117 clique stance: k same-name records are ONE
+    entity row, not k² candidate pairs, and the record count rides
+    along as the multiplicity). Each name explodes to its radius-1
+    deletion neighborhood (the name itself + one variant per
+    deleted position, ≤ len+1 rows); two names within edit
+    distance 1 MUST share a variant (substitution: both delete the
+    differing position; insert/delete: the longer side's deletion
+    hits the shorter side's identity), so the variant equi-join is
+    a LOSSLESS candidate generator and the per-pair levenshtein
+    verify makes it exact. Candidate fan-out is Σ df(variant) with
+    variant buckets bounded by alphabet × name length for real name
+    distributions. The ORACLE is deliberately brute-force (distinct
+    names × distinct names at oracle scale) — stronger evidence
+    than mirroring the blocking, because a blocking recall bug
+    cannot hide in a mirrored oracle."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
+    names = c.groupBy(F.col("c_name").alias("nm")).agg(
+        F.count("*").cast("long").alias("n_recs")
+    )
+    from vnavc_spark.cache import tracked_persist
+
+    names = tracked_persist(names, "linkage_names")
+    # radius-1 deletion neighborhood: the string itself + each
+    # one-char deletion, distinct (deleting any of a run of equal
+    # chars yields the same variant) — all codegen, no UDF
+    variants = names.select(
+        "nm",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array("nm"),
+                    F.expr(
+                        "transform(sequence(1, length(nm)), i -> "
+                        "concat(substring(nm, 1, i-1), "
+                        "substring(nm, i+1, length(nm))))"
+                    ),
+                )
+            )
+        ).alias("v"),
+    ).select("nm", F.xxhash64("v").alias("hv"))
+    cands = (
+        variants.select(F.col("nm").alias("name_a"), "hv")
+        .join(
+            variants.select(F.col("nm").alias("name_b"), "hv"), "hv"
+        )
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= 1)
+        .join(
+            names.select(
+                F.col("nm").alias("name_a"),
+                F.col("n_recs").alias("n_recs_a"),
+            ),
+            "name_a",
+        )
+        .join(
+            names.select(
+                F.col("nm").alias("name_b"),
+                F.col("n_recs").alias("n_recs_b"),
+            ),
+            "name_b",
+        )
+        .select("name_a", "name_b", "n_recs_a", "n_recs_b", "dist")
+    )
+
+
+@query(
+    "q203_weekend_value_auc",
+    oracle="""
+WITH v AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+         CASE WHEN ((CAST(ts AS DATE) - DATE '1970-01-01' + 3) % 7) + 1
+                   IN (6, 7)
+              THEN 1 ELSE 0 END AS p
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND ts IS NOT NULL),
+c AS (SELECT g, vc, CAST(count(*) AS HUGEINT) AS cnt,
+             CAST(sum(p) AS HUGEINT) AS cnt_pos
+      FROM v GROUP BY g, vc),
+w AS (SELECT g, vc, cnt, cnt_pos,
+             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY vc)
+                  AS HUGEINT) AS cum,
+             CAST(sum(cnt_pos) OVER (PARTITION BY g ORDER BY vc)
+                  AS HUGEINT) AS cum_pos
+      FROM c),
+t AS (SELECT g, CAST(sum(cnt) AS HUGEINT) AS n,
+             CAST(sum(cnt_pos) AS HUGEINT) AS n1
+      FROM c GROUP BY g),
+a AS (SELECT w.g, t.n, t.n1,
+             CAST(sum(cnt_pos * (2 * (cum - cnt) + cnt + 1))
+                  AS HUGEINT) AS two_r1,
+             max(abs(cum_pos * (t.n - t.n1)
+                     - (cum - cum_pos) * t.n1)) AS ks_num
+      FROM w JOIN t ON t.g = w.g
+      GROUP BY w.g, t.n, t.n1)
+SELECT g AS event_type,
+       CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n - n1 AS BIGINT) AS n_neg,
+       floor(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * (n - n1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS auc,
+       floor((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+              / CAST(2 * n1 * (n - n1) AS DOUBLE) * 2.0 - 1.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS gini,
+       floor(CAST(ks_num AS DOUBLE) / CAST(n1 * (n - n1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+FROM a WHERE n1 >= 1 AND n - n1 >= 1
+""",
+)
+def q203_weekend_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type AUC/Gini/KS of the event value against the
+    WEEKEND label — "does value separate weekend from weekday
+    traffic, and by how much, per funnel stage" — q186's
+    classifier-evaluation triple certified against a SECOND fact
+    table and grouping (the round-9 verdict shelf item). The value
+    rides as exact cents (floor(value·100 + 0.5), identical tree in
+    both engines) so the ordered_cumsum grid is the BOUNDED cents
+    domain (~10k cells/type at sf0.1, saturating — constant as the
+    corpus grows), never the corpus; the weekend label is q153's
+    epoch-day weekday arithmetic (no locale/timezone surface).
+    Everything after the one map-side count pass is value-domain
+    arithmetic in the shared ``ordering.score_separation_from_counts``
+    core — the same core the streaming label-histogram twin sums its
+    additive partials into, so the events-shaped snapshot is
+    parity-tested against THIS query (second consumer)."""
+    from vnavc_spark.operators.ordering import score_separation_from_counts
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    epoch = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    wk = ((epoch + 3) % 7 + 1).isin(6, 7)
+    sv = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.when(wk, 1).otherwise(0).alias("p"),
+    ).groupBy("event_type", "cents").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("p").cast("long").alias("cnt_pos"),
+    )
+    return score_separation_from_counts(sv, "event_type", "cents")
 
 
 # ---------------------------------------------------------------------------

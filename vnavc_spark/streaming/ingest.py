@@ -532,25 +532,107 @@ def start_label_histograms(
     )
 
 
-def score_separation_snapshot(spark, partials_path: str) -> DataFrame:
-    """Per-source AUC/Gini/KS score separation from the staged
+def score_separation_snapshot(
+    spark,
+    partials_path: str,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group AUC/Gini/KS score separation from the staged
     class-conditional histogram partials — identical output contract
-    to queries.q186 (source, n_pos, n_neg, auc, gini, ks_stat).
-    Summing the additive partials reproduces the batch count table
-    EXACTLY, and the shared ``ordering.score_separation_from_counts``
-    core does the rest, so streaming == batch is an identity, not an
-    approximation (parity-tested in tests/test_streaming.py)."""
+    to queries.q186 (source, n_pos, n_neg, auc, gini, ks_stat) in
+    the default shape, or any (group, value) pair the partials were
+    staged under (round 10: the events shape — group=event_type,
+    value=cents — is parity-pinned against queries.q203, the core's
+    second consumer). Summing the additive partials reproduces the
+    batch count table EXACTLY, and the shared
+    ``ordering.score_separation_from_counts`` core does the rest, so
+    streaming == batch is an identity, not an approximation
+    (parity-tested in tests/test_streaming.py)."""
     from vnavc_spark.operators.ordering import score_separation_from_counts
 
     sv = (
         spark.read.parquet(partials_path)
-        .groupBy("source", "n_chars")
+        .groupBy(group_col, value_col)
         .agg(
             F.sum("cnt").cast("long").alias("cnt"),
             F.sum("cnt_pos").cast("long").alias("cnt_pos"),
         )
     )
-    return score_separation_from_counts(sv)
+    return score_separation_from_counts(sv, group_col, value_col)
+
+
+def start_digit_partials(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    group_col: str = "o_orderpriority",
+    amount_col: str = "o_totalprice",
+):
+    """Stream side of the Benford forensic gate (queries.q188's
+    streaming twin, the round-9 shelf item): each micro-batch
+    aggregates ITS OWN rows to (group, first-digit, obs) count
+    partials under ``partials_path/batch_id=N``. The digit is the
+    decimal-string head of the cent-scaled BIGINT — q188's exact
+    extraction, computed per batch. Counts are ADDITIVE integers
+    (the cheapest twin state possible: ≤ 9 rows per group per
+    batch); a replayed batch id overwrites its own partial in place,
+    so the stage is replay-idempotent. The χ² and flag are NOT
+    computed per batch — they are corpus-level statistics recomputed
+    on demand by :func:`benford_snapshot` at 9 × |groups| cost."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(F.col(amount_col).isNotNull())
+            .select(
+                F.col(group_col).alias("pri"),
+                F.floor(F.col(amount_col) * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("vc"),
+            )
+            .filter(F.col("vc") > 0)
+            .groupBy(
+                "pri",
+                F.substring(F.col("vc").cast("string"), 1, 1)
+                .cast("int")
+                .alias("d"),
+            )
+            .agg(F.count("*").cast("long").alias("obs"))
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def benford_snapshot(spark, partials_path: str) -> DataFrame:
+    """Per-priority Benford χ² gate from the staged first-digit count
+    partials — identical output contract to queries.q188
+    (o_orderpriority, n_orders, chi2_stat, benford_flag). Summing the
+    additive partials reproduces the batch digit-count table EXACTLY,
+    and the shared ``aggregates.benford_gate_from_digit_counts`` core
+    does the rest — streaming == batch is an identity, not an
+    approximation (parity-tested in tests/test_streaming.py)."""
+    from vnavc_spark.operators.aggregates import (
+        benford_gate_from_digit_counts,
+    )
+
+    obs = (
+        spark.read.parquet(partials_path)
+        .groupBy("pri", "d")
+        .agg(F.sum("obs").cast("long").alias("obs"))
+    )
+    return benford_gate_from_digit_counts(obs, "pri").select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("n_rows").alias("n_orders"),
+        "chi2_stat",
+        "benford_flag",
+    )
 
 
 def start_mass_partials(
