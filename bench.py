@@ -165,12 +165,16 @@ WITNESS_QUERIES = (
 #: run, and note the re-pin in docs/ROUNDS.md — the whole point is a
 #: fixed cross-round reference.
 WITNESS_ANCHOR = {
-    "q88_sliding_chunks": None,
-    "q144_shipping_priority": None,
-    "q32_hourly_stats": None,
-    "q46_text_stage": None,
+    "q88_sliding_chunks": 0.533,
+    "q144_shipping_priority": 0.902,
+    "q32_hourly_stats": 0.394,
+    "q46_text_stage": 4.835,
 }
-WITNESS_ANCHOR_PROVENANCE = "unpinned"
+WITNESS_ANCHOR_PROVENANCE = (
+    "r10 quiet-window anchor 2026-08-15: sf0.1 local[32] 3-rep "
+    "medians (value_median 200.97 over 107 queries; sched floor "
+    "0.15 s, shuffle floor 0.44 s)"
+)
 
 
 def main() -> None:
