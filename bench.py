@@ -195,12 +195,17 @@ def main() -> None:
     # warmup: pay JVM/codegen/FS-listing startup outside the timings
     # so per-query numbers reflect steady state — touch EVERY table
     # the bench reads (file listing + footer reads are one-time)
+    from vnavc_spark.io import table as _table
+
     for t in (
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ):
         try:
-            spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+            # io.table, not raw read: events.parquet is
+            # TIMESTAMP(NANOS) and a raw read throws — the events
+            # warmup was silently skipped on every run before r10
+            _table(spark, sf_dir, t).count()
         except Exception:
             pass
     # one full throwaway query execution warms codegen compilation,

@@ -447,6 +447,42 @@ class TestDedupClusters:
         out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
         assert set(out.values()) == {0} and len(out) == 13
 
+    def test_sync_discipline_batches_and_jumps(self, spark):
+        """Round-10 driver-sync contract: propagation rounds run in
+        batches of check_every (ONE checkpoint per batch), and
+        pointer jumping keeps rounds O(log diameter) — a 40-chain
+        must converge in far fewer than its 41 plain rounds."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+        )
+        dedup.CC_STATS.clear()
+        out = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dedup_clusters(pairs).collect()
+        }
+        assert set(out.values()) == {0} and len(out) == 41
+        (stats,) = dedup.CC_STATS
+        # plain min-label needs ~41 rounds / 82 driver jobs here;
+        # jumping converges in <= 10 rounds, batching halves the
+        # checkpoints
+        assert stats["rounds"] <= 10, stats
+        assert stats["batches"] == -(-stats["rounds"] // 2), stats
+
+    def test_clique_converges_in_one_batch(self, spark):
+        pairs = spark.createDataFrame(
+            [(a, b) for a in range(5) for b in range(a + 1, 5)],
+            ["doc_a", "doc_b"],
+        )
+        dedup.CC_STATS.clear()
+        out = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dedup_clusters(pairs).collect()
+        }
+        assert set(out.values()) == {0} and len(out) == 5
+        (stats,) = dedup.CC_STATS
+        # converged at round 1, confirmed at round 2 -> ONE batch
+        assert stats["batches"] == 1 and stats["rounds"] == 2, stats
+
     def test_drop_near_dups_keeps_representatives(self, spark):
         docs = spark.createDataFrame(
             [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],
