@@ -1243,3 +1243,87 @@ class TestEventsAucTwin:
             ).collect()
         )
         assert got == want and len(got) == 5
+
+
+class TestNameLinkageTwin:
+    """queries.q202's streaming twin: per-batch additive (nm, n_recs)
+    count partials (start_name_counts) summed at snapshot time into
+    the shared dedup.name_linkage_pairs core — snapshot == batch
+    identity on the REAL sf0.001 customer table, with exact-duplicate
+    names split ACROSS batches to prove the entity collapse happens
+    corpus-wide, not per batch."""
+
+    def test_snapshot_equals_batch_on_real_customers(
+        self, spark, tmp_path
+    ):
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        cust = table(spark, sf, "customer")
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, half in enumerate(
+            (
+                cust.filter(F.col("c_custkey") % 2 == 0),
+                cust.filter(F.col("c_custkey") % 2 == 1),
+            )
+        ):
+            part = tmp_path / f"stage{i}"
+            half.select("c_custkey", "c_name").coalesce(1).write.json(
+                str(part)
+            )
+            import glob as _glob
+            import shutil as _shutil
+
+            for j, f in enumerate(
+                sorted(_glob.glob(str(part / "*.json")))
+            ):
+                _shutil.copy(f, src / f"half{i}_{j}.json")
+            q = ingest.start_name_counts(
+                spark.readStream.schema(
+                    "c_custkey long, c_name string"
+                ).json(str(src)),
+                partials,
+                ckpt,
+            )
+            q.awaitTermination(60)
+        got = sorted(
+            tuple(r)
+            for r in ingest.name_linkage_snapshot(
+                spark, partials
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q202_name_linkage"](spark, sf).collect()
+        )
+        assert got == want and len(got) > 100
+
+    def test_cross_batch_duplicate_names_collapse(self, spark, tmp_path):
+        # two records of the SAME name arriving in DIFFERENT batches
+        # must still be one entity with n_recs=2 at snapshot time
+        from vnavc_spark.streaming import ingest
+
+        partials = str(tmp_path / "partials")
+        for bid, rows in enumerate(
+            (
+                [("alice cooper",), ("bob marley",)],
+                [("alice cooper",), ("alice coopar",)],
+            )
+        ):
+            spark.createDataFrame(rows, "c_name string").groupBy(
+                F.col("c_name").alias("nm")
+            ).agg(F.count("*").cast("long").alias("n_recs")).write.mode(
+                "overwrite"
+            ).parquet(f"{partials}/batch_id={bid}")
+        out = {
+            (r.name_a, r.name_b): (r.n_recs_a, r.n_recs_b, r.dist)
+            for r in ingest.name_linkage_snapshot(
+                spark, partials
+            ).collect()
+        }
+        assert out == {("alice coopar", "alice cooper"): (1, 2, 1)}, out

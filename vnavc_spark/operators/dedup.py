@@ -1802,3 +1802,70 @@ def kcore_peel(
         .agg(F.count("*").cast("long").alias("residual_deg"))
     )
     return survivors.select(F.col("u").alias("doc_id"), "residual_deg")
+
+
+def name_linkage_pairs(names: DataFrame) -> DataFrame:
+    """Record-linkage blocking + verify over a (nm, n_recs) DISTINCT
+    entity table: pairs within Levenshtein distance 1 plus both
+    sides' record counts — the math core of queries.q202, factored
+    so the streaming twin (ingest.name_linkage_snapshot) sums its
+    additive per-batch name counts into the same entity table and
+    gets streaming == batch as an identity.
+
+    FastSS radius-1 deletion blocking (Bocek et al. 2007): each name
+    explodes to itself + its one-char deletions (≤ len+1 variants,
+    distinct); two names within edit distance 1 MUST share a variant
+    (substitution: both delete the differing position; insert/
+    delete: the longer side's deletion hits the shorter side's
+    identity), so the variant-hash equi-join is a LOSSLESS candidate
+    generator and the per-pair ``levenshtein`` verify makes it
+    exact. Candidates, never names²: fan-out is Σ df(variant), with
+    variant buckets bounded by alphabet × name length for real name
+    distributions; exact-duplicate records never reach the join
+    (the caller's groupBy collapsed them — the clique stance)."""
+    from vnavc_spark.cache import tracked_persist
+
+    names = tracked_persist(names, "linkage_names")
+    variants = names.select(
+        "nm",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array("nm"),
+                    F.expr(
+                        "transform(sequence(1, length(nm)), i -> "
+                        "concat(substring(nm, 1, i-1), "
+                        "substring(nm, i+1, length(nm))))"
+                    ),
+                )
+            )
+        ).alias("v"),
+    ).select("nm", F.xxhash64("v").alias("hv"))
+    cands = (
+        variants.select(F.col("nm").alias("name_a"), "hv")
+        .join(variants.select(F.col("nm").alias("name_b"), "hv"), "hv")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= 1)
+        .join(
+            names.select(
+                F.col("nm").alias("name_a"),
+                F.col("n_recs").alias("n_recs_a"),
+            ),
+            "name_a",
+        )
+        .join(
+            names.select(
+                F.col("nm").alias("name_b"),
+                F.col("n_recs").alias("n_recs_b"),
+            ),
+            "name_b",
+        )
+        .select("name_a", "name_b", "n_recs_a", "n_recs_b", "dist")
+    )

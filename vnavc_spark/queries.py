@@ -11889,57 +11889,7 @@ def q202_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = c.groupBy(F.col("c_name").alias("nm")).agg(
         F.count("*").cast("long").alias("n_recs")
     )
-    from vnavc_spark.cache import tracked_persist
-
-    names = tracked_persist(names, "linkage_names")
-    # radius-1 deletion neighborhood: the string itself + each
-    # one-char deletion, distinct (deleting any of a run of equal
-    # chars yields the same variant) — all codegen, no UDF
-    variants = names.select(
-        "nm",
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array("nm"),
-                    F.expr(
-                        "transform(sequence(1, length(nm)), i -> "
-                        "concat(substring(nm, 1, i-1), "
-                        "substring(nm, i+1, length(nm))))"
-                    ),
-                )
-            )
-        ).alias("v"),
-    ).select("nm", F.xxhash64("v").alias("hv"))
-    cands = (
-        variants.select(F.col("nm").alias("name_a"), "hv")
-        .join(
-            variants.select(F.col("nm").alias("name_b"), "hv"), "hv"
-        )
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-        .distinct()
-    )
-    return (
-        cands.withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("long")
-        )
-        .filter(F.col("dist") <= 1)
-        .join(
-            names.select(
-                F.col("nm").alias("name_a"),
-                F.col("n_recs").alias("n_recs_a"),
-            ),
-            "name_a",
-        )
-        .join(
-            names.select(
-                F.col("nm").alias("name_b"),
-                F.col("n_recs").alias("n_recs_b"),
-            ),
-            "name_b",
-        )
-        .select("name_a", "name_b", "n_recs_a", "n_recs_b", "dist")
-    )
+    return dedup.name_linkage_pairs(names)
 
 
 @query(

@@ -880,3 +880,56 @@ def twa_snapshot(spark, partials_path: str) -> DataFrame:
             6,
         ).alias("twa_value"),
     )
+
+
+def start_name_counts(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    name_col: str = "c_name",
+):
+    """Stream side of the record-linkage monitor (queries.q202's
+    streaming twin): each micro-batch aggregates ITS OWN rows to
+    (nm, n_recs) name-count partials under
+    ``partials_path/batch_id=N``. Counts are ADDITIVE integers and a
+    replayed batch id overwrites its own partial in place
+    (replay-idempotent). The blocking + verify is NOT run per batch —
+    linkage pairs are a corpus-level product, recomputed on demand by
+    :func:`name_linkage_snapshot` at distinct-entity cost (the
+    expensive deletion-variant join never runs inside the stream)."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(F.col(name_col).isNotNull())
+            .groupBy(F.col(name_col).alias("nm"))
+            .agg(F.count("*").cast("long").alias("n_recs"))
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def name_linkage_snapshot(spark, partials_path: str) -> DataFrame:
+    """Linkage pairs from the staged name-count partials — identical
+    output contract to queries.q202 (name_a, name_b, n_recs_a,
+    n_recs_b, dist). Summing the additive partials reproduces the
+    batch entity table EXACTLY (exact-duplicate records collapse to
+    one row with the true corpus-wide record count, even when copies
+    arrived in different batches), and the shared
+    ``dedup.name_linkage_pairs`` core does the blocking + verify —
+    streaming == batch is an identity, not an approximation
+    (parity-tested in tests/test_streaming.py)."""
+    from vnavc_spark.operators.dedup import name_linkage_pairs
+
+    names = (
+        spark.read.parquet(partials_path)
+        .groupBy("nm")
+        .agg(F.sum("n_recs").cast("long").alias("n_recs"))
+    )
+    return name_linkage_pairs(names)
