@@ -945,7 +945,7 @@ def dedup_clusters(
         k = min(check_every, rounds_left)
         rounds_left -= k
         cur = labels
-        for i in range(k):
+        for _ in range(k):
             base = cur.select("node", "label")
             nbr_min = (
                 edges.join(base, edges.src == F.col("node"))
