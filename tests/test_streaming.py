@@ -1327,3 +1327,84 @@ class TestNameLinkageTwin:
             ).collect()
         }
         assert out == {("alice coopar", "alice cooper"): (1, 2, 1)}, out
+
+
+class TestKAnonymityTwin:
+    """queries.q196's streaming twin: additive QI class-count
+    partials summed at snapshot time into the shared
+    aggregates.k_anonymity_rollup core — snapshot == batch identity
+    on the REAL sf0.001 customer table. The split matters: a class
+    fragmented across batches must be judged on its corpus-wide
+    size (per-batch fragments are all 'risky'; the sum may not be)."""
+
+    def test_snapshot_equals_batch_on_real_customers(
+        self, spark, tmp_path
+    ):
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        cust = table(spark, sf, "customer")
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, half in enumerate(
+            (
+                cust.filter(F.col("c_custkey") % 2 == 0),
+                cust.filter(F.col("c_custkey") % 2 == 1),
+            )
+        ):
+            part = tmp_path / f"stage{i}"
+            half.select(
+                "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+            ).coalesce(1).write.json(str(part))
+            import glob as _glob
+            import shutil as _shutil
+
+            for j, f in enumerate(
+                sorted(_glob.glob(str(part / "*.json")))
+            ):
+                _shutil.copy(f, src / f"half{i}_{j}.json")
+            q = ingest.start_qi_class_counts(
+                spark.readStream.schema(
+                    "c_custkey long, c_nationkey long, "
+                    "c_mktsegment string, c_acctbal double"
+                ).json(str(src)),
+                partials,
+                ckpt,
+            )
+            q.awaitTermination(60)
+        got = sorted(
+            tuple(r)
+            for r in ingest.k_anonymity_snapshot(
+                spark, partials
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q196_k_anonymity"](spark, sf).collect()
+        )
+        assert got == want and len(got) == 25
+
+    def test_cross_batch_class_judged_corpus_wide(self, spark, tmp_path):
+        # 3 + 3 rows of ONE class split across two batches: each
+        # fragment is < 5 (risky per batch) but the corpus-wide size
+        # is 6 — the snapshot must see 0 risky classes
+        from vnavc_spark.streaming import ingest
+
+        partials = str(tmp_path / "partials")
+        for bid in (0, 1):
+            spark.createDataFrame(
+                [(7, "AUTO", 2, 3)], "nk long, seg string, band long, sz long"
+            ).write.mode("overwrite").parquet(
+                f"{partials}/batch_id={bid}"
+            )
+        out = [
+            tuple(r)
+            for r in ingest.k_anonymity_snapshot(
+                spark, partials
+            ).collect()
+        ]
+        assert out == [(7, 1, 6, 0, 0)], out

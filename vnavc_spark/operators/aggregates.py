@@ -1762,3 +1762,25 @@ def benford_gate_from_digit_counts(
             "benford_flag"
         ),
     )
+
+
+def k_anonymity_rollup(cls: DataFrame, k: int = 5) -> DataFrame:
+    """Per-nation k-anonymity audit from a pre-aggregated QI-class
+    count table (nk, seg, band, sz) — the math core of queries.q196,
+    factored so the streaming twin (ingest.k_anonymity_snapshot)
+    sums its additive per-batch class-count partials into the same
+    table and gets streaming == batch as an identity (the
+    q170/q186/q188/q194/q202 twin pattern). Pure integer
+    classes-sized reduction; a class is risky when its size is
+    below ``k``."""
+    risky = F.col("sz") < k
+    return cls.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.sum(F.when(risky, 1).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_risky_rows"),
+    )

@@ -11340,17 +11340,9 @@ def q196_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("band"),
     ).agg(F.count("*").cast("long").alias("sz"))
-    risky = F.col("sz") < 5
-    return cls.groupBy(F.col("nk").alias("nationkey")).agg(
-        F.count("*").cast("long").alias("n_classes"),
-        F.sum("sz").cast("long").alias("n_rows"),
-        F.sum(F.when(risky, 1).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("n_risky_classes"),
-        F.sum(F.when(risky, F.col("sz")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("n_risky_rows"),
-    )
+    from vnavc_spark.operators.aggregates import k_anonymity_rollup
+
+    return k_anonymity_rollup(cls, k=5)
 
 
 @query(

@@ -933,3 +933,66 @@ def name_linkage_snapshot(spark, partials_path: str) -> DataFrame:
         .agg(F.sum("n_recs").cast("long").alias("n_recs"))
     )
     return name_linkage_pairs(names)
+
+
+def start_qi_class_counts(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+):
+    """Stream side of the k-anonymity privacy monitor
+    (queries.q196's streaming twin): each micro-batch aggregates ITS
+    OWN rows to (nk, seg, band, sz) quasi-identifier class-count
+    partials under ``partials_path/batch_id=N`` — q196's exact QI
+    projection (nation, market segment, account-balance kilo-band).
+    Class sizes are ADDITIVE integers, so the corpus-wide class
+    table is a plain sum over batch partials; a replayed batch id
+    overwrites its own partial in place. The k<5 audit is NOT run
+    per batch — a class can be risky in every batch yet safe
+    corpus-wide, so the threshold only means anything on the summed
+    table, recomputed on demand by :func:`k_anonymity_snapshot`."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(
+                F.col("c_nationkey").isNotNull()
+                & F.col("c_mktsegment").isNotNull()
+                & F.col("c_acctbal").isNotNull()
+            )
+            .groupBy(
+                F.col("c_nationkey").cast("long").alias("nk"),
+                F.col("c_mktsegment").alias("seg"),
+                F.floor(F.col("c_acctbal") / F.lit(1000.0))
+                .cast("long")
+                .alias("band"),
+            )
+            .agg(F.count("*").cast("long").alias("sz"))
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def k_anonymity_snapshot(spark, partials_path: str) -> DataFrame:
+    """Per-nation k-anonymity audit from the staged QI class-count
+    partials — identical output contract to queries.q196 (nationkey,
+    n_classes, n_rows, n_risky_classes, n_risky_rows). Summing the
+    additive partials reproduces the batch class table EXACTLY —
+    crucially, a class split across batches is judged on its
+    CORPUS-WIDE size, never its per-batch fragments — and the shared
+    ``aggregates.k_anonymity_rollup`` core does the rest (streaming
+    == batch identity, parity-tested in tests/test_streaming.py)."""
+    from vnavc_spark.operators.aggregates import k_anonymity_rollup
+
+    cls = (
+        spark.read.parquet(partials_path)
+        .groupBy("nk", "seg", "band")
+        .agg(F.sum("sz").cast("long").alias("sz"))
+    )
+    return k_anonymity_rollup(cls, k=5)
