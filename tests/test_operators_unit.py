@@ -2271,3 +2271,61 @@ class TestNameLinkage:
             # each other; only genuinely lev-1 pairs survive verify
             ("alice coopar", "alize coopar"): (1, 1, 1),
         }, pairs
+
+    def test_blocking_recall_equals_brute_force_random_corpora(
+        self, spark
+    ):
+        """LOSSLESS-blocking guarantee: on seeded random corpora over
+        a tiny alphabet (maximizing lev-1 collisions, including
+        length-different insert/delete pairs), the deletion-blocking
+        + verify pipeline must return EXACTLY the brute-force pair
+        set. A recall bug in the variant generation (off-by-one in
+        the deletion positions, missing identity variant) fails here
+        even though the oracle corpus never trips it."""
+        import itertools
+        import random
+
+        from vnavc_spark.operators.dedup import name_linkage_pairs
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(
+                            prev[j] + 1,
+                            cur[j - 1] + 1,
+                            prev[j - 1] + (ca != cb),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        rng = random.Random(421)
+        for trial in range(3):
+            corpus = sorted(
+                {
+                    "".join(
+                        rng.choice("ab")
+                        for _ in range(rng.randint(1, 5))
+                    )
+                    for _ in range(40)
+                }
+            )
+            names = spark.createDataFrame(
+                [(nm, 1) for nm in corpus], "nm string, n_recs long"
+            )
+            got = {
+                (r.name_a, r.name_b)
+                for r in name_linkage_pairs(names).collect()
+            }
+            want = {
+                (a, b)
+                for a, b in itertools.combinations(corpus, 2)
+                if lev(a, b) <= 1
+            }
+            assert got == want, (trial, got ^ want)
+            assert want, trial  # the corpus genuinely has lev-1 pairs
