@@ -141,6 +141,14 @@ BENCH_QUERIES = [
     # second-consumer AUC (events shape)
     "q202_name_linkage",
     "q203_weekend_value_auc",
+    # round 10 back half: composite-group AUC, mass-weighted Benford,
+    # ER recall audit, and radius-2 linkage (the heavy one — ~3.8M
+    # verified pairs at sf0.1 on the near-sequential TPC-H names;
+    # an honest latency witness for the candidate-distinct path)
+    "q204_daily_night_auc",
+    "q205_benford_summation",
+    "q206_blocking_recall_audit",
+    "q207_radius2_linkage",
 ]
 
 #: Bit-unchanged ambient witnesses (round-10 verdict item #1): four

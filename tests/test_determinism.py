@@ -75,6 +75,12 @@ SENSITIVE = [
     # bucketing
     "q202_name_linkage",
     "q203_weekend_value_auc",
+    # round 10 back half: the composite-key cumsum rides the same
+    # carries; the radius-2 candidate set and the recall-audit
+    # sample must be identical under any bucketing/partitioning
+    "q204_daily_night_auc",
+    "q206_blocking_recall_audit",
+    "q207_radius2_linkage",
 ]
 
 

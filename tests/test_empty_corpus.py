@@ -280,6 +280,13 @@ NULL_SENSITIVE = [
     # round-10: null value/ts/event_type must drop from the weekend
     # AUC grid identically in both engines
     "q203_weekend_value_auc",
+    # round-10 back half: null event fields drop from the daily AUC
+    # grid, null totalprice/mktsegment drop from the digit masses,
+    # null names drop from the ER blocking on both engines
+    "q204_daily_night_auc",
+    "q205_benford_summation",
+    "q206_blocking_recall_audit",
+    "q207_radius2_linkage",
 ]
 
 

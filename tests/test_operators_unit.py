@@ -2329,3 +2329,119 @@ class TestNameLinkage:
             }
             assert got == want, (trial, got ^ want)
             assert want, trial  # the corpus genuinely has lev-1 pairs
+
+    def test_radius2_blocking_recall_equals_brute_force(self, spark):
+        """q207's depth-2 FastSS losslessness: on seeded random
+        tiny-alphabet corpora (maximizing lev-2 collisions across
+        substitution / insert+delete / length-diff-2 shapes), the
+        radius-2 blocking + verify must return EXACTLY the
+        brute-force lev<=2 pair set with the exact distances."""
+        import itertools
+        import random
+
+        from vnavc_spark.operators.dedup import name_linkage_pairs
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(
+                            prev[j] + 1,
+                            cur[j - 1] + 1,
+                            prev[j - 1] + (ca != cb),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        rng = random.Random(1907)
+        for trial in range(3):
+            corpus = sorted(
+                {
+                    "".join(
+                        rng.choice("ab")
+                        for _ in range(rng.randint(1, 6))
+                    )
+                    for _ in range(30)
+                }
+            )
+            names = spark.createDataFrame(
+                [(nm, 1) for nm in corpus], "nm string, n_recs long"
+            )
+            got = {
+                (r.name_a, r.name_b): r.dist
+                for r in name_linkage_pairs(names, radius=2).collect()
+            }
+            want = {
+                (a, b): lev(a, b)
+                for a, b in itertools.combinations(corpus, 2)
+                if lev(a, b) <= 2
+            }
+            assert got == want, (trial, set(got) ^ set(want))
+            assert any(d == 2 for d in want.values()), trial
+
+    def test_q207_rollup_counts_and_record_pair_mass(
+        self, spark, tmp_path
+    ):
+        """q207_radius2_linkage: per-distance name-pair counts plus
+        record-pair mass riding the collapsed exact-duplicate
+        multiplicities (3 'alice cooper' records x 2 'alice coopar'
+        records = 6 record pairs on one dist-1 name pair)."""
+        import os
+
+        from vnavc_spark.queries import all_queries
+
+        rows = (
+            [("alice cooper",)] * 3
+            + [("alice coopar",)] * 2
+            + [("alize coopar",), ("bob",)]
+        )
+        df = spark.createDataFrame(
+            [(i, nm, 1, "x", 0.0) for i, (nm,) in enumerate(rows)],
+            "c_custkey long, c_name string, c_nationkey long, "
+            "c_phone string, c_acctbal double",
+        )
+        df.write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+        out = {
+            r.dist: (r.n_name_pairs, r.n_record_pairs)
+            for r in all_queries()["q207_radius2_linkage"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # d=1: cooper-coopar (3x2=6), coopar-alize coopar (2x1=2)
+        # d=2: cooper-alize coopar (3x1=3)
+        assert out == {1: (2, 8), 2: (1, 3)}, out
+
+    def test_q206_recall_is_one_at_design_radius(self, spark, tmp_path):
+        """q206_blocking_recall_audit: radius-1 blocking is LOSSLESS
+        at d=1 (recall exactly 1.0 — the FastSS theorem, measured
+        live) and demonstrably lossy at d=2 on a planted corpus
+        where a two-substitution pair shares no single-deletion
+        variant ('abcd'/'axyd') while another d=2 pair does
+        ('abcd'/'bcda' share 'bcd')."""
+        import os
+
+        from vnavc_spark.queries import all_queries
+
+        names = ["abcd", "axyd", "bcda", "abce", "zzzz"]
+        df = spark.createDataFrame(
+            [(i, nm, 1, "x", 0.0) for i, nm in enumerate(names)],
+            "c_custkey long, c_name string, c_nationkey long, "
+            "c_phone string, c_acctbal double",
+        )
+        df.write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+        out = {
+            r.d: (r.n_true, r.n_blocked, r.recall)
+            for r in all_queries()["q206_blocking_recall_audit"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out[1][2] == 1.0 and out[1][0] > 0, out
+        # sample-anchored ordered pairs: abcd<->axyd (missed, x2),
+        # abcd<->bcda (blocked via shared 'bcd', x2), plus any other
+        # true d=2 pairs; recall must be strictly between 0 and 1
+        assert 0.0 < out[2][2] < 1.0, out

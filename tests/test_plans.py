@@ -506,6 +506,41 @@ class TestClassicQueryPlans:
         assert f.parquet_scans <= 2
 
 
+class TestRound10Plans:
+    """q204-q207 (round-10 back half: composite-group AUC,
+    mass-weighted Benford, ER recall audit, radius-2 linkage)."""
+
+    def test_daily_auc_composite_key_stays_relational(self, facts):
+        # the '|'-joined composite group rides the shared separation
+        # core: no python nodes, no nested loops, no global windows
+        f = facts("q204_daily_night_auc")
+        assert f.nested_loop_joins == 0 and f.python_nodes == 0
+        assert f.global_windows == 0
+
+    def test_benford_summation_prunes_and_broadcasts(self, facts):
+        # customer broadcast onto orders; scans pruned to the 3
+        # needed columns; digit spine is an explode, not a crossJoin
+        f = facts("q205_benford_summation")
+        assert f.broadcast_joins >= 1 and f.nested_loop_joins == 0
+        cust = [s for s in f.read_schemas if "c_mktsegment" in s][0]
+        assert "c_acctbal" not in cust and "c_name" not in cust
+
+    def test_recall_audit_single_bounded_scan(self, facts):
+        # ONE deliberate BroadcastNestedLoopJoin: the 50-name sample
+        # against the corpus (k·N, linear). A second one means the
+        # blocking side regressed to a cartesian.
+        f = facts("q206_blocking_recall_audit")
+        assert f.nested_loop_joins <= 1
+        assert f.python_nodes == 0
+
+    def test_radius2_linkage_is_equi_join_only(self, facts):
+        # candidates come ONLY from the variant-hash equi-join —
+        # names² never appears as a nested loop at any radius
+        f = facts("q207_radius2_linkage")
+        assert f.nested_loop_joins == 0 and f.python_nodes == 0
+        assert f.global_windows == 0
+
+
 class TestGlobalWindowPins:
     """Round-6: every global rank-filter window must keep its
     WindowGroupLimit pushdown (only q148 was pinned before — a Spark

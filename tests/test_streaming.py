@@ -1328,6 +1328,49 @@ class TestNameLinkageTwin:
         }
         assert out == {("alice coopar", "alice cooper"): (1, 2, 1)}, out
 
+    def test_radius2_snapshot_matches_batch_rollup(
+        self, spark, tmp_path
+    ):
+        """The SAME staged (nm, n_recs) partials serve both blocking
+        depths: a radius-2 snapshot aggregated per distance must
+        equal queries.q207's batch rollup on the real sf0.001
+        customer table — one staging contract, two consumers."""
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        partials = str(tmp_path / "partials")
+        cust = table(spark, sf, "customer")
+        for bid, half in enumerate(
+            (
+                cust.filter(F.col("c_custkey") % 2 == 0),
+                cust.filter(F.col("c_custkey") % 2 == 1),
+            )
+        ):
+            half.filter(F.col("c_name").isNotNull()).groupBy(
+                F.col("c_name").alias("nm")
+            ).agg(F.count("*").cast("long").alias("n_recs")).write.mode(
+                "overwrite"
+            ).parquet(f"{partials}/batch_id={bid}")
+        snap = ingest.name_linkage_snapshot(spark, partials, radius=2)
+        got = sorted(
+            tuple(r)
+            for r in snap.groupBy("dist")
+            .agg(
+                F.count("*").cast("long").alias("n_name_pairs"),
+                F.sum(F.col("n_recs_a") * F.col("n_recs_b"))
+                .cast("long")
+                .alias("n_record_pairs"),
+            )
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q207_radius2_linkage"](spark, sf).collect()
+        )
+        assert got == want and len(got) == 2, (got, want)
+
 
 class TestKAnonymityTwin:
     """queries.q196's streaming twin: additive QI class-count

@@ -81,6 +81,16 @@ SWEEP = [
     # AUC (cents grid saturates; only the count pass grows)
     ("q202_name_linkage", ("customer",), False, False),
     ("q203_weekend_value_auc", ("events",), True, False),
+    # round 10 back half: daily AUC (calendar-bounded groups, cents
+    # grid saturates — only the count pass grows), summation test
+    # (9 x |segments| cells after one mass pass), recall audit and
+    # radius-2 linkage (customer is a passthrough dim: the entity
+    # table is CONSTANT under replication — flat wall is the claim;
+    # candidates scale with DISTINCT names, never with records)
+    ("q204_daily_night_auc", ("events",), True, False),
+    ("q205_benford_summation", ("orders",), True, False),
+    ("q206_blocking_recall_audit", ("customer",), False, False),
+    ("q207_radius2_linkage", ("customer",), False, False),
     ("q120_gap_fill", ("events",), False, False),
     ("q121_exact_mad_scalable", ("lineitem",), False, False),
     ("q122_skyline", ("orders",), True, False),

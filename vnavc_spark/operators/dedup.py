@@ -1804,42 +1804,67 @@ def kcore_peel(
     return survivors.select(F.col("u").alias("doc_id"), "residual_deg")
 
 
-def name_linkage_pairs(names: DataFrame) -> DataFrame:
-    """Record-linkage blocking + verify over a (nm, n_recs) DISTINCT
-    entity table: pairs within Levenshtein distance 1 plus both
-    sides' record counts — the math core of queries.q202, factored
-    so the streaming twin (ingest.name_linkage_snapshot) sums its
-    additive per-batch name counts into the same entity table and
-    gets streaming == batch as an identity.
+_DEL1_SQL = (
+    "transform(sequence(1, length({c})), i -> "
+    "concat(substring({c}, 1, i-1), "
+    "substring({c}, i+1, length({c}))))"
+)
+# all two-position deletions i < j: head, the i..j gap interior, tail.
+# Guarded for len < 2: Spark's sequence(a, b) runs DESCENDING when
+# a > b, so an unguarded sequence(1, length-1) on a 0-length string
+# would fabricate indices instead of an empty list.
+_DEL2_SQL = (
+    "CASE WHEN length({c}) >= 2 THEN "
+    "flatten(transform(sequence(1, length({c}) - 1), i -> "
+    "transform(sequence(i + 1, length({c})), j -> "
+    "concat(substring({c}, 1, i-1), substring({c}, i+1, j-i-1), "
+    "substring({c}, j+1, length({c})))))) "
+    "ELSE array() END"
+)
 
-    FastSS radius-1 deletion blocking (Bocek et al. 2007): each name
-    explodes to itself + its one-char deletions (≤ len+1 variants,
-    distinct); two names within edit distance 1 MUST share a variant
-    (substitution: both delete the differing position; insert/
-    delete: the longer side's deletion hits the shorter side's
-    identity), so the variant-hash equi-join is a LOSSLESS candidate
-    generator and the per-pair ``levenshtein`` verify makes it
-    exact. Candidates, never names²: fan-out is Σ df(variant), with
-    variant buckets bounded by alphabet × name length for real name
+
+def deletion_neighborhood(col: str, radius: int):
+    """FastSS deletion neighborhood of a string column (Bocek et al.
+    2007): the string itself plus every variant reachable by deleting
+    up to ``radius`` characters, distinct, as an array column. The
+    FastSS theorem makes the shared-variant equi-join a LOSSLESS
+    candidate generator for Levenshtein distance ≤ radius: lev(s, t)
+    ≤ k  ⇔  their depth-k deletion neighborhoods intersect. Fan-out
+    is 1 + len (radius 1) / 1 + len + len·(len−1)/2 (radius 2) —
+    quadratic in the NAME LENGTH, never in the corpus."""
+    parts = [F.array(col), F.expr(_DEL1_SQL.format(c=col))]
+    if radius >= 2:
+        parts.append(F.expr(_DEL2_SQL.format(c=col)))
+    return F.array_distinct(F.concat(*parts))
+
+
+def name_linkage_pairs(names: DataFrame, radius: int = 1) -> DataFrame:
+    """Record-linkage blocking + verify over a (nm, n_recs) DISTINCT
+    entity table: pairs within Levenshtein distance ``radius`` plus
+    both sides' record counts — the math core of queries.q202
+    (radius 1) and queries.q207 (radius 2), factored so the
+    streaming twin (ingest.name_linkage_snapshot) sums its additive
+    per-batch name counts into the same entity table and gets
+    streaming == batch as an identity.
+
+    FastSS deletion blocking (Bocek et al. 2007): each name explodes
+    to its depth-``radius`` deletion neighborhood (see
+    :func:`deletion_neighborhood`); two names within edit distance
+    ``radius`` MUST share a variant (the FastSS theorem), so the
+    variant-hash equi-join is a LOSSLESS candidate generator and the
+    per-pair ``levenshtein`` verify makes it exact. Candidates,
+    never names²: fan-out is Σ df(variant), with variant buckets
+    bounded by (alphabet × name length)^radius for real name
     distributions; exact-duplicate records never reach the join
     (the caller's groupBy collapsed them — the clique stance)."""
     from vnavc_spark.cache import tracked_persist
 
-    names = tracked_persist(names, "linkage_names")
+    if radius not in (1, 2):
+        raise ValueError(f"name_linkage_pairs: radius must be 1 or 2, got {radius}")
+    names = tracked_persist(names, f"linkage_names_r{radius}")
     variants = names.select(
         "nm",
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array("nm"),
-                    F.expr(
-                        "transform(sequence(1, length(nm)), i -> "
-                        "concat(substring(nm, 1, i-1), "
-                        "substring(nm, i+1, length(nm))))"
-                    ),
-                )
-            )
-        ).alias("v"),
+        F.explode(deletion_neighborhood("nm", radius)).alias("v"),
     ).select("nm", F.xxhash64("v").alias("hv"))
     cands = (
         variants.select(F.col("nm").alias("name_a"), "hv")
@@ -1852,7 +1877,7 @@ def name_linkage_pairs(names: DataFrame) -> DataFrame:
         cands.withColumn(
             "dist", F.levenshtein("name_a", "name_b").cast("long")
         )
-        .filter(F.col("dist") <= 1)
+        .filter(F.col("dist") <= radius)
         .join(
             names.select(
                 F.col("nm").alias("name_a"),

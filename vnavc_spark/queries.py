@@ -11969,6 +11969,373 @@ def q203_weekend_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_separation_from_counts(sv, "event_type", "cents")
 
 
+@query(
+    "q204_daily_night_auc",
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+         CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END AS p
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND ts IS NOT NULL),
+c AS (SELECT event_type, epoch_day, vc,
+             CAST(count(*) AS HUGEINT) AS cnt,
+             CAST(sum(p) AS HUGEINT) AS cnt_pos
+      FROM v GROUP BY event_type, epoch_day, vc),
+w AS (SELECT event_type, epoch_day, vc, cnt, cnt_pos,
+             CAST(sum(cnt) OVER (PARTITION BY event_type, epoch_day
+                                 ORDER BY vc) AS HUGEINT) AS cum,
+             CAST(sum(cnt_pos) OVER (PARTITION BY event_type, epoch_day
+                                     ORDER BY vc) AS HUGEINT) AS cum_pos
+      FROM c),
+t AS (SELECT event_type, epoch_day, CAST(sum(cnt) AS HUGEINT) AS n,
+             CAST(sum(cnt_pos) AS HUGEINT) AS n1
+      FROM c GROUP BY event_type, epoch_day),
+a AS (SELECT w.event_type, w.epoch_day, t.n, t.n1,
+             CAST(sum(cnt_pos * (2 * (cum - cnt) + cnt + 1))
+                  AS HUGEINT) AS two_r1,
+             max(abs(cum_pos * (t.n - t.n1)
+                     - (cum - cum_pos) * t.n1)) AS ks_num
+      FROM w JOIN t ON t.event_type = w.event_type
+                   AND t.epoch_day = w.epoch_day
+      GROUP BY w.event_type, w.epoch_day, t.n, t.n1)
+SELECT event_type, epoch_day,
+       CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n - n1 AS BIGINT) AS n_neg,
+       floor(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * (n - n1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS auc,
+       floor((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+              / CAST(2 * n1 * (n - n1) AS DOUBLE) * 2.0 - 1.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS gini,
+       floor(CAST(ks_num AS DOUBLE) / CAST(n1 * (n - n1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+FROM a WHERE n1 >= 1 AND n - n1 >= 1
+""",
+)
+def q204_daily_night_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) AUC/Gini/KS of the event value against
+    the NIGHT label (hour < 6) — the drift-monitoring shape: a daily
+    track of "does value separate night from day traffic" per funnel
+    stage, certifying q186's separation core under a COMPOSITE group
+    key (the round-10 shelf item). The composite (type, epoch-day)
+    key rides the single-column core as a '|'-joined string — the
+    product-grouping semantics are identical and the core (and its
+    streaming-twin consumers) stays untouched — and is split back to
+    typed columns on output. Value rides as exact cents; the night
+    label is hour() on the NTZ timestamp (no timezone surface); the
+    per-group grid is the bounded cents domain, never the corpus.
+    ~|types|·|days| groups: the group count grows with the CALENDAR,
+    not the row count, so at 100 TB this is a small-output daily
+    rollup whose one shuffle is the (group, cents) count pass."""
+    from vnavc_spark.operators.ordering import score_separation_from_counts
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    epoch = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    sv = (
+        e.select(
+            F.concat_ws(
+                "|", F.col("event_type"), epoch.cast("string")
+            ).alias("g"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.when(F.hour("ts") < 6, 1).otherwise(0).alias("p"),
+        )
+        .groupBy("g", "cents")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("p").cast("long").alias("cnt_pos"),
+        )
+    )
+    r = score_separation_from_counts(sv, "g", "cents")
+    return r.select(
+        F.substring_index("g", "|", 1).alias("event_type"),
+        F.substring_index("g", "|", -1).cast("long").alias("epoch_day"),
+        "n_pos",
+        "n_neg",
+        "auc",
+        "gini",
+        "ks_stat",
+    )
+
+
+@query(
+    "q205_benford_summation",
+    oracle="""
+WITH v AS (
+  SELECT c_mktsegment AS seg,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_totalprice IS NOT NULL AND c_mktsegment IS NOT NULL),
+obs AS (SELECT seg, CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS INT) AS d,
+               CAST(sum(vc) AS HUGEINT) AS m
+        FROM v WHERE vc > 0 GROUP BY seg, d),
+tot AS (SELECT seg, CAST(sum(m) AS HUGEINT) AS n FROM obs GROUP BY seg),
+grid AS (
+  SELECT t.seg, t.n, dg.d, COALESCE(o.m, 0) AS m
+  FROM tot t CROSS JOIN range(1, 10) dg(d)
+  LEFT JOIN obs o ON o.seg = t.seg AND o.d = dg.d),
+cc AS (
+  SELECT seg, n, d,
+         CAST((9 * m - n) * (9 * m - n) AS DOUBLE)
+         / CAST(9 * n AS DOUBLE) AS contrib
+  FROM grid),
+piv AS (
+  SELECT seg, n,
+         sum(CASE WHEN d = 1 THEN contrib ELSE 0.0 END) AS c1,
+         sum(CASE WHEN d = 2 THEN contrib ELSE 0.0 END) AS c2,
+         sum(CASE WHEN d = 3 THEN contrib ELSE 0.0 END) AS c3,
+         sum(CASE WHEN d = 4 THEN contrib ELSE 0.0 END) AS c4,
+         sum(CASE WHEN d = 5 THEN contrib ELSE 0.0 END) AS c5,
+         sum(CASE WHEN d = 6 THEN contrib ELSE 0.0 END) AS c6,
+         sum(CASE WHEN d = 7 THEN contrib ELSE 0.0 END) AS c7,
+         sum(CASE WHEN d = 8 THEN contrib ELSE 0.0 END) AS c8,
+         sum(CASE WHEN d = 9 THEN contrib ELSE 0.0 END) AS c9
+  FROM cc GROUP BY seg, n)
+SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS total_cents,
+       floor((c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9)
+             * 1000000.0 + 0.5) / 1000000.0 AS sum_stat,
+       CASE WHEN (c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9) > 21.955
+            THEN 1 ELSE 0 END AS summation_flag
+FROM piv
+""",
+)
+def q205_benford_summation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nigrini SUMMATION test per market segment — the mass-weighted
+    companion to q188's Benford count gate (Nigrini 2012: for
+    Benford-distributed amounts the SUM of amounts per first digit
+    is approximately UNIFORM across digits, so digit-mass
+    concentration exposes a few large fabricated amounts that a
+    count-based gate dilutes away). Digit masses are exact cent sums
+    per (segment, first digit); the uniform expectation n/9 is
+    tested as χ²-style Σ(9·m_d − n)²/(9n) with the numerator an
+    EXACT decimal(38,0) integer (cent masses overflow long·long —
+    9·m up to ~2·10¹³ at sf0.1 and far past 10¹⁸ at 100 TB, so both
+    engines square in 38-digit/int128 space and convert ONCE to
+    double for the terminal division — the q188 hash-portability
+    stance). The 9 cells pivot to columns and sum as one fixed
+    left-associated expression (no order-dependent double
+    aggregation); the 21.955 flag literal is the χ²(8 df) p = 0.995
+    convention shared with q188, documented here as a convention —
+    the summation statistic is not χ²-calibrated. One broadcast
+    customer join + one map-side mass pass; everything downstream is
+    9 × |segments| rows."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isNotNull()
+    )
+    v = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+        )
+        .filter(F.col("vc") > 0)
+    )
+    obs = v.groupBy(
+        "seg",
+        F.substring(F.col("vc").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d"),
+    ).agg(F.sum("vc").cast("long").alias("m"))
+    from vnavc_spark.cache import tracked_persist
+
+    obs = tracked_persist(obs, "benford_sum_obs")
+    tot = obs.groupBy("seg").agg(F.sum("m").cast("long").alias("n"))
+    grid = (
+        tot.select(
+            "seg", "n", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d")
+        )
+        .join(obs, ["seg", "d"], "left")
+        .withColumn("m", F.coalesce("m", F.lit(0).cast("long")))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    diff = F.lit(9) * dec("m") - dec("n")
+    contrib = (diff * diff).cast("double") / (
+        F.lit(9) * dec("n")
+    ).cast("double")
+    piv = grid.select("seg", "n", "d", contrib.alias("contrib")).groupBy(
+        "seg", "n"
+    ).agg(
+        *[
+            F.sum(
+                F.when(F.col("d") == F.lit(i), F.col("contrib")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    stat = (
+        F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4")
+        + F.col("c5") + F.col("c6") + F.col("c7") + F.col("c8")
+        + F.col("c9")
+    )
+    return piv.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("n").alias("total_cents"),
+        stable_round(stat, 6).alias("sum_stat"),
+        F.when(stat > F.lit(21.955), 1).otherwise(F.lit(0)).alias(
+            "summation_flag"
+        ),
+    )
+
+
+@query(
+    "q206_blocking_recall_audit",
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT c_name AS nm FROM customer WHERE c_name IS NOT NULL),
+s AS (SELECT nm FROM names ORDER BY md5('vnavc' || nm), nm LIMIT 50),
+tp AS (SELECT s.nm AS a, n.nm AS b,
+              CAST(levenshtein(s.nm, n.nm) AS BIGINT) AS d
+       FROM s CROSS JOIN names n
+       WHERE s.nm <> n.nm AND levenshtein(s.nm, n.nm) <= 2),
+va AS (SELECT nm, nm AS v FROM names
+       UNION
+       SELECT nm, substr(nm, 1, CAST(i AS INT) - 1)
+                  || substr(nm, CAST(i AS INT) + 1) AS v
+       FROM names, range(1, 100) t(i) WHERE i <= length(nm)),
+cand AS (SELECT DISTINCT vs.nm AS a, va.nm AS b
+         FROM va vs JOIN va ON vs.v = va.v
+         WHERE vs.nm IN (SELECT nm FROM s) AND vs.nm <> va.nm)
+SELECT d, CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN cand.a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked,
+       floor(sum(CASE WHEN cand.a IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS recall
+FROM tp LEFT JOIN cand ON tp.a = cand.a AND tp.b = cand.b
+GROUP BY d
+""",
+)
+def q206_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-recall self-audit for the record-linkage pipeline —
+    the q101 recall-audit stance applied to ER: on a DETERMINISTIC
+    50-name sample (md5 hash order — the q39 sampler), brute-force
+    the true Levenshtein-≤2 neighbors against ALL names (a bounded
+    50×N scan, linear in the corpus — the one deliberate
+    BroadcastNestedLoopJoin, plan-pinned) and measure what fraction
+    the RADIUS-1 deletion blocking generates as candidates, per
+    distance. d=1 recall is exactly 1.0 (the FastSS theorem — also a
+    live proof the q202 blocking is lossless at its design radius);
+    d=2 recall is the measured coverage gap that motivates q207's
+    radius-2 blocking. This is the audit you run ON A SAMPLE at
+    100 TB where the brute-force side can never run in full —
+    sample-anchored pairs (sample name, other name) keep the cost
+    k·N regardless of corpus size."""
+    from vnavc_spark.operators.dedup import deletion_neighborhood
+
+    names = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_name").isNotNull())
+        .select(F.col("c_name").alias("nm"))
+        .distinct()
+    )
+    from vnavc_spark.cache import tracked_persist
+
+    names = tracked_persist(names, "recall_audit_names")
+    s = sampling.exact_k_global(names, key="nm", k=50)
+    tp = (
+        names.select(F.col("nm").alias("b"))
+        .crossJoin(F.broadcast(s.select(F.col("nm").alias("a"))))
+        .withColumn("d", F.levenshtein("a", "b").cast("long"))
+        .filter((F.col("a") != F.col("b")) & (F.col("d") <= 2))
+    )
+    va = names.select(
+        "nm", F.explode(deletion_neighborhood("nm", 1)).alias("v")
+    ).select("nm", F.xxhash64("v").alias("hv"))
+    vs = va.join(F.broadcast(s), "nm").select(
+        F.col("nm").alias("a"), "hv"
+    )
+    cand = (
+        vs.join(va.select(F.col("nm").alias("b"), "hv"), "hv")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tp.join(cand, ["a", "b"], "left")
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_blocked"),
+        )
+        .select(
+            "d",
+            "n_true",
+            "n_blocked",
+            stable_round(
+                F.col("n_blocked").cast("double")
+                / F.col("n_true").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+@query(
+    "q207_radius2_linkage",
+    oracle="""
+WITH names AS (
+  SELECT c_name AS nm, CAST(count(*) AS BIGINT) AS n_recs
+  FROM customer WHERE c_name IS NOT NULL GROUP BY c_name),
+p AS (SELECT CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+             a.n_recs * b.n_recs AS rp
+      FROM names a JOIN names b ON a.nm < b.nm
+      WHERE levenshtein(a.nm, b.nm) <= 2)
+SELECT dist, CAST(count(*) AS BIGINT) AS n_name_pairs,
+       CAST(sum(rp) AS BIGINT) AS n_record_pairs
+FROM p GROUP BY dist
+""",
+)
+def q207_radius2_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 record linkage rollup: name-pair and record-pair
+    counts per exact Levenshtein distance (1, 2) over customer
+    entities — q202's FastSS machinery at depth 2 (two-deletion
+    neighborhoods; Bocek et al. 2007), closing the d=2 coverage gap
+    q206 measures for the radius-1 blocking. Variant fan-out is
+    1 + len + len·(len−1)/2 per DISTINCT name (length-quadratic,
+    corpus-linear); candidate pairs are Σ df(variant) over shared-
+    variant buckets and the levenshtein verify makes them exact.
+    Output is the AGGREGATE (pair listing at d ≤ 2 is large on
+    near-sequential name corpora) and the record-pair mass rides the
+    collapsed exact-duplicate multiplicities, so a blocking recall
+    bug shifts BOTH counts. The ORACLE is deliberately brute-force
+    (names² at oracle scale) — a recall bug cannot hide in a
+    mirrored oracle (the q202 stance)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
+    names = c.groupBy(F.col("c_name").alias("nm")).agg(
+        F.count("*").cast("long").alias("n_recs")
+    )
+    pairs = dedup.name_linkage_pairs(names, radius=2)
+    return (
+        pairs.groupBy("dist")
+        .agg(
+            F.count("*").cast("long").alias("n_name_pairs"),
+            F.sum(F.col("n_recs_a") * F.col("n_recs_b"))
+            .cast("long")
+            .alias("n_record_pairs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

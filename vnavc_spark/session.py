@@ -24,6 +24,18 @@ from pyspark.sql import SparkSession
 #: Tuned defaults; every entry can be overridden by the caller or by
 #: ``spark-defaults.conf`` on a real cluster.
 DEFAULT_CONF: dict[str, str] = {
+    # Local-mode heap: the JVM default (1g) starves 32 concurrent
+    # tasks' shuffle-spill merges on candidate-heavy aggregations
+    # (q207's radius-2 blocking OOM'd in the spill READERS at sf0.1 —
+    # each merge opens a 1 MB ReadAheadInputStream per spill file).
+    # This box is 128 GiB / local[32]; real clusters run 8-64g
+    # executor heaps, so 8g is the faithful local posture, not a
+    # crutch. Only effective when the builder launches the JVM (a
+    # pre-existing gateway keeps its heap); override via
+    # $SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", "8g"
+    ),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

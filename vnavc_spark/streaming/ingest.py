@@ -915,7 +915,9 @@ def start_name_counts(
     )
 
 
-def name_linkage_snapshot(spark, partials_path: str) -> DataFrame:
+def name_linkage_snapshot(
+    spark, partials_path: str, radius: int = 1
+) -> DataFrame:
     """Linkage pairs from the staged name-count partials — identical
     output contract to queries.q202 (name_a, name_b, n_recs_a,
     n_recs_b, dist). Summing the additive partials reproduces the
@@ -924,7 +926,9 @@ def name_linkage_snapshot(spark, partials_path: str) -> DataFrame:
     arrived in different batches), and the shared
     ``dedup.name_linkage_pairs`` core does the blocking + verify —
     streaming == batch is an identity, not an approximation
-    (parity-tested in tests/test_streaming.py)."""
+    (parity-tested in tests/test_streaming.py). ``radius=2`` serves
+    queries.q207's radius-2 rollup from the SAME staged partials —
+    one staging contract, both blocking depths."""
     from vnavc_spark.operators.dedup import name_linkage_pairs
 
     names = (
@@ -932,7 +936,7 @@ def name_linkage_snapshot(spark, partials_path: str) -> DataFrame:
         .groupBy("nm")
         .agg(F.sum("n_recs").cast("long").alias("n_recs"))
     )
-    return name_linkage_pairs(names)
+    return name_linkage_pairs(names, radius=radius)
 
 
 def start_qi_class_counts(
