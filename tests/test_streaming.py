@@ -1114,6 +1114,73 @@ class TestBenfordTwin:
         )
         assert got == want and len(got) == 5
 
+    def test_summation_snapshot_equals_batch_q205(self, spark, tmp_path):
+        """q205's mass-weighted twin: the customer-segment join runs
+        UPSTREAM of the stage (dim joins don't belong in the additive
+        partial); per-batch digit-MASS partials summed at snapshot
+        time reproduce the batch summation test exactly — including
+        when one segment's large amounts are split across batches
+        (the statistic only means anything on corpus-wide masses)."""
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        orders = table(spark, sf, "orders")
+        cust = table(spark, sf, "customer").filter(
+            F.col("c_mktsegment").isNotNull()
+        )
+        joined = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("seg"),
+            "o_totalprice",
+        )
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        src = tmp_path / "src"
+        src.mkdir()
+        # split by ORDER parity so every segment's mass accumulates
+        # across both batches — the cross-batch sum is the claim
+        for i, half in enumerate(
+            (
+                joined.filter(F.col("o_orderkey") % 2 == 0),
+                joined.filter(F.col("o_orderkey") % 2 == 1),
+            )
+        ):
+            part = tmp_path / f"sumstage{i}"
+            half.coalesce(1).write.json(str(part))
+            import glob as _glob
+            import shutil as _shutil
+
+            for j, f in enumerate(
+                sorted(_glob.glob(str(part / "*.json")))
+            ):
+                _shutil.copy(f, src / f"half{i}_{j}.json")
+            q = ingest.start_digit_mass_partials(
+                spark.readStream.schema(
+                    "o_orderkey long, seg string, o_totalprice double"
+                ).json(str(src)),
+                partials,
+                ckpt,
+                group_col="seg",
+            )
+            q.awaitTermination(60)
+        got = sorted(
+            tuple(r)
+            for r in ingest.benford_summation_snapshot(
+                spark, partials
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q205_benford_summation"](
+                spark, sf
+            ).collect()
+        )
+        assert got == want and len(got) == 5
+
     def test_replayed_digit_partial_is_idempotent(self, spark, tmp_path):
         from vnavc_spark.streaming import ingest
 

@@ -1764,6 +1764,74 @@ def benford_gate_from_digit_counts(
     )
 
 
+def benford_summation_from_digit_masses(
+    obs: DataFrame, group_col: str = "seg"
+) -> DataFrame:
+    """Nigrini summation test per group from a pre-aggregated
+    (group, d, m) first-digit MASS table — the math core of
+    queries.q205, factored so the streaming twin
+    (ingest.benford_summation_snapshot) sums its additive per-batch
+    digit-mass partials into the same table and gets streaming ==
+    batch as an identity (the q188 twin pattern, mass-weighted).
+
+    Input contract: ``m`` holds exact long cent masses per (group,
+    first digit 1..9), zero-mass digits simply absent (the 9-digit
+    spine is rebuilt here). The uniform n/9 expectation is tested as
+    Σ(9·m_d − n)²/(9n): the numerator squares in EXACT decimal(38,0)
+    (cent masses overflow long·long at 100 TB) and converts ONCE to
+    double for the terminal division; the 9 cells pivot to columns
+    and sum as one fixed left-associated expression. The 21.955 flag
+    literal is the χ²(8 df) p = 0.995 convention shared with q188
+    (a convention here — the summation statistic is not
+    χ²-calibrated)."""
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.functions.portable import stable_round
+
+    obs = tracked_persist(obs, f"benford_sum_obs:{group_col}")
+    tot = obs.groupBy(group_col).agg(
+        F.sum("m").cast("long").alias("n")
+    )
+    grid = (
+        tot.select(
+            group_col,
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"),
+        )
+        .join(obs, [group_col, "d"], "left")
+        .withColumn("m", F.coalesce("m", F.lit(0).cast("long")))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    diff = F.lit(9) * dec("m") - dec("n")
+    contrib = (diff * diff).cast("double") / (
+        F.lit(9) * dec("n")
+    ).cast("double")
+    piv = grid.select(
+        group_col, "n", "d", contrib.alias("contrib")
+    ).groupBy(group_col, "n").agg(
+        *[
+            F.sum(
+                F.when(F.col("d") == F.lit(i), F.col("contrib")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    stat = (
+        F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4")
+        + F.col("c5") + F.col("c6") + F.col("c7") + F.col("c8")
+        + F.col("c9")
+    )
+    return piv.select(
+        group_col,
+        F.col("n").alias("total_mass"),
+        stable_round(stat, 6).alias("sum_stat"),
+        F.when(stat > F.lit(21.955), 1).otherwise(F.lit(0)).alias(
+            "summation_flag"
+        ),
+    )
+
+
 def k_anonymity_rollup(cls: DataFrame, k: int = 5) -> DataFrame:
     """Per-nation k-anonymity audit from a pre-aggregated QI-class
     count table (nk, seg, band, sz) — the math core of queries.q196,

@@ -12128,7 +12128,11 @@ def q205_benford_summation(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention shared with q188, documented here as a convention —
     the summation statistic is not χ²-calibrated. One broadcast
     customer join + one map-side mass pass; everything downstream is
-    9 × |segments| rows."""
+    9 × |segments| rows, computed in the shared
+    ``aggregates.benford_summation_from_digit_masses`` core so the
+    streaming twin (ingest.start_digit_mass_partials /
+    benford_summation_snapshot) sums its additive per-batch digit
+    masses into the same table — snapshot == batch is an identity."""
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice").isNotNull()
     )
@@ -12151,46 +12155,15 @@ def q205_benford_summation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("d"),
     ).agg(F.sum("vc").cast("long").alias("m"))
-    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.operators.aggregates import (
+        benford_summation_from_digit_masses,
+    )
 
-    obs = tracked_persist(obs, "benford_sum_obs")
-    tot = obs.groupBy("seg").agg(F.sum("m").cast("long").alias("n"))
-    grid = (
-        tot.select(
-            "seg", "n", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d")
-        )
-        .join(obs, ["seg", "d"], "left")
-        .withColumn("m", F.coalesce("m", F.lit(0).cast("long")))
-    )
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    diff = F.lit(9) * dec("m") - dec("n")
-    contrib = (diff * diff).cast("double") / (
-        F.lit(9) * dec("n")
-    ).cast("double")
-    piv = grid.select("seg", "n", "d", contrib.alias("contrib")).groupBy(
-        "seg", "n"
-    ).agg(
-        *[
-            F.sum(
-                F.when(F.col("d") == F.lit(i), F.col("contrib")).otherwise(
-                    F.lit(0.0)
-                )
-            ).alias(f"c{i}")
-            for i in range(1, 10)
-        ]
-    )
-    stat = (
-        F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4")
-        + F.col("c5") + F.col("c6") + F.col("c7") + F.col("c8")
-        + F.col("c9")
-    )
-    return piv.select(
+    return benford_summation_from_digit_masses(obs, "seg").select(
         F.col("seg").alias("c_mktsegment"),
-        F.col("n").alias("total_cents"),
-        stable_round(stat, 6).alias("sum_stat"),
-        F.when(stat > F.lit(21.955), 1).otherwise(F.lit(0)).alias(
-            "summation_flag"
-        ),
+        F.col("total_mass").alias("total_cents"),
+        "sum_stat",
+        "summation_flag",
     )
 
 

@@ -635,6 +635,86 @@ def benford_snapshot(spark, partials_path: str) -> DataFrame:
     )
 
 
+def start_digit_mass_partials(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    group_col: str = "seg",
+    amount_col: str = "o_totalprice",
+):
+    """Stream side of the Nigrini summation monitor (queries.q205's
+    streaming twin): each micro-batch aggregates ITS OWN rows to
+    (group, first-digit, cent-mass) partials under
+    ``partials_path/batch_id=N`` — q205's exact digit extraction
+    with Σ(cents) instead of count(*) as the cell value. Masses are
+    ADDITIVE integers (≤ 9 rows per group per batch); a replayed
+    batch id overwrites its own partial in place. The summation
+    statistic is NOT computed per batch — a few large amounts landing
+    in one batch say nothing until weighed against the corpus-wide
+    digit masses, recomputed on demand by
+    :func:`benford_summation_snapshot` at 9 × |groups| cost. The
+    stream carries the group column pre-joined (q205's
+    customer-segment join happens upstream of the stage — dim joins
+    don't belong in the additive partial)."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(
+                F.col(amount_col).isNotNull()
+                & F.col(group_col).isNotNull()
+            )
+            .select(
+                F.col(group_col).alias("seg"),
+                F.floor(F.col(amount_col) * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("vc"),
+            )
+            .filter(F.col("vc") > 0)
+            .groupBy(
+                "seg",
+                F.substring(F.col("vc").cast("string"), 1, 1)
+                .cast("int")
+                .alias("d"),
+            )
+            .agg(F.sum("vc").cast("long").alias("m"))
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def benford_summation_snapshot(spark, partials_path: str) -> DataFrame:
+    """Per-segment Nigrini summation test from the staged digit-mass
+    partials — identical output contract to queries.q205
+    (c_mktsegment, total_cents, sum_stat, summation_flag). Summing
+    the additive partials reproduces the batch digit-mass table
+    EXACTLY, and the shared
+    ``aggregates.benford_summation_from_digit_masses`` core does the
+    rest — streaming == batch is an identity, not an approximation
+    (parity-tested in tests/test_streaming.py)."""
+    from vnavc_spark.operators.aggregates import (
+        benford_summation_from_digit_masses,
+    )
+
+    obs = (
+        spark.read.parquet(partials_path)
+        .groupBy("seg", "d")
+        .agg(F.sum("m").cast("long").alias("m"))
+    )
+    return benford_summation_from_digit_masses(obs, "seg").select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("total_mass").alias("total_cents"),
+        "sum_stat",
+        "summation_flag",
+    )
+
+
 def start_mass_partials(
     stream: DataFrame,
     partials_path: str,
