@@ -1312,6 +1312,100 @@ class TestEventsAucTwin:
         assert got == want and len(got) == 5
 
 
+class TestHllSketchTwin:
+    """queries.q47's streaming twin: per-batch HLL register maxima
+    (2^b ints per group per batch — the mergeable-sketch identity)
+    MAX-merged at snapshot time into the shared
+    aggregates.hll_estimate_from_registers core, with the exact
+    countDistinct anchor union-merged from staged distinct pairs —
+    snapshot == batch identity on the REAL sf0.001 orders table."""
+
+    def test_snapshot_equals_batch_q47_on_real_orders(
+        self, spark, tmp_path
+    ):
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        orders = table(spark, sf, "orders")
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        src = tmp_path / "src"
+        src.mkdir()
+        # split by key parity: the same custkey appears in BOTH
+        # batches (odd/even ORDERS, not customers), so the register
+        # max-merge and the distinct-pair union both genuinely span
+        # batches
+        for i, half in enumerate(
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 0),
+                orders.filter(F.col("o_orderkey") % 2 == 1),
+            )
+        ):
+            part = tmp_path / f"hllstage{i}"
+            half.select(
+                "o_orderpriority", "o_custkey"
+            ).coalesce(1).write.json(str(part))
+            import glob as _glob
+            import shutil as _shutil
+
+            for j, f in enumerate(
+                sorted(_glob.glob(str(part / "*.json")))
+            ):
+                _shutil.copy(f, src / f"half{i}_{j}.json")
+            q = ingest.start_hll_register_partials(
+                spark.readStream.schema(
+                    "o_orderpriority string, o_custkey long"
+                ).json(str(src)),
+                partials,
+                ckpt,
+            )
+            q.awaitTermination(60)
+        got = sorted(
+            tuple(r)
+            for r in ingest.hll_snapshot(spark, partials).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q47_approx_sketches"](spark, sf).collect()
+        )
+        assert got == want and len(got) == 5, (got, want)
+
+    def test_replayed_register_partial_is_idempotent(
+        self, spark, tmp_path
+    ):
+        # a re-delivered batch id must overwrite its own partial —
+        # the merged registers and the snapshot must not move
+        from vnavc_spark.operators.aggregates import hll_register_maxima
+        from vnavc_spark.streaming import ingest
+
+        partials = str(tmp_path / "partials")
+        rows = spark.createDataFrame(
+            [("HI", 7), ("HI", 11), ("LO", 7)], "g string, v long"
+        )
+
+        def stage():
+            hll_register_maxima(rows, ["g"], "v").write.mode(
+                "overwrite"
+            ).parquet(f"{partials}/regs/batch_id=0")
+            rows.distinct().write.mode("overwrite").parquet(
+                f"{partials}/vals/batch_id=0"
+            )
+
+        stage()
+        first = sorted(
+            tuple(r)
+            for r in ingest.hll_snapshot(spark, partials).collect()
+        )
+        stage()  # replay
+        again = sorted(
+            tuple(r)
+            for r in ingest.hll_snapshot(spark, partials).collect()
+        )
+        assert first == again and len(first) == 2
+
+
 class TestNameLinkageTwin:
     """queries.q202's streaming twin: per-batch additive (nm, n_recs)
     count partials (start_name_counts) summed at snapshot time into

@@ -254,15 +254,6 @@ def hll_deterministic(
 
     Returns (group_cols..., n_registers_hit, harmonic_sum,
     hll_estimate, n_exact)."""
-    from vnavc_spark.functions.portable import stable_round
-
-    m = 1 << b
-    wbits = 60 - b
-    sent = wbits + 1  # rho when the whole w suffix is zero
-    alpha_num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << sent)
-    h = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
     # NULL values contribute nothing — like countDistinct (the
     # n_exact anchor). Without the filter a null hashes to a NULL _h
     # that creates a phantom register: counted by n_registers_hit but
@@ -270,6 +261,39 @@ def hll_deterministic(
     # only nulls yields NULL instead of estimate 0). Any future
     # oracle over a nullable key must mirror `WHERE col IS NOT NULL`.
     df = df.filter(F.col(value_col).isNotNull())
+    regs = hll_register_maxima(df, group_cols, value_col, b)
+    ex = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).cast("long").alias("n_exact")
+    )
+    return hll_estimate_from_registers(regs, group_cols, b).join(
+        ex, on=group_cols
+    ).select(
+        *group_cols,
+        "n_registers_hit",
+        "harmonic_sum",
+        "hll_estimate",
+        "n_exact",
+    )
+
+
+def hll_register_maxima(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 6,
+) -> DataFrame:
+    """The register half of :func:`hll_deterministic`, factored so
+    the streaming twin (ingest.start_hll_register_partials) stages
+    the SAME (group, _reg, _M) register maxima per batch — register
+    max is associative/commutative, so per-batch maxima max-merge to
+    the corpus registers exactly (the mergeable-sketch identity).
+    Input must already be null-filtered (the caller owns the
+    countDistinct-like null semantics)."""
+    m = 1 << b
+    sent = 60 - b + 1  # rho when the whole w suffix is zero
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
     rw = df.select(*group_cols, h.alias("_h")).select(
         *group_cols,
         F.pmod(F.col("_h"), F.lit(m)).alias("_reg"),
@@ -280,33 +304,44 @@ def hll_deterministic(
         "CAST(floor(log2(CAST(_w & -_w AS DOUBLE)) + 0.5) AS BIGINT) + 1 "
         "END"
     )
-    regs = rw.withColumn("_rho", rho).groupBy(*group_cols, "_reg").agg(
+    return rw.withColumn("_rho", rho).groupBy(*group_cols, "_reg").agg(
         F.max("_rho").alias("_M")
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    b: int = 6,
+) -> DataFrame:
+    """The estimate half of :func:`hll_deterministic`: per-group
+    harmonic accumulation over a (group, _reg, _M) register table —
+    exact integer state, one terminal IEEE division by the
+    Python-formatted alpha literal. Shared by the batch core and the
+    streaming snapshot (ingest.hll_snapshot), which max-merges staged
+    per-batch register partials into the same table first."""
+    from vnavc_spark.functions.portable import stable_round
+
+    m = 1 << b
+    sent = 60 - b + 1
+    alpha_num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << sent)
     ga = regs.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_registers_hit"),
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({sent} - _M AS INT))")
         ).alias("_s_present"),
     )
-    ex = df.groupBy(*group_cols).agg(
-        F.countDistinct(value_col).cast("long").alias("n_exact")
-    )
     s_total = (
         F.col("_s_present")
         + (F.lit(m) - F.col("n_registers_hit")) * F.lit(1 << sent)
     ).cast("long")
-    return (
-        ga.join(ex, on=group_cols)
-        .select(
-            *group_cols,
-            "n_registers_hit",
-            s_total.alias("harmonic_sum"),
-            stable_round(
-                F.lit(alpha_num) / s_total.cast("double"), 6
-            ).alias("hll_estimate"),
-            "n_exact",
-        )
+    return ga.select(
+        *group_cols,
+        "n_registers_hit",
+        s_total.alias("harmonic_sum"),
+        stable_round(
+            F.lit(alpha_num) / s_total.cast("double"), 6
+        ).alias("hll_estimate"),
     )
 
 

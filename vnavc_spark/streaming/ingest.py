@@ -635,6 +635,92 @@ def benford_snapshot(spark, partials_path: str) -> DataFrame:
     )
 
 
+def start_hll_register_partials(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    group_col: str = "o_orderpriority",
+    value_col: str = "o_custkey",
+    b: int = 6,
+):
+    """Stream side of the distinct-count sketch monitor
+    (queries.q47's streaming twin): each micro-batch reduces ITS OWN
+    rows to (group, _reg, _M) HLL register maxima under
+    ``partials_path/regs/batch_id=N`` — 2^b ints per group per batch,
+    the smallest possible distinct-count state. Register max is
+    associative/commutative, so per-batch maxima MAX-MERGE to the
+    corpus registers exactly (the mergeable-sketch identity —
+    the 100 TB answer to distinct counting over a stream); a
+    replayed batch id overwrites its own partial in place. Because
+    q47's batch contract also carries the exact countDistinct anchor
+    (the error audit), the stage ALSO writes the batch's DISTINCT
+    (group, value) pairs under ``partials_path/vals/batch_id=N`` —
+    that union-merged state is what ANY exact distinct count must
+    hold; production monitoring drops it and keeps only the
+    registers. The estimate is NOT computed per batch — harmonic
+    accumulation only means anything on the merged registers,
+    recomputed on demand by :func:`hll_snapshot`."""
+    from vnavc_spark.operators.aggregates import hll_register_maxima
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        ).select(
+            F.col(group_col).alias("g"), F.col(value_col).alias("v")
+        )
+        hll_register_maxima(rows, ["g"], "v", b).write.mode(
+            "overwrite"
+        ).parquet(f"{partials_path}/regs/batch_id={batch_id}")
+        rows.distinct().write.mode("overwrite").parquet(
+            f"{partials_path}/vals/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_snapshot(spark, partials_path: str, b: int = 6) -> DataFrame:
+    """Per-group HLL distinct-count sketch from the staged register
+    partials — identical output contract to queries.q47
+    (o_orderpriority, n_registers_hit, harmonic_sum, hll_estimate,
+    n_exact). Max-merging the per-batch register maxima reproduces
+    the batch register table EXACTLY (max is order- and
+    batching-insensitive), the shared
+    ``aggregates.hll_estimate_from_registers`` core turns it into
+    the estimate, and the exact anchor is countDistinct over the
+    union-merged staged pairs — streaming == batch is an identity,
+    not an approximation (parity-tested in tests/test_streaming.py)."""
+    from vnavc_spark.operators.aggregates import (
+        hll_estimate_from_registers,
+    )
+
+    regs = (
+        spark.read.parquet(f"{partials_path}/regs")
+        .groupBy("g", "_reg")
+        .agg(F.max("_M").alias("_M"))
+    )
+    ex = (
+        spark.read.parquet(f"{partials_path}/vals")
+        .groupBy("g")
+        .agg(F.countDistinct("v").cast("long").alias("n_exact"))
+    )
+    return (
+        hll_estimate_from_registers(regs, ["g"], b)
+        .join(ex, on="g")
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            "n_registers_hit",
+            "harmonic_sum",
+            "hll_estimate",
+            "n_exact",
+        )
+    )
+
+
 def start_digit_mass_partials(
     stream: DataFrame,
     partials_path: str,
