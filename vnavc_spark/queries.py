@@ -12021,7 +12021,7 @@ def q204_daily_night_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     track of "does value separate night from day traffic" per funnel
     stage, certifying q186's separation core under a COMPOSITE group
     key (the round-10 shelf item). The composite (type, epoch-day)
-    key rides the single-column core as a '|'-joined string — the
+    key rides the single-column core as a unit-separator (\x1f) joined string — the
     product-grouping semantics are identical and the core (and its
     streaming-twin consumers) stays untouched — and is split back to
     typed columns on output. Value rides as exact cents; the night
@@ -12040,10 +12040,14 @@ def q204_daily_night_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch = F.datediff(
         F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
     ).cast("long")
+    # \x1f (ASCII unit separator) instead of a printable separator:
+    # the oracle groups by the REAL columns, so a separator that can
+    # occur inside event_type would silently split the composite key
+    # differently in the two engines
     sv = (
         e.select(
             F.concat_ws(
-                "|", F.col("event_type"), epoch.cast("string")
+                "\x1f", F.col("event_type"), epoch.cast("string")
             ).alias("g"),
             F.floor(F.col("value") * 100 + F.lit(0.5))
             .cast("long")
@@ -12058,8 +12062,8 @@ def q204_daily_night_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = score_separation_from_counts(sv, "g", "cents")
     return r.select(
-        F.substring_index("g", "|", 1).alias("event_type"),
-        F.substring_index("g", "|", -1).cast("long").alias("epoch_day"),
+        F.substring_index("g", "\x1f", 1).alias("event_type"),
+        F.substring_index("g", "\x1f", -1).cast("long").alias("epoch_day"),
         "n_pos",
         "n_neg",
         "auc",
