@@ -663,9 +663,10 @@ def start_hll_register_partials(
     from vnavc_spark.operators.aggregates import hll_register_maxima
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.filter(
-            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
-        ).select(
+        # only VALUE nulls drop — the batch core keeps a NULL group
+        # key (groupBy retains nulls), so the twin must too or the
+        # snapshot diverges from q47 on a null-group corpus
+        rows = batch_df.filter(F.col(value_col).isNotNull()).select(
             F.col(group_col).alias("g"), F.col(value_col).alias("v")
         )
         hll_register_maxima(rows, ["g"], "v", b).write.mode(
