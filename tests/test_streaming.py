@@ -1406,6 +1406,63 @@ class TestHllSketchTwin:
         assert first == again and len(first) == 2
 
 
+class TestKmvSketchTwin:
+    """queries.q86's streaming twin: per-batch DISTINCT (group,
+    value) pairs — the staged-signature pattern kmv_distinct's own
+    docstring prescribes at 100 TB — union-merged at snapshot time
+    into the UNEDITED core. snapshot == batch identity on the REAL
+    sf0.001 orders table, with the same custkey deliberately spanning
+    batches so the cross-batch union is exercised."""
+
+    def test_snapshot_equals_batch_q86_on_real_orders(
+        self, spark, tmp_path
+    ):
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        orders = table(spark, sf, "orders")
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, half in enumerate(
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 0),
+                orders.filter(F.col("o_orderkey") % 2 == 1),
+            )
+        ):
+            part = tmp_path / f"kmvstage{i}"
+            half.select(
+                "o_orderpriority", "o_custkey"
+            ).coalesce(1).write.json(str(part))
+            import glob as _glob
+            import shutil as _shutil
+
+            for j, f in enumerate(
+                sorted(_glob.glob(str(part / "*.json")))
+            ):
+                _shutil.copy(f, src / f"half{i}_{j}.json")
+            q = ingest.start_kmv_value_partials(
+                spark.readStream.schema(
+                    "o_orderpriority string, o_custkey long"
+                ).json(str(src)),
+                partials,
+                ckpt,
+            )
+            q.awaitTermination(60)
+        got = sorted(
+            tuple(r)
+            for r in ingest.kmv_snapshot(spark, partials).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q86_kmv_sketch"](spark, sf).collect()
+        )
+        assert got == want and len(got) == 5, (got, want)
+
+
 class TestNameLinkageTwin:
     """queries.q202's streaming twin: per-batch additive (nm, n_recs)
     count partials (start_name_counts) summed at snapshot time into

@@ -722,6 +722,71 @@ def hll_snapshot(spark, partials_path: str, b: int = 6) -> DataFrame:
     )
 
 
+def start_kmv_value_partials(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    group_col: str = "o_orderpriority",
+    value_col: str = "o_custkey",
+):
+    """Stream side of the KMV/theta sketch monitor (queries.q86's
+    streaming twin): each micro-batch writes ITS OWN DISTINCT
+    (group, value) pairs under ``partials_path/batch_id=N`` — the
+    staged-signature pattern kmv_distinct's own docstring prescribes
+    at 100 TB ("swap the exact distinct for the staged-signature
+    pattern if values repeat heavily across partitions"). Unlike the
+    HLL twin, the pair state can't shrink to registers: q86's
+    contract carries n_exact and the theta sample over DISTINCT
+    values, and both need the pair set. Distinct-pair staging is
+    idempotent twice over: a replayed batch id overwrites its own
+    partial, and re-delivered values union away at snapshot time.
+    The estimates are NOT computed per batch — k-smallest and the
+    theta count only mean anything on the corpus-wide distinct set,
+    recomputed on demand by :func:`kmv_snapshot`."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        # no null gate: the batch core's distinct KEEPS null values,
+        # so the twin must stage them too (strict snapshot parity)
+        (
+            batch_df.select(
+                F.col(group_col).alias("g"),
+                F.col(value_col).alias("v"),
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmv_snapshot(spark, partials_path: str, k: int = 64) -> DataFrame:
+    """Per-group KMV + theta sketches from the staged distinct-pair
+    partials — identical output contract to queries.q86
+    (o_orderpriority, n_sample, kmv_estimate, theta_estimate,
+    n_exact). The union of per-batch distinct pairs re-distincts to
+    the corpus pair set EXACTLY (set union is order- and
+    batching-insensitive), and the UNEDITED
+    ``aggregates.kmv_distinct`` core does the rest — streaming ==
+    batch is an identity, not an approximation (parity-tested in
+    tests/test_streaming.py)."""
+    from vnavc_spark.operators.aggregates import kmv_distinct
+
+    pairs = spark.read.parquet(partials_path).select("g", "v").distinct()
+    return kmv_distinct(pairs, ["g"], "v", k=k).select(
+        F.col("g").alias("o_orderpriority"),
+        "n_sample",
+        "kmv_estimate",
+        "theta_estimate",
+        "n_exact",
+    )
+
+
 def start_digit_mass_partials(
     stream: DataFrame,
     partials_path: str,
