@@ -1311,6 +1311,99 @@ class TestEventsAucTwin:
         )
         assert got == want and len(got) == 5
 
+    def test_snapshot_equals_batch_q204_composite_group(
+        self, spark, tmp_path
+    ):
+        """THIRD consumer of the separation core / label-histogram
+        staging (queries.q204): the composite (event_type, epoch-day)
+        key rides the parametric snapshot as the same \\x1f-joined
+        string the batch query uses — no new engine code, the
+        staging contract is already group-shape-agnostic."""
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        ev = table(spark, sf, "events")
+        partials = str(tmp_path / "partials")
+
+        def project(df):
+            epoch = F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long")
+            return df.filter(
+                F.col("event_type").isNotNull()
+                & F.col("value").isNotNull()
+                & F.col("ts").isNotNull()
+            ).select(
+                F.concat_ws(
+                    "\x1f", F.col("event_type"), epoch.cast("string")
+                ).alias("g"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+                F.when(F.hour("ts") < 6, F.lit("n1"))
+                .otherwise(F.lit("n0"))
+                .alias("nt"),
+            )
+
+        ckpt = str(tmp_path / "ckpt")
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, half in enumerate(
+            (
+                ev.filter(F.col("event_id") % 2 == 0),
+                ev.filter(F.col("event_id") % 2 == 1),
+            )
+        ):
+            part = tmp_path / f"dstage{i}"
+            half.select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ).coalesce(1).write.json(str(part))
+            import glob as _glob
+            import shutil as _shutil
+
+            for j, f in enumerate(
+                sorted(_glob.glob(str(part / "*.json")))
+            ):
+                _shutil.copy(f, src / f"half{i}_{j}.json")
+            q = ingest.start_label_histograms(
+                project(
+                    spark.readStream.schema(
+                        ingest.EVENT_STREAM_SCHEMA
+                    ).json(str(src))
+                ),
+                partials,
+                ckpt,
+                source_col="g",
+                len_col="cents",
+                label_col="nt",
+                pos_value="n1",
+            )
+            q.awaitTermination(60)
+        snap = ingest.score_separation_snapshot(
+            spark, partials, group_col="g", value_col="cents"
+        ).select(
+            F.substring_index("g", "\x1f", 1).alias("event_type"),
+            F.substring_index("g", "\x1f", -1)
+            .cast("long")
+            .alias("epoch_day"),
+            "n_pos",
+            "n_neg",
+            "auc",
+            "gini",
+            "ks_stat",
+        )
+        got = sorted(tuple(r) for r in snap.collect())
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q204_daily_night_auc"](
+                spark, sf
+            ).collect()
+        )
+        assert got == want and len(got) > 50, (len(got), len(want))
+
 
 class TestHllSketchTwin:
     """queries.q47's streaming twin: per-batch HLL register maxima
