@@ -2384,6 +2384,65 @@ class TestNameLinkage:
             assert got == want, (trial, set(got) ^ set(want))
             assert any(d == 2 for d in want.values()), trial
 
+    def test_unicode_names_use_codepoint_distance(self, spark):
+        """Cross-engine audit find (round 10): DuckDB's levenshtein
+        is BYTE-based ('café'→'cafe' = 2 there), Spark's is
+        CODEPOINT-based (= 1). The operator contract is codepoint
+        distance — an accent typo is ONE edit, so radius-1 blocking
+        must catch it — which this test pins against a pure-Python
+        codepoint brute force on accented/CJK names at both radii.
+        The DuckDB oracles certify on the testdata's ASCII name
+        domain, where byte and codepoint distances coincide; this
+        test is the unicode half of the evidence."""
+        import itertools
+
+        from vnavc_spark.operators.dedup import name_linkage_pairs
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(
+                            prev[j] + 1,
+                            cur[j - 1] + 1,
+                            prev[j - 1] + (ca != cb),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        corpus = [
+            "nguyễn văn an",
+            "nguyên văn an",   # one accent codepoint differs -> d=1
+            "nguyễn van an",
+            "trần thị bé",
+            "trần thị bê",
+            "日本語データ",
+            "日本語デエタ",
+            "móller",
+            "müller",
+            "muller",
+        ]
+        names = spark.createDataFrame(
+            [(nm, 1) for nm in corpus], "nm string, n_recs long"
+        )
+        for radius in (1, 2):
+            got = {
+                (r.name_a, r.name_b): r.dist
+                for r in name_linkage_pairs(names, radius=radius).collect()
+            }
+            want = {
+                tuple(sorted((a, b))): lev(a, b)
+                for a, b in itertools.combinations(corpus, 2)
+                if lev(a, b) <= radius
+            }
+            assert got == want, (radius, set(got) ^ set(want))
+            assert any(d == 1 for d in want.values())
+
     def test_q207_rollup_counts_and_record_pair_mass(
         self, spark, tmp_path
     ):

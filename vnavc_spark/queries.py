@@ -11876,7 +11876,14 @@ def q202_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions. The ORACLE is deliberately brute-force (distinct
     names × distinct names at oracle scale) — stronger evidence
     than mirroring the blocking, because a blocking recall bug
-    cannot hide in a mirrored oracle."""
+    cannot hide in a mirrored oracle. Distance semantics: the
+    operator contract is CODEPOINT edit distance (an accent typo is
+    ONE edit, so radius-1 blocking catches it; Spark's levenshtein
+    and substring are codepoint-based). DuckDB's levenshtein is
+    BYTE-based, so the oracle certifies on the testdata's ASCII
+    name domain where byte and codepoint distances coincide; the
+    unicode half of the evidence is the codepoint brute-force pin
+    in test_operators_unit (accented/CJK names, both radii)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
     names = c.groupBy(F.col("c_name").alias("nm")).agg(
         F.count("*").cast("long").alias("n_recs")
@@ -12296,7 +12303,10 @@ def q207_radius2_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed exact-duplicate multiplicities, so a blocking recall
     bug shifts BOTH counts. The ORACLE is deliberately brute-force
     (names² at oracle scale) — a recall bug cannot hide in a
-    mirrored oracle (the q202 stance)."""
+    mirrored oracle (the q202 stance, incl. its codepoint-vs-byte
+    levenshtein caveat: the oracle certifies on the ASCII name
+    domain; unicode correctness is pinned codepoint-exact in
+    test_operators_unit)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
     names = c.groupBy(F.col("c_name").alias("nm")).agg(
         F.count("*").cast("long").alias("n_recs")
