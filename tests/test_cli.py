@@ -54,6 +54,50 @@ class TestCli:
         assert back.first().book_id == "ab12cd34"
 
 
+class TestMonitorCli:
+    def test_list_twins(self, capsys):
+        assert main(["monitor", "list"]) == 0
+        out = capsys.readouterr().out
+        assert "benford" in out and "name-linkage" in out and "hll" in out
+
+    def test_unknown_twin(self, capsys):
+        assert main(["monitor", "nope", "--partials", "/tmp/x"]) == 2
+
+    def test_missing_partials(self, capsys):
+        assert main(["monitor", "benford"]) == 2
+
+    def test_linkage_snapshot_roundtrip(self, spark, tmp_path, capsys):
+        from pyspark.sql import functions as F
+
+        partials = str(tmp_path / "partials")
+        spark.createDataFrame(
+            [("alice cooper", 2), ("alice coopar", 1), ("bob", 1)],
+            "nm string, n_recs long",
+        ).write.parquet(f"{partials}/batch_id=0")
+        rc = main(
+            ["monitor", "name-linkage", "--partials", partials,
+             "--radius", "2"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "alice coopar" in out and "alice cooper" in out
+
+    def test_hll_snapshot_roundtrip(self, spark, tmp_path, capsys):
+        from vnavc_spark.operators.aggregates import hll_register_maxima
+
+        partials = str(tmp_path / "partials")
+        rows = spark.createDataFrame(
+            [("HI", 7), ("HI", 11), ("LO", 7)], "g string, v long"
+        )
+        hll_register_maxima(rows, ["g"], "v").write.parquet(
+            f"{partials}/regs/batch_id=0"
+        )
+        rows.distinct().write.parquet(f"{partials}/vals/batch_id=0")
+        assert main(["monitor", "hll", "--partials", partials]) == 0
+        out = capsys.readouterr().out
+        assert "hll_estimate" in out and "n_exact" in out
+
+
 class TestIncrementalDedupCli:
     def test_two_runs_second_is_noop(self, spark, tmp_path, capsys):
         sig = str(tmp_path / "sigs")

@@ -179,6 +179,65 @@ def cmd_verify(args) -> int:
     return 1 if n_fail else 0
 
 
+#: monitor twins: name -> (ingest snapshot function name, accepted
+#: tuning flags). Every snapshot recomputes a corpus-level readout
+#: from staged per-batch partials (see streaming/ingest.py — each is
+#: a parity-tested identity of its batch query).
+MONITOR_SNAPSHOTS: dict[str, tuple[str, tuple[str, ...]]] = {
+    "windowed-topk": ("windowed_topk_snapshot", ("k",)),
+    "cms-cells": ("cms_cells_snapshot", ()),
+    "ks-drift": ("ks_drift_snapshot", ()),
+    "quantile-drift": ("quantile_drift_snapshot", ()),
+    "score-separation": ("score_separation_snapshot", ("group", "value")),
+    "benford": ("benford_snapshot", ()),
+    "benford-summation": ("benford_summation_snapshot", ()),
+    "hll": ("hll_snapshot", ("b",)),
+    "kmv": ("kmv_snapshot", ("k",)),
+    "hhi": ("hhi_snapshot", ()),
+    "contamination": ("contamination_snapshot", ()),
+    "twa": ("twa_snapshot", ()),
+    "name-linkage": ("name_linkage_snapshot", ("radius",)),
+    "k-anonymity": ("k_anonymity_snapshot", ()),
+}
+
+
+def cmd_monitor(args) -> int:
+    from vnavc_spark.streaming import ingest
+
+    if args.twin == "list":
+        for name, (fn, flags) in sorted(MONITOR_SNAPSHOTS.items()):
+            extra = f"  [--{' --'.join(flags)}]" if flags else ""
+            print(f"{name:18s} ingest.{fn}{extra}")
+        return 0
+    if args.twin not in MONITOR_SNAPSHOTS:
+        print(
+            f"unknown twin: {args.twin} (try `monitor list`)",
+            file=sys.stderr,
+        )
+        return 2
+    if not args.partials:
+        print("--partials is required for a snapshot", file=sys.stderr)
+        return 2
+    fn_name, flags = MONITOR_SNAPSHOTS[args.twin]
+    kwargs = {}
+    if "k" in flags and args.k is not None:
+        kwargs["k"] = args.k
+    if "b" in flags and args.b is not None:
+        kwargs["b"] = args.b
+    if "radius" in flags and args.radius is not None:
+        kwargs["radius"] = args.radius
+    if "group" in flags and args.group is not None:
+        kwargs["group_col"] = args.group
+    if "value" in flags and args.value is not None:
+        kwargs["value_col"] = args.value
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    getattr(ingest, fn_name)(spark, args.partials, **kwargs).show(
+        args.limit, truncate=False
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     from vnavc_spark.io import DEFAULT_SF_DIR
 
@@ -229,6 +288,19 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("name", help="registry query name, or 'all'")
     v.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
+    m = sub.add_parser(
+        "monitor",
+        help="recompute a streaming-twin readout from staged partials",
+    )
+    m.add_argument("twin", help="twin name, or 'list'")
+    m.add_argument("--partials", default=None, help="staged partials dir")
+    m.add_argument("--limit", type=int, default=50)
+    m.add_argument("--k", type=int, default=None)
+    m.add_argument("--b", type=int, default=None)
+    m.add_argument("--radius", type=int, default=None)
+    m.add_argument("--group", default=None)
+    m.add_argument("--value", default=None)
+
     args = p.parse_args(argv)
     return {
         "list": cmd_list,
@@ -238,6 +310,7 @@ def main(argv: list[str] | None = None) -> int:
         "text-stage": cmd_text_stage,
         "dedup": cmd_dedup,
         "verify": cmd_verify,
+        "monitor": cmd_monitor,
     }[args.cmd](args)
 
 
