@@ -188,6 +188,51 @@ WITNESS_ANCHOR_PROVENANCE = (
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    totals: dict[str, float] = {"total": 0.0}
+    floors: dict[str, float | None] = {
+        "sched_floor_s": None,
+        "shuffle_floor_s": None,
+    }
+
+    # ---- truncation insurance (installed BEFORE any Spark work) ----
+    # A SIGTERM (external timeout) mid-run used to kill the process
+    # with NOTHING on stdout — the whole run's measurements lost
+    # (this bit the round-10 back half: a 560 s wrapper truncated a
+    # ~12-minute full run at query 108/111 and no artifact was
+    # written). Emit the summary from whatever HAS completed,
+    # flagged "truncated", then hard-exit — partial evidence with an
+    # honest flag beats silence. os._exit skips spark.stop(): the
+    # JVM dies with the process and a graceful stop can hang on an
+    # in-flight job.
+    def _on_term(signum, frame):  # noqa: ARG001
+        print(
+            f"# SIGTERM/SIGINT after {len(timings)}/"
+            f"{len(BENCH_QUERIES)} queries — emitting truncated "
+            "summary",
+            file=sys.stderr,
+        )
+        _emit(
+            timings=timings,
+            medians=medians,
+            spreads=spreads,
+            total=totals["total"],
+            reps=reps,
+            sf_dir=sf_dir,
+            sched_floor=floors["sched_floor_s"],
+            shuffle_floor=floors["shuffle_floor_s"],
+            truncated=True,
+        )
+        os._exit(0)
+
+    import signal
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
 
     from vnavc_spark.queries import all_queries
     from vnavc_spark.session import get_spark
@@ -323,12 +368,12 @@ def main() -> None:
             runs_p.append(time.perf_counter() - t0)
         return round(sorted(runs_p)[len(runs_p) // 2], 3)
 
-    sched_floor = _probe_median(
+    floors["sched_floor_s"] = _probe_median(
         lambda: spark.range(
             1000 * int(cpus), numPartitions=int(cpus)
         ).count()
     )
-    shuffle_floor = _probe_median(
+    floors["shuffle_floor_s"] = _probe_median(
         lambda: spark.range(1_000_000, numPartitions=int(cpus))
         .groupBy((F.col("id") % 97).alias("g"))
         .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
@@ -337,11 +382,6 @@ def main() -> None:
         .save()
     )
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]
         runs = []
@@ -359,7 +399,7 @@ def main() -> None:
         timings[name] = round(runs[0], 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         spreads[name] = round(max(runs) - min(runs), 3)
-        total += runs[0]
+        totals["total"] += runs[0]
         n = df.count()  # sanity row count, outside the timing
         print(
             f"# {name}: {runs[0]:.3f}s first, {medians[name]:.3f}s "
@@ -367,6 +407,34 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    _emit(
+        timings=timings,
+        medians=medians,
+        spreads=spreads,
+        total=totals["total"],
+        reps=reps,
+        sf_dir=sf_dir,
+        sched_floor=floors["sched_floor_s"],
+        shuffle_floor=floors["shuffle_floor_s"],
+    )
+    spark.stop()
+
+
+def _emit(
+    timings: dict[str, float],
+    medians: dict[str, float],
+    spreads: dict[str, float],
+    total: float,
+    reps: int,
+    sf_dir: str,
+    sched_floor: float,
+    shuffle_floor: float,
+    truncated: bool = False,
+) -> None:
+    """Write docs/BENCH_FULL_latest.json and print the one-line
+    stdout summary. Also the SIGTERM path's exit hatch: called with
+    ``truncated=True`` it reports whatever completed (an honest
+    partial beats a silently-lost run)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     # ---- self-adjudication (round-10 verdict item #1) ----
@@ -432,10 +500,18 @@ def main() -> None:
             round(sum(medians.values()) / scale, 3) if scale else None
         ),
     }
+    if truncated:
+        payload["truncated"] = True
+        payload["n_benched"] = len(timings)
+        payload["n_listed"] = len(BENCH_QUERIES)
+    # a truncated run must not clobber the last COMPLETE artifact —
+    # it lands in a sibling file, flagged
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "docs",
-        "BENCH_FULL_latest.json",
+        "BENCH_TRUNCATED_latest.json"
+        if truncated
+        else "BENCH_FULL_latest.json",
     )
     try:
         with open(full_path, "w") as fh:
@@ -448,8 +524,7 @@ def main() -> None:
     # artifact) so the tail window keeps raw medians AND the summary
     line = dict(payload)
     del line["queries_norm_median"]
-    print(json.dumps(line))
-    spark.stop()
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":
