@@ -12239,14 +12239,20 @@ def q206_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d", F.levenshtein("a", "b").cast("long"))
         .filter((F.col("a") != F.col("b")) & (F.col("d") <= 2))
     )
+    # join on the RAW variant string, not its hash: unlike q202/q207
+    # there is no levenshtein verify downstream of this join, so a
+    # hash collision would silently inflate n_blocked vs the exact
+    # string-joining oracle; the sample side is ≤ 50·(len+1) rows and
+    # broadcasts, so strings cost nothing here
     va = names.select(
         "nm", F.explode(deletion_neighborhood("nm", 1)).alias("v")
-    ).select("nm", F.xxhash64("v").alias("hv"))
+    )
     vs = va.join(F.broadcast(s), "nm").select(
-        F.col("nm").alias("a"), "hv"
+        F.col("nm").alias("a"), "v"
     )
     cand = (
-        vs.join(va.select(F.col("nm").alias("b"), "hv"), "hv")
+        va.select(F.col("nm").alias("b"), "v")
+        .join(F.broadcast(vs), "v")
         .filter(F.col("a") != F.col("b"))
         .select("a", "b")
         .distinct()
