@@ -28,7 +28,8 @@ _VI_ACCENTED = (
     "ỳýỷỹỵ"
 )
 _VI_BASE = "a" * 17 + "e" * 11 + "i" * 5 + "o" * 17 + "u" * 11 + "y" * 5
-assert len(_VI_ACCENTED) == len(_VI_BASE)
+if len(_VI_ACCENTED) != len(_VI_BASE):  # import-time invariant
+    raise RuntimeError("_VI_ACCENTED/_VI_BASE length mismatch")
 
 #: Uppercase variants are handled by lowercasing first.
 

@@ -463,7 +463,10 @@ def bootstrap_ci(
     from vnavc_spark.functions.portable import exact_sum, stable_round
 
     lanes_n = 10
-    assert replicas % lanes_n == 0, "replicas must be a multiple of 10"
+    if replicas % lanes_n != 0:
+        # explicit raise, not assert: parameter validation must
+        # survive `python -O` (the q199 ADVICE stance)
+        raise ValueError("replicas must be a multiple of 10")
     scale = float(10**places)
     thr = poisson1_hex_thresholds()
     # the ×(B/10) explode + md5 lanes are the heavy pre-shuffle work:

@@ -460,11 +460,14 @@ def cosine_topk_vectorized(
     import numpy as np
 
     q_rows = queries.select(id_col, vec_col).collect()
-    # small-by-contract: the matrix ships in every task's closure
-    assert len(q_rows) <= 100_000, (
-        f"query set too large to broadcast in-closure ({len(q_rows)} rows); "
-        "use lsh_topk/ivf_topk for query sets beyond ~100k vectors"
-    )
+    # small-by-contract: the matrix ships in every task's closure —
+    # explicit raise, not assert, so the bound survives `python -O`
+    if len(q_rows) > 100_000:
+        raise ValueError(
+            f"query set too large to broadcast in-closure "
+            f"({len(q_rows)} rows); use lsh_topk/ivf_topk for query "
+            "sets beyond ~100k vectors"
+        )
     q_ids = [r[0] for r in q_rows]
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     # floor both norms: an all-zero vector otherwise yields inf/nan
