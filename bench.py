@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "q205_benford_summation",
     "q206_blocking_recall_audit",
     "q207_radius2_linkage",
+    # round 11: Fellegi-Sunter scoring on the radius-2 candidates
+    # (ER classification step; shares q207's blocking cost shape)
+    "q208_fellegi_sunter",
 ]
 
 #: Bit-unchanged ambient witnesses (round-10 verdict item #1): four
@@ -227,7 +230,11 @@ def main() -> None:
             shuffle_floor=floors["shuffle_floor_s"],
             truncated=True,
         )
-        os._exit(0)
+        # exit 128+signum: a supervisor checking the child's status
+        # still sees abnormal termination (a 0 here made `kill`+`wait`
+        # report success); the truncation-flagged artifact is already
+        # on disk by this point.
+        os._exit(128 + signum)
 
     import signal
 
@@ -427,8 +434,8 @@ def _emit(
     total: float,
     reps: int,
     sf_dir: str,
-    sched_floor: float,
-    shuffle_floor: float,
+    sched_floor: float | None,
+    shuffle_floor: float | None,
     truncated: bool = False,
 ) -> None:
     """Write docs/BENCH_FULL_latest.json and print the one-line

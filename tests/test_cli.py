@@ -66,6 +66,16 @@ class TestMonitorCli:
     def test_missing_partials(self, capsys):
         assert main(["monitor", "benford"]) == 2
 
+    def test_stray_flag_errors(self, capsys):
+        # a flag the twin doesn't accept must error, not be silently
+        # dropped (a misremembered `monitor benford --k 5` used to
+        # print a readout the flag never influenced)
+        assert main(
+            ["monitor", "benford", "--k", "5", "--partials", "/tmp/x"]
+        ) == 2
+        err = capsys.readouterr().err
+        assert "--k" in err and "accepts no flags" in err
+
     def test_linkage_snapshot_roundtrip(self, spark, tmp_path, capsys):
         from pyspark.sql import functions as F
 

@@ -577,3 +577,148 @@ class TestSimhashFormsAgree:
             for r in dedup.simhash32_df(docs).collect()
         }
         assert dff == expr
+
+
+class TestIncrementalLinkage:
+    """Staged deletion-variant ER (verdict r10 #5): the
+    stage_minhash_signatures stance applied to record linkage —
+    per-batch cost ∝ new names, staged == fresh, zero-work rerun."""
+
+    @pytest.fixture()
+    def names(self, spark):
+        rows = [
+            ("alice cooper", 2),
+            ("alice coopar", 1),   # d=1 from cooper
+            ("alice coopxr", 1),   # d=1 from both coopa/er
+            ("bob marley", 3),
+            ("bob marlee", 1),     # d=1
+            ("bob marlyz", 1),     # d=2 from marley AND marlee
+            ("charlie", 1),
+        ]
+        return spark.createDataFrame(rows, "nm string, n_recs long")
+
+    def test_variant_staging_is_incremental(self, spark, names, tmp_path):
+        var = str(tmp_path / "vars")
+        n1, _ = dedup.stage_deletion_variants(names, var, radius=1)
+        assert n1 == 7
+        # round 2 of the SAME names: zero new explode work
+        n2, _ = dedup.stage_deletion_variants(names, var, radius=1)
+        assert n2 == 0
+        staged = spark.read.parquet(var)
+        assert staged.select("nm").distinct().count() == 7
+        # fan-out bound: 1 + len variants per name, hashed
+        assert staged.columns == ["nm", "hv"]
+
+    def test_full_linkage_from_staged_equals_batch(
+        self, spark, names, tmp_path
+    ):
+        var = str(tmp_path / "vars")
+        dedup.stage_deletion_variants(names, var, radius=1)
+        from_table = {
+            (r.name_a, r.name_b, r.n_recs_a, r.n_recs_b, r.dist)
+            for r in dedup.incremental_linkage_pairs(
+                names, var, None, radius=1
+            ).collect()
+        }
+        batch = {
+            (r.name_a, r.name_b, r.n_recs_a, r.n_recs_b, r.dist)
+            for r in dedup.name_linkage_pairs(names, radius=1).collect()
+        }
+        assert from_table == batch
+        assert batch  # the corpus genuinely has lev-1 pairs
+
+    def test_incremental_matches_batch_on_new_names(
+        self, spark, names, tmp_path
+    ):
+        var = str(tmp_path / "vars")
+        base = names.filter(~F.col("nm").isin("alice coopxr", "bob marlee"))
+        dedup.stage_deletion_variants(base, var, radius=1)
+        # the "new batch" adds two names; only THEIR variants explode
+        n_new, new_names = dedup.stage_deletion_variants(
+            names, var, radius=1
+        )
+        assert n_new == 2
+        inc = {
+            (r.name_a, r.name_b, r.dist)
+            for r in dedup.incremental_linkage_pairs(
+                names, var, new_names, radius=1
+            ).collect()
+        }
+        batch = {
+            (r.name_a, r.name_b, r.dist)
+            for r in dedup.name_linkage_pairs(names, radius=1).collect()
+        }
+        touching_new = {
+            p
+            for p in batch
+            if p[0] in ("alice coopxr", "bob marlee")
+            or p[1] in ("alice coopxr", "bob marlee")
+        }
+        assert inc == touching_new
+        assert touching_new  # new names genuinely link
+
+    def test_radius2_staged_equals_batch(self, spark, names, tmp_path):
+        var = str(tmp_path / "vars2")
+        dedup.stage_deletion_variants(names, var, radius=2)
+        from_table = {
+            (r.name_a, r.name_b, r.dist)
+            for r in dedup.incremental_linkage_pairs(
+                names, var, None, radius=2
+            ).collect()
+        }
+        batch = {
+            (r.name_a, r.name_b, r.dist)
+            for r in dedup.name_linkage_pairs(names, radius=2).collect()
+        }
+        assert from_table == batch
+        assert any(d == 2 for _, _, d in batch)  # d=2 pairs exist
+
+    def test_bad_radius_raises(self, spark, names, tmp_path):
+        with pytest.raises(ValueError, match="radius"):
+            dedup.incremental_linkage_pairs(
+                names, str(tmp_path / "x"), None, radius=3
+            )
+
+
+class TestFellegiSunter:
+    """q208's scoring core: agreement semantics (nulls are
+    disagreements), integer weight arithmetic, three-way decision."""
+
+    def test_scoring_arithmetic_and_nulls(self, spark):
+        pairs = spark.createDataFrame(
+            [
+                ("a", "b", 1),  # agree on both attrs
+                ("a", "c", 2),  # agree nation only
+                ("b", "d", 2),  # null nation on d -> disagreement
+            ],
+            "name_a string, name_b string, dist long",
+        )
+        attrs = spark.createDataFrame(
+            [
+                ("a", 7, "AUTO"),
+                ("b", 7, "AUTO"),
+                ("c", 7, "SHIP"),
+                ("d", None, "AUTO"),
+            ],
+            "nm string, nation int, segment string",
+        )
+        out = {
+            r.name_a + r.name_b: r
+            for r in dedup.fellegi_sunter_scores(
+                pairs,
+                attrs,
+                attr_weights={"nation": (4, -2), "segment": (2, -1)},
+                dist_weights={1: 6, 2: 3},
+                match_threshold=10,
+                possible_threshold=4,
+            ).collect()
+        }
+        ab, ac, bd = out["ab"], out["ac"], out["bd"]
+        # d=1 + nation agree + segment agree = 6 + 4 + 2 = 12 -> match
+        assert (ab.agree_nation, ab.agree_segment) == (1, 1)
+        assert (ab.match_weight, ab.decision) == (12, "match")
+        # d=2 + nation agree + segment disagree = 3 + 4 - 1 = 6
+        assert (ac.match_weight, ac.decision) == (6, "possible")
+        # d=2 + NULL nation (disagree) + segment agree = 3 - 2 + 2 = 3
+        assert (bd.agree_nation, bd.agree_segment) == (0, 1)
+        assert (bd.match_weight, bd.decision) == (3, "non_match")

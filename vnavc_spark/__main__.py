@@ -219,6 +219,24 @@ def cmd_monitor(args) -> int:
         print("--partials is required for a snapshot", file=sys.stderr)
         return 2
     fn_name, flags = MONITOR_SNAPSHOTS[args.twin]
+    # a tuning flag the chosen twin doesn't accept is a user error
+    # (e.g. `monitor benford --k 5`): error loudly instead of silently
+    # dropping it and printing a readout the flag never influenced
+    stray = [
+        f"--{f}"
+        for f in ("k", "b", "radius", "group", "value")
+        if getattr(args, f) is not None and f not in flags
+    ]
+    if stray:
+        accepted = (
+            f"accepts --{' --'.join(flags)}" if flags else "accepts no flags"
+        )
+        print(
+            f"twin '{args.twin}' {accepted}; "
+            f"ignored-flag error: {' '.join(stray)}",
+            file=sys.stderr,
+        )
+        return 2
     kwargs = {}
     if "k" in flags and args.k is not None:
         kwargs["k"] = args.k

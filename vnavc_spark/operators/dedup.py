@@ -1894,3 +1894,195 @@ def name_linkage_pairs(names: DataFrame, radius: int = 1) -> DataFrame:
         )
         .select("name_a", "name_b", "n_recs_a", "n_recs_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter scoring (record-linkage classification step)
+# ---------------------------------------------------------------------------
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    attrs: DataFrame,
+    attr_weights: dict[str, tuple[int, int]],
+    dist_weights: dict[int, int],
+    match_threshold: int,
+    possible_threshold: int,
+    name_col: str = "nm",
+) -> DataFrame:
+    """Fellegi-Sunter (1969) scoring step over a candidate-pair table:
+    per-pair agreement vector -> integer log-odds-style match weight
+    -> three-way decision (match / possible / non_match).
+
+    ``pairs`` is a (name_a, name_b, dist, ...) candidate table (the
+    output of :func:`name_linkage_pairs` or
+    :func:`incremental_linkage_pairs`); ``attrs`` is the entity
+    attribute table keyed by ``name_col`` (one row per entity — the
+    caller's groupBy collapsed records, the q202 stance).
+    ``attr_weights`` maps attribute column -> (agreement weight,
+    disagreement weight); ``dist_weights`` maps name edit distance ->
+    weight. Weights are FIXED INTEGER priors (log2(m/u) rounded, as a
+    trained FS model would supply) so the score is exact integer
+    arithmetic — no float surface between engines.
+
+    Agreement semantics (pinned, oracle-mirrored): agree_<col> = 1
+    iff BOTH sides are non-null AND equal; a null on either side is
+    a disagreement (conservative — missing evidence never argues FOR
+    a match). Decision: weight >= match_threshold -> 'match',
+    >= possible_threshold -> 'possible', else 'non_match'.
+
+    Scale shape: consumes the candidate-bounded pair table; the only
+    joins are pair-side equi-joins against the entity attribute
+    table (distinct-name-sized, name-keyed) — no new corpus-scale
+    join and nothing all-pairs."""
+    attr_cols = list(attr_weights)
+    a_side = attrs.select(
+        F.col(name_col).alias("name_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in attr_cols],
+    )
+    b_side = attrs.select(
+        F.col(name_col).alias("name_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in attr_cols],
+    )
+    out = pairs.join(a_side, "name_a").join(b_side, "name_b")
+    dist_w = F.lit(0)
+    for d, w in sorted(dist_weights.items()):
+        dist_w = F.when(F.col("dist") == d, F.lit(w)).otherwise(dist_w)
+    weight = dist_w
+    agree_cols = []
+    for c in attr_cols:
+        agree = (
+            F.col(f"_a_{c}").isNotNull()
+            & F.col(f"_b_{c}").isNotNull()
+            & (F.col(f"_a_{c}") == F.col(f"_b_{c}"))
+        ).cast("int")
+        out = out.withColumn(f"agree_{c}", agree)
+        agree_cols.append(f"agree_{c}")
+        w_agree, w_disagree = attr_weights[c]
+        weight = weight + F.when(
+            F.col(f"agree_{c}") == 1, F.lit(w_agree)
+        ).otherwise(F.lit(w_disagree))
+    out = out.withColumn("match_weight", weight.cast("long"))
+    decision = (
+        F.when(F.col("match_weight") >= match_threshold, F.lit("match"))
+        .when(
+            F.col("match_weight") >= possible_threshold, F.lit("possible")
+        )
+        .otherwise(F.lit("non_match"))
+    )
+    return out.select(
+        "name_a", "name_b", "dist", *agree_cols,
+        "match_weight", decision.alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental record linkage (persistent deletion-variant table)
+# ---------------------------------------------------------------------------
+
+def stage_deletion_variants(
+    names: DataFrame,
+    var_path: str,
+    radius: int = 1,
+    name_col: str = "nm",
+) -> tuple[int, DataFrame]:
+    """Incrementally maintain a Parquet deletion-variant table keyed
+    by ``name_col``: variants are exploded ONLY for names not already
+    staged (anti-join against the table) and appended — the
+    :func:`stage_minhash_signatures` stance applied to record
+    linkage.
+
+    This is the 100 TB ER workflow: the name corpus is exploded once
+    EVER, not once per run; a new-records batch pays variant fan-out
+    (1+len at radius 1, +len(len-1)/2 at radius 2) only for ITS new
+    distinct names and probes the staged table by equi-join. Stored
+    rows are (nm, hv) with hv = xxhash64(variant) — 16 B/row; a hash
+    collision only ADDS a candidate pair, which the downstream
+    levenshtein verify kills (lossless, the q202 contract).
+    Returns ``(n_new_names, new_names_df)``."""
+    spark = names.sparkSession
+    src = names.select(F.col(name_col).alias("nm")).distinct()
+    try:
+        staged = spark.read.parquet(var_path).select("nm").distinct()
+        src = src.join(staged, on="nm", how="left_anti")
+    except Exception:  # first run — no table yet
+        pass
+    # localCheckpoint, not persist: the append below invalidates any
+    # cached plan that reads var_path (the anti-join does), so a
+    # lazily-cached batch would silently re-evaluate to empty after
+    # the write (the stage_minhash_signatures lesson).
+    src = src.localCheckpoint()
+    n_new = src.count()
+    if n_new:
+        src.select(
+            "nm",
+            F.explode(deletion_neighborhood("nm", radius)).alias("v"),
+        ).select("nm", F.xxhash64("v").alias("hv")).write.mode(
+            "append"
+        ).parquet(var_path)
+    return n_new, src
+
+
+def incremental_linkage_pairs(
+    names: DataFrame,
+    var_path: str,
+    new_names: DataFrame | None = None,
+    radius: int = 1,
+) -> DataFrame:
+    """Linkage pairs that TOUCH a new name, against the full staged
+    deletion-variant table — same output contract as
+    :func:`name_linkage_pairs` (name_a < name_b, n_recs both sides,
+    exact dist <= radius).
+
+    Shape: probe side is the staged variants of the new names only
+    (broadcast left-semi on the node-sized new-name list); the
+    candidate join is new-side variants (small) ⋈ all staged
+    variants on hv — per-batch cost ∝ new names' variant fan-out ×
+    bucket df, never a corpus re-explode. With ``new_names=None``
+    every staged name is probed (full-corpus linkage from the staged
+    table — still no re-explode; parity-tested against
+    :func:`name_linkage_pairs`)."""
+    from vnavc_spark.cache import tracked_persist
+
+    if radius not in (1, 2):
+        raise ValueError(
+            f"incremental_linkage_pairs: radius must be 1 or 2, got {radius}"
+        )
+    spark = names.sparkSession
+    variants = spark.read.parquet(var_path)
+    lhs = variants if new_names is None else variants.join(
+        F.broadcast(new_names.select("nm")), on="nm", how="left_semi"
+    )
+    cands = (
+        lhs.select(F.col("nm").alias("name_a"), "hv")
+        .join(variants.select(F.col("nm").alias("name_b"), "hv"), "hv")
+        .filter(F.col("name_a") != F.col("name_b"))
+        .select(
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+        )
+        .distinct()
+    )
+    names = tracked_persist(
+        names.select("nm", "n_recs"), f"inc_linkage_names_r{radius}"
+    )
+    return (
+        cands.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= radius)
+        .join(
+            names.select(
+                F.col("nm").alias("name_a"),
+                F.col("n_recs").alias("n_recs_a"),
+            ),
+            "name_a",
+        )
+        .join(
+            names.select(
+                F.col("nm").alias("name_b"),
+                F.col("n_recs").alias("n_recs_b"),
+            ),
+            "name_b",
+        )
+        .select("name_a", "name_b", "n_recs_a", "n_recs_b", "dist")
+    )

@@ -12192,7 +12192,8 @@ va AS (SELECT nm, nm AS v FROM names
        UNION
        SELECT nm, substr(nm, 1, CAST(i AS INT) - 1)
                   || substr(nm, CAST(i AS INT) + 1) AS v
-       FROM names, range(1, 100) t(i) WHERE i <= length(nm)),
+       FROM (SELECT nm, unnest(range(1, length(nm) + 1)) AS i
+             FROM names)),
 cand AS (SELECT DISTINCT vs.nm AS a, va.nm AS b
          FROM va vs JOIN va ON vs.v = va.v
          WHERE vs.nm IN (SELECT nm FROM s) AND vs.nm <> va.nm)
@@ -12326,6 +12327,98 @@ def q207_radius2_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_record_pairs"),
         )
+    )
+
+
+@query(
+    "q208_fellegi_sunter",
+    oracle="""
+WITH names AS (
+  SELECT c_name AS nm,
+         min(c_nationkey) AS nat,
+         min(c_mktsegment) AS seg,
+         min(CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS bal_band
+  FROM customer WHERE c_name IS NOT NULL GROUP BY c_name),
+p AS (
+  SELECT CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+         CASE WHEN a.nat IS NOT NULL AND b.nat IS NOT NULL
+                   AND a.nat = b.nat THEN 1 ELSE 0 END AS ag_n,
+         CASE WHEN a.seg IS NOT NULL AND b.seg IS NOT NULL
+                   AND a.seg = b.seg THEN 1 ELSE 0 END AS ag_s,
+         CASE WHEN a.bal_band IS NOT NULL AND b.bal_band IS NOT NULL
+                   AND a.bal_band = b.bal_band THEN 1 ELSE 0 END AS ag_b
+  FROM names a JOIN names b ON a.nm < b.nm
+  WHERE levenshtein(a.nm, b.nm) <= 2),
+w AS (
+  SELECT dist, ag_n, ag_s, ag_b,
+         (CASE WHEN dist = 1 THEN 6 ELSE 3 END
+          + CASE WHEN ag_n = 1 THEN 4 ELSE -2 END
+          + CASE WHEN ag_s = 1 THEN 2 ELSE -1 END
+          + CASE WHEN ag_b = 1 THEN 3 ELSE -1 END) AS mw
+  FROM p)
+SELECT CASE WHEN mw >= 10 THEN 'match'
+            WHEN mw >= 4 THEN 'possible'
+            ELSE 'non_match' END AS decision,
+       dist,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ag_n) AS BIGINT) AS n_agree_nation,
+       CAST(sum(ag_s) AS BIGINT) AS n_agree_segment,
+       CAST(sum(ag_b) AS BIGINT) AS n_agree_balband,
+       CAST(sum(mw) AS BIGINT) AS sum_weight
+FROM w GROUP BY decision, dist
+""",
+)
+def q208_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter (1969) match classification on top of the
+    radius-2 linkage candidates — the scoring step that completes the
+    ER pipeline (block -> verify -> SCORE -> decide): per candidate
+    pair an agreement vector over the attributes the testdata has
+    (name edit distance 1/2, same nation, same market segment, same
+    account-balance band floor(acctbal/1000)), an integer
+    log-odds-style match weight (fixed rounded-log2(m/u)-shaped
+    priors: dist 6/3; nation +4/-2; segment +2/-1; band +3/-1), and a
+    three-way decision (match >= 10, possible >= 4, else non_match).
+    Output is the (decision, dist) rollup with per-attribute
+    agreement mass and total weight — a scoring bug shifts every sum.
+
+    Scale shape: consumes q207's candidate-bounded pair table
+    (:func:`vnavc_spark.operators.dedup.name_linkage_pairs`, FastSS
+    depth-2 blocking); the scoring adds only name-keyed equi-joins
+    against the distinct-entity attribute table
+    (:func:`vnavc_spark.operators.dedup.fellegi_sunter_scores`) — no
+    new corpus-scale join, nothing all-pairs, exact integer weights
+    (no float surface). The ORACLE is deliberately brute-force
+    (names² + the same arithmetic at oracle scale) so neither a
+    blocking recall bug nor a scoring bug can hide (the q202 stance,
+    incl. its ASCII-domain levenshtein caveat)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
+    ent = c.groupBy(F.col("c_name").alias("nm")).agg(
+        F.count("*").cast("long").alias("n_recs"),
+        F.min("c_nationkey").alias("nation"),
+        F.min("c_mktsegment").alias("segment"),
+        F.min(F.floor(F.col("c_acctbal") / F.lit(1000.0))).alias(
+            "bal_band"
+        ),
+    )
+    pairs = dedup.name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
+    scored = dedup.fellegi_sunter_scores(
+        pairs,
+        ent,
+        attr_weights={
+            "nation": (4, -2),
+            "segment": (2, -1),
+            "bal_band": (3, -1),
+        },
+        dist_weights={1: 6, 2: 3},
+        match_threshold=10,
+        possible_threshold=4,
+    )
+    return scored.groupBy("decision", "dist").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("agree_nation").cast("long").alias("n_agree_nation"),
+        F.sum("agree_segment").cast("long").alias("n_agree_segment"),
+        F.sum("agree_bal_band").cast("long").alias("n_agree_balband"),
+        F.sum("match_weight").cast("long").alias("sum_weight"),
     )
 
 
