@@ -1364,7 +1364,9 @@ def deletion_neighborhood_pairs(
         .select(*sel)
         .distinct()
     )
-    return p.filter(F.levenshtein("tok_a", "tok_b") == 1)
+    # bounded levenshtein (banded DP, early exit past 1) — same
+    # result, cheaper verify; see name_linkage_pairs
+    return p.filter(F.levenshtein("tok_a", "tok_b", 1) == 1)
 
 
 # ---------------------------------------------------------------------------
@@ -1874,10 +1876,18 @@ def name_linkage_pairs(names: DataFrame, radius: int = 1) -> DataFrame:
         .distinct()
     )
     return (
+        # bounded levenshtein (banded DP, O(radius·len) per pair with
+        # early exit; returns -1 past the bound): the verify was the
+        # dominant cost of the radius-2 pipeline at sf0.1 (~5.4 s of
+        # 9.5 s over 17.4M candidates) and the bound cuts the full
+        # query 10.2 → 7.2 s, bit-identical rows (docs/SCALE.md r11).
+        # Distinct names are never equal, so kept rows are exactly
+        # dist >= 1 — the >= 0 filter only drops the -1 sentinel.
         cands.withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("long")
+            "dist",
+            F.levenshtein("name_a", "name_b", radius).cast("long"),
         )
-        .filter(F.col("dist") <= radius)
+        .filter(F.col("dist") >= 0)
         .join(
             names.select(
                 F.col("nm").alias("name_a"),
@@ -2066,10 +2076,12 @@ def incremental_linkage_pairs(
         names.select("nm", "n_recs"), f"inc_linkage_names_r{radius}"
     )
     return (
+        # bounded levenshtein: see name_linkage_pairs (same verify)
         cands.withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("long")
+            "dist",
+            F.levenshtein("name_a", "name_b", radius).cast("long"),
         )
-        .filter(F.col("dist") <= radius)
+        .filter(F.col("dist") >= 0)
         .join(
             names.select(
                 F.col("nm").alias("name_a"),
