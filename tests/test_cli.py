@@ -180,3 +180,43 @@ class TestVerifyCli:
         from vnavc_spark.__main__ import main
 
         assert main(["verify", "nope"]) == 2
+
+
+class TestTwinRegistry:
+    """The single-authority twin registry (ingest.TWINS): the CLI
+    table and docs/MONITORS.md both derive from it, so these pins
+    are the 'CLI and doc agree' guarantee."""
+
+    def test_monitors_doc_is_current(self):
+        import subprocess
+        import sys as _sys
+
+        r = subprocess.run(
+            [_sys.executable, "tools/gen_monitors.py", "--check"],
+            capture_output=True,
+            text=True,
+        )
+        assert r.returncode == 0, r.stderr
+
+    def test_registry_integrity(self):
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        assert len(ingest.TWINS) >= 14
+        for name, info in ingest.TWINS.items():
+            # snapshot and start functions must exist and be callable
+            assert callable(getattr(ingest, info["snapshot"])), name
+            assert callable(getattr(ingest, info["start"])), name
+            # every parity target is a registered query
+            for q in info["batch"]:
+                assert q in QUERIES, (name, q)
+
+    def test_cli_table_matches_registry(self):
+        from vnavc_spark.__main__ import _monitor_snapshots
+        from vnavc_spark.streaming import ingest
+
+        snaps = _monitor_snapshots()
+        assert set(snaps) == set(ingest.TWINS)
+        for name, (fn, flags) in snaps.items():
+            assert fn == ingest.TWINS[name]["snapshot"]
+            assert flags == tuple(ingest.TWINS[name]["flags"])

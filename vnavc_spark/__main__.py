@@ -179,37 +179,30 @@ def cmd_verify(args) -> int:
     return 1 if n_fail else 0
 
 
-#: monitor twins: name -> (ingest snapshot function name, accepted
-#: tuning flags). Every snapshot recomputes a corpus-level readout
-#: from staged per-batch partials (see streaming/ingest.py — each is
-#: a parity-tested identity of its batch query).
-MONITOR_SNAPSHOTS: dict[str, tuple[str, tuple[str, ...]]] = {
-    "windowed-topk": ("windowed_topk_snapshot", ("k",)),
-    "cms-cells": ("cms_cells_snapshot", ()),
-    "ks-drift": ("ks_drift_snapshot", ()),
-    "quantile-drift": ("quantile_drift_snapshot", ()),
-    "score-separation": ("score_separation_snapshot", ("group", "value")),
-    "benford": ("benford_snapshot", ()),
-    "benford-summation": ("benford_summation_snapshot", ()),
-    "hll": ("hll_snapshot", ("b",)),
-    "kmv": ("kmv_snapshot", ("k",)),
-    "hhi": ("hhi_snapshot", ()),
-    "contamination": ("contamination_snapshot", ()),
-    "twa": ("twa_snapshot", ()),
-    "name-linkage": ("name_linkage_snapshot", ("radius",)),
-    "k-anonymity": ("k_anonymity_snapshot", ()),
-}
+def _monitor_snapshots() -> dict[str, tuple[str, tuple[str, ...]]]:
+    """Monitor command table, derived from the single-authority twin
+    registry (``streaming.ingest.TWINS`` — also the source of
+    docs/MONITORS.md via tools/gen_monitors.py, so the CLI and the
+    doc cannot drift). Lazy: importing ingest pulls pyspark, which
+    `vnavc_spark list` shouldn't pay for."""
+    from vnavc_spark.streaming.ingest import TWINS
+
+    return {
+        name: (info["snapshot"], tuple(info["flags"]))
+        for name, info in TWINS.items()
+    }
 
 
 def cmd_monitor(args) -> int:
     from vnavc_spark.streaming import ingest
 
+    snapshots = _monitor_snapshots()
     if args.twin == "list":
-        for name, (fn, flags) in sorted(MONITOR_SNAPSHOTS.items()):
+        for name, (fn, flags) in sorted(snapshots.items()):
             extra = f"  [--{' --'.join(flags)}]" if flags else ""
             print(f"{name:18s} ingest.{fn}{extra}")
         return 0
-    if args.twin not in MONITOR_SNAPSHOTS:
+    if args.twin not in snapshots:
         print(
             f"unknown twin: {args.twin} (try `monitor list`)",
             file=sys.stderr,
@@ -218,7 +211,7 @@ def cmd_monitor(args) -> int:
     if not args.partials:
         print("--partials is required for a snapshot", file=sys.stderr)
         return 2
-    fn_name, flags = MONITOR_SNAPSHOTS[args.twin]
+    fn_name, flags = snapshots[args.twin]
     # a tuning flag the chosen twin doesn't accept is a user error
     # (e.g. `monitor benford --k 5`): error loudly instead of silently
     # dropping it and printing a readout the flag never influenced

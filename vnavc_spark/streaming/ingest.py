@@ -1232,3 +1232,128 @@ def k_anonymity_snapshot(spark, partials_path: str) -> DataFrame:
         .agg(F.sum("sz").cast("long").alias("sz"))
     )
     return k_anonymity_rollup(cls, k=5)
+
+
+#: Single authority for the streaming-twin surface: twin name ->
+#: (snapshot fn, start fn, accepted tuning flags, parity-pinned batch
+#: queries, staged-partial schema). The `monitor` CLI derives its
+#: command table from this dict and tools/gen_monitors.py renders
+#: docs/MONITORS.md from it, so the CLI, the doc, and the code cannot
+#: drift apart (test_cli pins the derivation; test_streaming pins
+#: each twin's streaming == batch parity).
+TWINS: dict[str, dict] = {
+    "windowed-topk": {
+        "snapshot": "windowed_topk_snapshot",
+        "start": "start_windowed_type_counts",
+        "flags": ("k",),
+        "batch": ("q156_window_topk",),
+        "partials": "(wstart, event_type, n) per batch_id=N",
+    },
+    "cms-cells": {
+        "snapshot": "cms_cells_snapshot",
+        "start": "start_streaming_cms",
+        "flags": (),
+        "batch": ("q116_heavy_hitters",),
+        "partials": "(seed, bucket, est) CMS cells per batch_id=N "
+        "(<= depth*width rows/batch)",
+    },
+    "ks-drift": {
+        "snapshot": "ks_drift_snapshot",
+        "start": "start_length_histograms",
+        "flags": (),
+        "batch": ("q170_ks_drift",),
+        "partials": "(source, n_chars, cnt) histogram per batch_id=N",
+    },
+    "quantile-drift": {
+        "snapshot": "quantile_drift_snapshot",
+        "start": "start_length_histograms",
+        "flags": (),
+        "batch": ("q192_quantile_drift",),
+        "partials": "(source, n_chars, cnt) histogram per batch_id=N "
+        "(same staging as ks-drift)",
+    },
+    "score-separation": {
+        "snapshot": "score_separation_snapshot",
+        "start": "start_label_histograms",
+        "flags": ("group", "value"),
+        "batch": (
+            "q186_score_separation",
+            "q203_weekend_value_auc",
+            "q204_daily_night_auc",
+        ),
+        "partials": "(group, value, cnt, cnt_pos) class-conditional "
+        "histogram per batch_id=N",
+    },
+    "benford": {
+        "snapshot": "benford_snapshot",
+        "start": "start_digit_partials",
+        "flags": (),
+        "batch": ("q188_benford_gate",),
+        "partials": "(pri, d, obs) leading-digit counts per "
+        "batch_id=N (<= 9 digit rows per group)",
+    },
+    "benford-summation": {
+        "snapshot": "benford_summation_snapshot",
+        "start": "start_digit_mass_partials",
+        "flags": (),
+        "batch": ("q205_benford_summation",),
+        "partials": "(seg, d, m) per-digit decimal(38,0) mass per "
+        "batch_id=N",
+    },
+    "hll": {
+        "snapshot": "hll_snapshot",
+        "start": "start_hll_register_partials",
+        "flags": ("b",),
+        "batch": ("q47_approx_sketches",),
+        "partials": "regs/batch_id=N register maxima + "
+        "vals/batch_id=N distinct (g, v) for the exact check",
+    },
+    "kmv": {
+        "snapshot": "kmv_snapshot",
+        "start": "start_kmv_value_partials",
+        "flags": ("k",),
+        "batch": ("q86_kmv_sketch",),
+        "partials": "(g, v) distinct-value partials per batch_id=N",
+    },
+    "hhi": {
+        "snapshot": "hhi_snapshot",
+        "start": "start_mass_partials",
+        "flags": (),
+        "batch": ("q194_hhi_concentration",),
+        "partials": "(group, mass) revenue-mass partials per "
+        "batch_id=N",
+    },
+    "contamination": {
+        "snapshot": "contamination_snapshot",
+        "start": "start_contamination_screen",
+        "flags": (),
+        "batch": ("q179_contamination_13gram",),
+        "partials": "(doc_id, source, n_shingles, n_hits) one row "
+        "per doc per batch_id=N",
+    },
+    "twa": {
+        "snapshot": "twa_snapshot",
+        "start": "start_twa_partials",
+        "flags": (),
+        "batch": ("q182_time_weighted_avg",),
+        "partials": "(event_type, n_intervals, num, den) closed-"
+        "interval partials per batch_id=N + open-interval carry "
+        "state under state_path",
+    },
+    "name-linkage": {
+        "snapshot": "name_linkage_snapshot",
+        "start": "start_name_counts",
+        "flags": ("radius",),
+        "batch": ("q202_name_linkage", "q207_radius2_linkage"),
+        "partials": "(nm, n_recs) additive name counts per "
+        "batch_id=N",
+    },
+    "k-anonymity": {
+        "snapshot": "k_anonymity_snapshot",
+        "start": "start_qi_class_counts",
+        "flags": (),
+        "batch": ("q196_k_anonymity",),
+        "partials": "(nk, seg, band, sz) QI-class counts per "
+        "batch_id=N",
+    },
+}
