@@ -1762,3 +1762,85 @@ class TestKAnonymityTwin:
             ).collect()
         ]
         assert out == [(7, 1, 6, 0, 0)], out
+
+
+class TestFellegiSunterTwin:
+    """queries.q208's streaming twin: mergeable per-batch entity
+    partials (sum counts, min attributes) re-scored on demand by the
+    shared linkage + FS cores — snapshot == batch identity on the
+    REAL sf0.001 customer table, with records split across batches so
+    the merge (not the batch) does the entity collapse."""
+
+    def test_snapshot_equals_batch_on_real_customers(
+        self, spark, tmp_path
+    ):
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        partials = str(tmp_path / "partials")
+        cust = table(spark, sf, "customer")
+        for bid, half in enumerate(
+            (
+                cust.filter(F.col("c_custkey") % 2 == 0),
+                cust.filter(F.col("c_custkey") % 2 == 1),
+            )
+        ):
+            half.filter(F.col("c_name").isNotNull()).groupBy(
+                F.col("c_name").alias("nm")
+            ).agg(
+                F.count("*").cast("long").alias("n_recs"),
+                F.min("c_nationkey").alias("nation"),
+                F.min("c_mktsegment").alias("segment"),
+                F.min(
+                    F.floor(F.col("c_acctbal") / F.lit(1000.0))
+                ).alias("bal_band"),
+            ).write.mode("overwrite").parquet(
+                f"{partials}/batch_id={bid}"
+            )
+        got = sorted(
+            tuple(r)
+            for r in ingest.fellegi_sunter_snapshot(
+                spark, partials
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q208_fellegi_sunter"](spark, sf).collect()
+        )
+        assert got == want and len(got) >= 2, (got, want)
+
+    def test_cross_batch_attribute_merge(self, spark, tmp_path):
+        # a name whose attribute is NULL in one batch and present in
+        # another must merge to the present value (the batch groupBy
+        # semantics), and cross-batch record counts must sum
+        from vnavc_spark.streaming import ingest
+
+        partials = str(tmp_path / "partials")
+        rows0 = [("alice cooper", 1, None, "AUTO", 2)]
+        rows1 = [("alice cooper", 1, 7, "AUTO", 2),
+                 ("alice coopar", 1, 7, "AUTO", 2)]
+        schema = (
+            "nm string, n_recs long, nation int, segment string, "
+            "bal_band long"
+        )
+        for bid, rows in enumerate((rows0, rows1)):
+            spark.createDataFrame(rows, schema).write.mode(
+                "overwrite"
+            ).parquet(f"{partials}/batch_id={bid}")
+        out = {
+            (r.decision, r.dist): (
+                r.n_pairs,
+                r.n_agree_nation,
+                r.n_agree_segment,
+                r.n_agree_balband,
+                r.sum_weight,
+            )
+            for r in ingest.fellegi_sunter_snapshot(
+                spark, partials
+            ).collect()
+        }
+        # one d=1 pair, all three attrs agree (nation merged to 7 on
+        # both sides): weight = 6 + 4 + 2 + 3 = 15 -> match
+        assert out == {("match", 1): (1, 1, 1, 1, 15)}, out

@@ -1234,6 +1234,102 @@ def k_anonymity_snapshot(spark, partials_path: str) -> DataFrame:
     return k_anonymity_rollup(cls, k=5)
 
 
+def start_entity_attr_partials(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    name_col: str = "c_name",
+    nation_col: str = "c_nationkey",
+    segment_col: str = "c_mktsegment",
+    acctbal_col: str = "c_acctbal",
+):
+    """Stream side of the Fellegi-Sunter monitor (queries.q208's
+    streaming twin): each micro-batch aggregates ITS OWN rows to
+    per-name entity partials (nm, n_recs, nation, segment, bal_band)
+    under ``partials_path/batch_id=N``. Every field is MERGEABLE —
+    counts are additive and the attribute representatives are mins
+    (min of per-batch mins == corpus min; Spark's min aggregate
+    ignores nulls, so an attribute that is null in one batch and
+    present in another merges to the present value, exactly like the
+    batch groupBy) — so the snapshot reproduces q208's entity table
+    even when a name's records arrive across batches. A replayed
+    batch id overwrites its own partial in place (replay-idempotent).
+    The blocking + scoring never runs inside the stream —
+    :func:`fellegi_sunter_snapshot` recomputes it on demand at
+    distinct-entity cost."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(F.col(name_col).isNotNull())
+            .groupBy(F.col(name_col).alias("nm"))
+            .agg(
+                F.count("*").cast("long").alias("n_recs"),
+                F.min(nation_col).alias("nation"),
+                F.min(segment_col).alias("segment"),
+                F.min(
+                    F.floor(F.col(acctbal_col) / F.lit(1000.0))
+                ).alias("bal_band"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def fellegi_sunter_snapshot(spark, partials_path: str) -> DataFrame:
+    """Fellegi-Sunter decision rollup from the staged entity
+    partials — identical output contract to queries.q208 (decision,
+    dist, n_pairs, n_agree_nation, n_agree_segment, n_agree_balband,
+    sum_weight) with q208's exact fixed integer weights and
+    thresholds. Merging the partials (sum counts, min attributes)
+    reproduces the batch entity table EXACTLY, and the shared
+    ``dedup.name_linkage_pairs`` + ``dedup.fellegi_sunter_scores``
+    cores do the blocking + scoring — streaming == batch is an
+    identity, not an approximation (parity-tested in
+    tests/test_streaming.py)."""
+    from vnavc_spark.operators.dedup import (
+        fellegi_sunter_scores,
+        name_linkage_pairs,
+    )
+
+    ent = (
+        spark.read.parquet(partials_path)
+        .groupBy("nm")
+        .agg(
+            F.sum("n_recs").cast("long").alias("n_recs"),
+            F.min("nation").alias("nation"),
+            F.min("segment").alias("segment"),
+            F.min("bal_band").alias("bal_band"),
+        )
+    )
+    pairs = name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
+    scored = fellegi_sunter_scores(
+        pairs,
+        ent,
+        attr_weights={
+            "nation": (4, -2),
+            "segment": (2, -1),
+            "bal_band": (3, -1),
+        },
+        dist_weights={1: 6, 2: 3},
+        match_threshold=10,
+        possible_threshold=4,
+    )
+    return scored.groupBy("decision", "dist").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("agree_nation").cast("long").alias("n_agree_nation"),
+        F.sum("agree_segment").cast("long").alias("n_agree_segment"),
+        F.sum("agree_bal_band").cast("long").alias("n_agree_balband"),
+        F.sum("match_weight").cast("long").alias("sum_weight"),
+    )
+
+
 #: Single authority for the streaming-twin surface: twin name ->
 #: (snapshot fn, start fn, accepted tuning flags, parity-pinned batch
 #: queries, staged-partial schema). The `monitor` CLI derives its
@@ -1347,6 +1443,15 @@ TWINS: dict[str, dict] = {
         "batch": ("q202_name_linkage", "q207_radius2_linkage"),
         "partials": "(nm, n_recs) additive name counts per "
         "batch_id=N",
+    },
+    "fellegi-sunter": {
+        "snapshot": "fellegi_sunter_snapshot",
+        "start": "start_entity_attr_partials",
+        "flags": (),
+        "batch": ("q208_fellegi_sunter",),
+        "partials": "(nm, n_recs, nation, segment, bal_band) "
+        "mergeable entity partials per batch_id=N (sum counts, "
+        "min attributes)",
     },
     "k-anonymity": {
         "snapshot": "k_anonymity_snapshot",
