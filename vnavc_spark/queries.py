@@ -12422,6 +12422,97 @@ def q208_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q209_entity_clusters",
+    oracle="""
+WITH RECURSIVE names AS (
+  SELECT c_name AS nm, CAST(count(*) AS BIGINT) AS n_recs,
+         min(c_nationkey) AS nat,
+         min(c_mktsegment) AS seg,
+         min(CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS bal_band
+  FROM customer WHERE c_name IS NOT NULL GROUP BY c_name),
+p AS (
+  SELECT a.nm AS na, b.nm AS nb,
+         (CASE WHEN levenshtein(a.nm, b.nm) = 1 THEN 6 ELSE 3 END
+          + CASE WHEN a.nat IS NOT NULL AND b.nat IS NOT NULL
+                      AND a.nat = b.nat THEN 4 ELSE -2 END
+          + CASE WHEN a.seg IS NOT NULL AND b.seg IS NOT NULL
+                      AND a.seg = b.seg THEN 2 ELSE -1 END
+          + CASE WHEN a.bal_band IS NOT NULL AND b.bal_band IS NOT NULL
+                      AND a.bal_band = b.bal_band THEN 3 ELSE -1 END
+         ) AS mw
+  FROM names a JOIN names b ON a.nm < b.nm
+  WHERE levenshtein(a.nm, b.nm) <= 2),
+m AS (SELECT na, nb FROM p WHERE mw >= 10),
+edges AS (
+  SELECT na AS src, nb AS dst FROM m
+  UNION SELECT nb, na FROM m),
+reach AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS nm, min(root) AS entity_id,
+       min(n.n_recs) AS n_recs
+FROM reach JOIN names n ON n.nm = node
+GROUP BY node
+""",
+)
+def q209_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity clusters — the step that completes the ER pipeline
+    (block -> verify -> score -> decide -> CLUSTER): q208's
+    'match'-decision pairs become entity groups via connected
+    components (A~B, B~C => one entity even though A,C never paired),
+    entity_id = lexicographic-min member name, record count riding
+    along for downstream collapse. The q56 dedup_clusters stance
+    applied to ER: min-label propagation with pointer jumping
+    (O(log diameter) corpus passes, batched checkpoints), generic
+    over node type (string names here, long doc ids in q56).
+
+    Scale shape: the edge set is the FS match-pair table (candidate-
+    bounded, decision-filtered — a tiny fraction of candidates); CC
+    rounds shuffle node-sized (nm, label) rows, never the corpus. The
+    ORACLE is brute-force names² scoring + a recursive transitive-
+    closure CTE, so a blocking, scoring, OR clustering bug all break
+    the hash (the q202/q56 stances composed)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
+    ent = c.groupBy(F.col("c_name").alias("nm")).agg(
+        F.count("*").cast("long").alias("n_recs"),
+        F.min("c_nationkey").alias("nation"),
+        F.min("c_mktsegment").alias("segment"),
+        F.min(F.floor(F.col("c_acctbal") / F.lit(1000.0))).alias(
+            "bal_band"
+        ),
+    )
+    pairs = dedup.name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
+    scored = dedup.fellegi_sunter_scores(
+        pairs,
+        ent,
+        attr_weights={
+            "nation": (4, -2),
+            "segment": (2, -1),
+            "bal_band": (3, -1),
+        },
+        dist_weights={1: 6, 2: 3},
+        match_threshold=10,
+        possible_threshold=4,
+    )
+    matches = scored.filter(F.col("decision") == "match").select(
+        F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+    )
+    # cut lineage before CC: dedup_clusters unions the edge table
+    # with its flip (two evaluations of the plan) and the match-pair
+    # table here carries the whole blocking+scoring pipeline —
+    # checkpointing pays it once (decision-filtered pairs are tiny)
+    matches = matches.localCheckpoint()
+    clusters = dedup.dedup_clusters(matches).select(
+        F.col("doc_id").alias("nm"),
+        F.col("cluster_id").alias("entity_id"),
+    )
+    return clusters.join(ent.select("nm", "n_recs"), "nm").select(
+        "nm", "entity_id", "n_recs"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
