@@ -115,3 +115,52 @@ def tracked_persist(
         except Exception:  # session already stopped — nothing to free
             pass
     return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def severed_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint()`` for ITERATIVE loops: checkpoint, then
+    rebuild the DataFrame around the materialized RDD so the captured
+    origin metadata is dropped.
+
+    Why this exists (round-11 find): ``Dataset.localCheckpoint``
+    captures the origin plan's statistics (and constraints) into the
+    resulting ``LogicalRDD``. Basic (non-CBO) join stats MULTIPLY the
+    children's ``sizeInBytes``, so in a loop of the form
+    ``labels = step(labels).localCheckpoint()`` each round's captured
+    sizeInBytes is a PRODUCT over the previous round's already-huge
+    BigInt — doubly-exponential digit growth. By round ~10 the
+    driver does arithmetic on million-digit BigIntegers inside every
+    stats-consuming optimizer rule (join selection, runtime-filter
+    injection): measured on a 3,000-edge connected-components chain,
+    round 12 alone took 104 s with plain localCheckpoint and the full
+    14-round loop took 7.7 s with this helper (flat ~0.4 s/round) —
+    output rows identical. Executors are idle the whole time; it is
+    pure driver/planner burn, so it would stall a 1000-executor
+    cluster exactly the same way.
+
+    ``internalCreateDataFrame`` builds a plain ``LogicalRDD`` with no
+    origin stats/constraints (planner falls back to the default size
+    estimate, which is what a shuffle-boundary scan gets anyway). The
+    rebuild is zero-cost: ``toRdd`` of a checkpointed frame is a
+    1:1 scan over the materialized blocks. Falls back to the plain
+    checkpoint if the internal constructor moves (correct, slower on
+    deep loops)."""
+    ck = df.localCheckpoint()
+    spark = ck.sparkSession
+    try:
+        jdf = ck._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jdf2 = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(jdf2, spark)
+    except Exception:
+        global SEVER_FALLBACKS
+        SEVER_FALLBACKS += 1
+        return ck
+
+
+#: count of severed_local_checkpoint fallbacks to the plain
+#: checkpoint (internal constructor unavailable) — visible so a scale
+#: regression on a new Spark version is diagnosable, not silent
+SEVER_FALLBACKS = 0

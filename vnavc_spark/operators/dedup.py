@@ -923,17 +923,26 @@ def dedup_clusters(
     extra node-table self-join per round (label-keyed, node-sized —
     never edge-sized); the fixpoint is unchanged (stable ⇔ labels
     constant along every edge ⇔ component min)."""
+    # severed checkpoints: plain localCheckpoint captures the origin
+    # plan's stats, and a CHAIN of checkpoints multiplies them into
+    # doubly-exponential BigInts that stall the driver's optimizer
+    # from ~round 10 (round-11 find; see cache.severed_local_checkpoint)
+    from vnavc_spark.cache import severed_local_checkpoint as _ckpt
+
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
+    edges = _ckpt(
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    )
+    labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     import time as _time
 
@@ -972,7 +981,7 @@ def dedup_clusters(
                     F.col("label").alias("prev"),
                 )
             )
-        cur = cur.localCheckpoint()
+        cur = _ckpt(cur)
         changed = cur.filter(F.col("label") != F.col("prev")).count()
         labels = cur.select("node", "label")
         stats["rounds"] += k
@@ -1777,13 +1786,19 @@ def kcore_peel(
     candidates) — never corpus²."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # severed checkpoints — same chained-checkpoint stats blowup as
+    # dedup_clusters (see cache.severed_local_checkpoint)
+    from vnavc_spark.cache import severed_local_checkpoint as _ckpt
+
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    both = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    alive = both.select("u").distinct().localCheckpoint()
+    both = _ckpt(
+        edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    alive = _ckpt(both.select("u").distinct())
     for _ in range(rounds):
         kept = (
             both.join(alive, on="u", how="leftsemi")
@@ -1792,7 +1807,7 @@ def kcore_peel(
             )
         )
         deg = kept.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
-        nxt = deg.filter(F.col("deg") >= k).select("u").localCheckpoint()
+        nxt = _ckpt(deg.filter(F.col("deg") >= k).select("u"))
         if to_fixpoint and nxt.count() == alive.count():
             alive = nxt
             break
