@@ -150,8 +150,11 @@ BENCH_QUERIES = [
     "q206_blocking_recall_audit",
     "q207_radius2_linkage",
     # round 11: Fellegi-Sunter scoring on the radius-2 candidates
-    # (ER classification step; shares q207's blocking cost shape)
+    # (ER classification step; shares q207's blocking cost shape) and
+    # the match-pair entity clustering (the CC-loop latency witness —
+    # the chained-checkpoint stats blowup hid exactly here)
     "q208_fellegi_sunter",
+    "q209_entity_clusters",
 ]
 
 #: Bit-unchanged ambient witnesses (round-10 verdict item #1): four

@@ -188,11 +188,17 @@ class TestTwinRegistry:
     are the 'CLI and doc agree' guarantee."""
 
     def test_monitors_doc_is_current(self):
+        import os
         import subprocess
         import sys as _sys
 
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         r = subprocess.run(
-            [_sys.executable, "tools/gen_monitors.py", "--check"],
+            [
+                _sys.executable,
+                os.path.join(repo, "tools", "gen_monitors.py"),
+                "--check",
+            ],
             capture_output=True,
             text=True,
         )

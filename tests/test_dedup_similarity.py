@@ -607,7 +607,7 @@ class TestIncrementalLinkage:
         staged = spark.read.parquet(var)
         assert staged.select("nm").distinct().count() == 7
         # fan-out bound: 1 + len variants per name, hashed
-        assert staged.columns == ["nm", "hv"]
+        assert staged.columns == ["nm", "hv", "radius"]
 
     def test_full_linkage_from_staged_equals_batch(
         self, spark, names, tmp_path
@@ -722,3 +722,31 @@ class TestFellegiSunter:
         # d=2 + NULL nation (disagree) + segment agree = 3 - 2 + 2 = 3
         assert (bd.agree_nation, bd.agree_segment) == (0, 1)
         assert (bd.match_weight, bd.decision) == (3, "non_match")
+
+
+    def test_radius_mismatch_raises(self, spark, tmp_path):
+        # probing a radius-1 table at radius 2 would silently miss
+        # true dist-2 pairs — both the stager and the prober refuse
+        names = spark.createDataFrame(
+            [("alice", 1), ("alicx", 1)], "nm string, n_recs long"
+        )
+        var = str(tmp_path / "vars")
+        dedup.stage_deletion_variants(names, var, radius=1)
+        with pytest.raises(ValueError, match="radius"):
+            dedup.stage_deletion_variants(names, var, radius=2)
+        with pytest.raises(ValueError, match="radius"):
+            dedup.incremental_linkage_pairs(
+                names, var, None, radius=2
+            ).collect()
+
+    def test_null_names_never_stage_as_new(self, spark, tmp_path):
+        # a null name explodes to zero variants, so an unfiltered
+        # null would be counted "new" on every run forever
+        rows = spark.createDataFrame(
+            [("alice", 1), (None, 1)], "nm string, n_recs long"
+        )
+        var = str(tmp_path / "vars")
+        n1, _ = dedup.stage_deletion_variants(rows, var, radius=1)
+        assert n1 == 1
+        n2, _ = dedup.stage_deletion_variants(rows, var, radius=1)
+        assert n2 == 0  # converges despite the null row

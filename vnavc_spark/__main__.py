@@ -214,11 +214,17 @@ def cmd_monitor(args) -> int:
     fn_name, flags = snapshots[args.twin]
     # a tuning flag the chosen twin doesn't accept is a user error
     # (e.g. `monitor benford --k 5`): error loudly instead of silently
-    # dropping it and printing a readout the flag never influenced
+    # dropping it and printing a readout the flag never influenced.
+    # The flag universe derives from the registry (not a hardcoded
+    # tuple) so a future twin's new flag can't silently re-open the
+    # drop-it hole.
+    from vnavc_spark.streaming.ingest import TWINS
+
+    universe = sorted({f for info in TWINS.values() for f in info["flags"]})
     stray = [
         f"--{f}"
-        for f in ("k", "b", "radius", "group", "value")
-        if getattr(args, f) is not None and f not in flags
+        for f in universe
+        if getattr(args, f, None) is not None and f not in flags
     ]
     if stray:
         accepted = (

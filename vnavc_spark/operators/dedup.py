@@ -1925,6 +1925,50 @@ def name_linkage_pairs(names: DataFrame, radius: int = 1) -> DataFrame:
 # Fellegi-Sunter scoring (record-linkage classification step)
 # ---------------------------------------------------------------------------
 
+#: The ONE Fellegi-Sunter model config for the customer-entity
+#: pipeline — queries.q208, queries.q209, and the streaming twin
+#: (ingest.fellegi_sunter_snapshot) all consume these same objects,
+#: so retuning the model cannot leave a consumer on stale weights.
+#: Fixed integer log2(m/u)-shaped priors (see fellegi_sunter_scores).
+FS_ATTR_WEIGHTS: dict[str, tuple[int, int]] = {
+    "nation": (4, -2),
+    "segment": (2, -1),
+    "bal_band": (3, -1),
+}
+FS_DIST_WEIGHTS: dict[int, int] = {1: 6, 2: 3}
+FS_MATCH_THRESHOLD = 10
+FS_POSSIBLE_THRESHOLD = 4
+
+
+def fellegi_sunter_customer_scores(
+    pairs: DataFrame, entities: DataFrame
+) -> DataFrame:
+    """:func:`fellegi_sunter_scores` bound to the shared customer
+    model config — the single scoring call q208, q209, and the
+    streaming twin all route through."""
+    return fellegi_sunter_scores(
+        pairs,
+        entities,
+        attr_weights=FS_ATTR_WEIGHTS,
+        dist_weights=FS_DIST_WEIGHTS,
+        match_threshold=FS_MATCH_THRESHOLD,
+        possible_threshold=FS_POSSIBLE_THRESHOLD,
+    )
+
+
+def fellegi_sunter_rollup(scored: DataFrame) -> DataFrame:
+    """(decision, dist) rollup of a scored pair table — q208's output
+    contract, shared with the streaming twin so their shapes cannot
+    drift."""
+    return scored.groupBy("decision", "dist").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("agree_nation").cast("long").alias("n_agree_nation"),
+        F.sum("agree_segment").cast("long").alias("n_agree_segment"),
+        F.sum("agree_bal_band").cast("long").alias("n_agree_balband"),
+        F.sum("match_weight").cast("long").alias("sum_weight"),
+    )
+
+
 def fellegi_sunter_scores(
     pairs: DataFrame,
     attrs: DataFrame,
@@ -2022,15 +2066,31 @@ def stage_deletion_variants(
     distinct names and probes the staged table by equi-join. Stored
     rows are (nm, hv) with hv = xxhash64(variant) — 16 B/row; a hash
     collision only ADDS a candidate pair, which the downstream
-    levenshtein verify kills (lossless, the q202 contract).
+    levenshtein verify kills (lossless, the q202 contract). The
+    staging radius rides along as a column and is VALIDATED — probing
+    a radius-1 table at radius 2 would silently miss true dist-2
+    pairs, so a mismatch raises instead (and mixed-radius appends to
+    one path are rejected the same way).
     Returns ``(n_new_names, new_names_df)``."""
     spark = names.sparkSession
-    src = names.select(F.col(name_col).alias("nm")).distinct()
-    try:
-        staged = spark.read.parquet(var_path).select("nm").distinct()
-        src = src.join(staged, on="nm", how="left_anti")
-    except Exception:  # first run — no table yet
-        pass
+    # null names explode to zero variants, so a null could never be
+    # staged and would be counted "new" on every run (n_new would
+    # never converge to 0) — drop it here, mirroring the entity
+    # tables' not-null contract
+    src = (
+        names.select(F.col(name_col).alias("nm"))
+        .filter(F.col("nm").isNotNull())
+        .distinct()
+    )
+    # existence probe, not try/except: a transient READ failure of an
+    # existing table must propagate, or the skipped anti-join silently
+    # re-stages every name and doubles the table (the q154 lesson)
+    if _parquet_exists(spark, var_path):
+        staged_tbl = spark.read.parquet(var_path)
+        _check_staged_radius(staged_tbl, var_path, radius)
+        src = src.join(
+            staged_tbl.select("nm").distinct(), on="nm", how="left_anti"
+        )
     # localCheckpoint, not persist: the append below invalidates any
     # cached plan that reads var_path (the anti-join does), so a
     # lazily-cached batch would silently re-evaluate to empty after
@@ -2041,10 +2101,36 @@ def stage_deletion_variants(
         src.select(
             "nm",
             F.explode(deletion_neighborhood("nm", radius)).alias("v"),
-        ).select("nm", F.xxhash64("v").alias("hv")).write.mode(
-            "append"
-        ).parquet(var_path)
+        ).select(
+            "nm",
+            F.xxhash64("v").alias("hv"),
+            F.lit(radius).cast("int").alias("radius"),
+        ).write.mode("append").parquet(var_path)
     return n_new, src
+
+
+def _parquet_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists on the session's filesystem — the
+    q154 stance: only true absence means 'first run'; real read
+    errors on an existing table must propagate."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _check_staged_radius(staged: DataFrame, var_path: str, radius: int):
+    """Raise if a staged deletion-variant table was built at a
+    different radius than the caller is using (lossless candidates
+    require stage radius == probe radius)."""
+    row = staged.select("radius").first()
+    staged_radius = None if row is None else row[0]
+    if staged_radius is not None and staged_radius != radius:
+        raise ValueError(
+            f"staged variant table {var_path} was built at "
+            f"radius={staged_radius}, requested radius={radius}; "
+            "stage each radius under its own path"
+        )
 
 
 def incremental_linkage_pairs(
@@ -2074,6 +2160,11 @@ def incremental_linkage_pairs(
         )
     spark = names.sparkSession
     variants = spark.read.parquet(var_path)
+    # probing a radius-1 table at radius 2 silently misses true
+    # dist-2 pairs — the staged radius must match (see
+    # stage_deletion_variants)
+    _check_staged_radius(variants, var_path, radius)
+    variants = variants.select("nm", "hv")
     lhs = variants if new_names is None else variants.join(
         F.broadcast(new_names.select("nm")), on="nm", how="left_semi"
     )

@@ -12391,34 +12391,26 @@ def q208_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (names² + the same arithmetic at oracle scale) so neither a
     blocking recall bug nor a scoring bug can hide (the q202 stance,
     incl. its ASCII-domain levenshtein caveat)."""
+    ent = _customer_fs_entities(spark, sf_dir)
+    pairs = dedup.name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
+    scored = dedup.fellegi_sunter_customer_scores(pairs, ent)
+    return dedup.fellegi_sunter_rollup(scored)
+
+
+def _customer_fs_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer entity table the Fellegi-Sunter family (q208,
+    q209) scores over: one row per distinct name with the record
+    count and min-merged representative attributes (the same merge
+    the streaming twin's partials reproduce). Shared so the queries
+    cannot drift onto different entity definitions."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
-    ent = c.groupBy(F.col("c_name").alias("nm")).agg(
+    return c.groupBy(F.col("c_name").alias("nm")).agg(
         F.count("*").cast("long").alias("n_recs"),
         F.min("c_nationkey").alias("nation"),
         F.min("c_mktsegment").alias("segment"),
         F.min(F.floor(F.col("c_acctbal") / F.lit(1000.0))).alias(
             "bal_band"
         ),
-    )
-    pairs = dedup.name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
-    scored = dedup.fellegi_sunter_scores(
-        pairs,
-        ent,
-        attr_weights={
-            "nation": (4, -2),
-            "segment": (2, -1),
-            "bal_band": (3, -1),
-        },
-        dist_weights={1: 6, 2: 3},
-        match_threshold=10,
-        possible_threshold=4,
-    )
-    return scored.groupBy("decision", "dist").agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.sum("agree_nation").cast("long").alias("n_agree_nation"),
-        F.sum("agree_segment").cast("long").alias("n_agree_segment"),
-        F.sum("agree_bal_band").cast("long").alias("n_agree_balband"),
-        F.sum("match_weight").cast("long").alias("sum_weight"),
     )
 
 
@@ -12474,28 +12466,9 @@ def q209_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE is brute-force names² scoring + a recursive transitive-
     closure CTE, so a blocking, scoring, OR clustering bug all break
     the hash (the q202/q56 stances composed)."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
-    ent = c.groupBy(F.col("c_name").alias("nm")).agg(
-        F.count("*").cast("long").alias("n_recs"),
-        F.min("c_nationkey").alias("nation"),
-        F.min("c_mktsegment").alias("segment"),
-        F.min(F.floor(F.col("c_acctbal") / F.lit(1000.0))).alias(
-            "bal_band"
-        ),
-    )
+    ent = _customer_fs_entities(spark, sf_dir)
     pairs = dedup.name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
-    scored = dedup.fellegi_sunter_scores(
-        pairs,
-        ent,
-        attr_weights={
-            "nation": (4, -2),
-            "segment": (2, -1),
-            "bal_band": (3, -1),
-        },
-        dist_weights={1: 6, 2: 3},
-        match_threshold=10,
-        possible_threshold=4,
-    )
+    scored = dedup.fellegi_sunter_customer_scores(pairs, ent)
     matches = scored.filter(F.col("decision") == "match").select(
         F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
     )

@@ -1294,7 +1294,8 @@ def fellegi_sunter_snapshot(spark, partials_path: str) -> DataFrame:
     identity, not an approximation (parity-tested in
     tests/test_streaming.py)."""
     from vnavc_spark.operators.dedup import (
-        fellegi_sunter_scores,
+        fellegi_sunter_customer_scores,
+        fellegi_sunter_rollup,
         name_linkage_pairs,
     )
 
@@ -1309,24 +1310,8 @@ def fellegi_sunter_snapshot(spark, partials_path: str) -> DataFrame:
         )
     )
     pairs = name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
-    scored = fellegi_sunter_scores(
-        pairs,
-        ent,
-        attr_weights={
-            "nation": (4, -2),
-            "segment": (2, -1),
-            "bal_band": (3, -1),
-        },
-        dist_weights={1: 6, 2: 3},
-        match_threshold=10,
-        possible_threshold=4,
-    )
-    return scored.groupBy("decision", "dist").agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.sum("agree_nation").cast("long").alias("n_agree_nation"),
-        F.sum("agree_segment").cast("long").alias("n_agree_segment"),
-        F.sum("agree_bal_band").cast("long").alias("n_agree_balband"),
-        F.sum("match_weight").cast("long").alias("sum_weight"),
+    return fellegi_sunter_rollup(
+        fellegi_sunter_customer_scores(pairs, ent)
     )
 
 
