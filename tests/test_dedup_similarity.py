@@ -750,3 +750,83 @@ class TestFellegiSunter:
         assert n1 == 1
         n2, _ = dedup.stage_deletion_variants(rows, var, radius=1)
         assert n2 == 0  # converges despite the null row
+
+
+class TestFellegiSunterEm:
+    """dedup.fellegi_sunter_em: Winkler-style EM over the agreement-
+    pattern histogram (q210's output) — pure driver math on <= 2^k
+    rows, so the tests are exact-synthetic, no Spark needed."""
+
+    def test_recovers_planted_mixture(self):
+        # plant a two-component mixture with known m/u and p, build
+        # the EXACT expected pattern histogram, and check EM recovers
+        # the parameters (identifiable: m >> u on every field)
+        import itertools
+
+        p, m, u = 0.2, [0.95, 0.9, 0.85], [0.1, 0.2, 0.05]
+        n_total = 1_000_000
+        patterns = []
+        for g in itertools.product((0, 1), repeat=3):
+            prob = p
+            for k in range(3):
+                prob *= m[k] if g[k] else (1 - m[k])
+            qrob = 1 - p
+            for k in range(3):
+                qrob *= u[k] if g[k] else (1 - u[k])
+            patterns.append((g, round((prob + qrob) * n_total)))
+        fit = dedup.fellegi_sunter_em(patterns, n_fields=3)
+        assert abs(fit["p"] - p) < 0.02, fit["p"]
+        for k in range(3):
+            assert abs(fit["m"][k] - m[k]) < 0.05, (k, fit["m"])
+            assert abs(fit["u"][k] - u[k]) < 0.05, (k, fit["u"])
+        # integer log-odds weights: agreement positive, disagreement
+        # negative on every (strongly separating) field
+        for wa, wd in fit["weights"]:
+            assert wa > 0 and wd < 0, fit["weights"]
+
+    def test_determinism_and_validation(self):
+        pats = [((1, 1), 50), ((0, 0), 950), ((1, 0), 30)]
+        a = dedup.fellegi_sunter_em(pats, n_fields=2)
+        b = dedup.fellegi_sunter_em(pats, n_fields=2)
+        assert a == b  # fixed init + fixed iterations
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="empty"):
+            dedup.fellegi_sunter_em([], n_fields=2)
+        with _pytest.raises(ValueError, match="malformed"):
+            dedup.fellegi_sunter_em([((1, 2), 5)], n_fields=2)
+        with _pytest.raises(ValueError, match="n_fields"):
+            dedup.fellegi_sunter_em(pats, n_fields=0)
+
+    def test_fits_from_q210_shape(self, spark):
+        # end-to-end shape check: run the pattern histogram on a tiny
+        # planted corpus and feed it to EM with dist binarized
+        rows = [
+            ("alice cooper", 7, "AUTO", 2),
+            ("alice coopar", 7, "AUTO", 2),   # d=1, all agree -> match-y
+            ("alice coopxr", 3, "SHIP", 9),   # d=1 to both, all disagree
+            ("bob marley", 1, "RAIL", 4),
+        ]
+        ent = spark.createDataFrame(
+            rows, "nm string, nation int, segment string, bal_band long"
+        ).withColumn("n_recs", F.lit(1).cast("long"))
+        pairs = dedup.name_linkage_pairs(
+            ent.select("nm", "n_recs"), radius=2
+        )
+        scored = dedup.fellegi_sunter_customer_scores(pairs, ent)
+        hist = dedup.fs_agreement_patterns(scored).collect()
+        pats = [
+            (
+                (
+                    1 if r.dist == 1 else 0,
+                    r.agree_nation,
+                    r.agree_segment,
+                    r.agree_bal_band,
+                ),
+                r.n_pairs,
+            )
+            for r in hist
+        ]
+        fit = dedup.fellegi_sunter_em(pats, n_fields=4, iters=10)
+        assert 0.0 < fit["p"] < 1.0
+        assert len(fit["weights"]) == 4

@@ -93,6 +93,7 @@ SWEEP = [
     ("q207_radius2_linkage", ("customer",), False, False),
     ("q208_fellegi_sunter", ("customer",), False, False),
     ("q209_entity_clusters", ("customer",), False, False),
+    ("q210_agreement_patterns", ("customer",), False, False),
     ("q120_gap_fill", ("events",), False, False),
     ("q121_exact_mad_scalable", ("lineitem",), False, False),
     ("q122_skyline", ("orders",), True, False),

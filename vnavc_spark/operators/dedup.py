@@ -2204,3 +2204,90 @@ def incremental_linkage_pairs(
         )
         .select("name_a", "name_b", "n_recs_a", "n_recs_b", "dist")
     )
+
+
+def fs_agreement_patterns(
+    scored: DataFrame,
+    attr_cols: tuple[str, ...] = ("nation", "segment", "bal_band"),
+) -> DataFrame:
+    """Agreement-pattern histogram of a scored candidate-pair table:
+    one row per (dist, agree_<attr>...) pattern with its pair count —
+    the SUFFICIENT STATISTIC for Fellegi-Sunter parameter estimation
+    (the EM step consumes only these ≤ dists·2^k rows, never the
+    pairs). Output is bounded by the pattern space (16 rows for the
+    customer model), so collecting it is contract-bounded at any
+    corpus size."""
+    agree = [f"agree_{c}" for c in attr_cols]
+    return scored.groupBy("dist", *agree).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+def fellegi_sunter_em(
+    patterns: list,
+    n_fields: int,
+    iters: int = 25,
+    init_p: float = 0.05,
+) -> dict:
+    """Fellegi-Sunter m/u parameter estimation via EM (Winkler 1988)
+    over an agreement-pattern histogram: ``patterns`` is a list of
+    ``(gamma, n)`` with ``gamma`` a tuple of ``n_fields`` 0/1
+    agreement indicators and ``n`` the pair count (the output of
+    :func:`fs_agreement_patterns`, with dist binarized by the
+    caller). Pure driver-side arithmetic on the ≤ 2^n_fields rows —
+    the corpus never participates, so this runs identically at any
+    scale. Deterministic: fixed init, fixed iteration count.
+
+    Returns {"p": match prevalence, "m": per-field P(agree|match),
+    "u": per-field P(agree|unmatch), "weights": per-field integer
+    (agree, disagree) log2-odds rounded to the nearest int — the
+    shape :func:`fellegi_sunter_scores` consumes}."""
+    import math
+
+    if n_fields < 1:
+        raise ValueError(f"n_fields must be >= 1, got {n_fields}")
+    total = float(sum(n for _, n in patterns))
+    if total <= 0:
+        raise ValueError("empty pattern histogram — nothing to fit")
+    for g, _ in patterns:
+        if len(g) != n_fields or any(v not in (0, 1) for v in g):
+            raise ValueError(f"malformed pattern {g!r}")
+    p = init_p
+    # asymmetric init breaks the m==u saddle point
+    m = [0.9] * n_fields
+    u = [0.1] * n_fields
+    for _ in range(iters):
+        sw = 0.0
+        sm = [0.0] * n_fields
+        su = [0.0] * n_fields
+        swn = 0.0
+        for g, n in patterns:
+            pm = p
+            pu = 1.0 - p
+            for k in range(n_fields):
+                pm *= m[k] if g[k] else (1.0 - m[k])
+                pu *= u[k] if g[k] else (1.0 - u[k])
+            w = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+            sw += n * w
+            swn += n * (1.0 - w)
+            for k in range(n_fields):
+                if g[k]:
+                    sm[k] += n * w
+                    su[k] += n * (1.0 - w)
+        if sw <= 0 or swn <= 0:
+            break  # degenerate — keep the last sane estimates
+        p = sw / total
+        # clamp away from 0/1 so log-odds stay finite (standard
+        # practice: a field that is ALWAYS equal among matches would
+        # otherwise produce an infinite weight)
+        clamp = lambda x: min(max(x, 1e-6), 1.0 - 1e-6)
+        m = [clamp(sm[k] / sw) for k in range(n_fields)]
+        u = [clamp(su[k] / swn) for k in range(n_fields)]
+    weights = [
+        (
+            round(math.log2(m[k] / u[k])),
+            round(math.log2((1.0 - m[k]) / (1.0 - u[k]))),
+        )
+        for k in range(n_fields)
+    ]
+    return {"p": p, "m": m, "u": u, "weights": weights}

@@ -12486,6 +12486,59 @@ def q209_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q210_agreement_patterns",
+    oracle="""
+WITH names AS (
+  SELECT c_name AS nm,
+         min(c_nationkey) AS nat,
+         min(c_mktsegment) AS seg,
+         min(CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS bal_band
+  FROM customer WHERE c_name IS NOT NULL GROUP BY c_name)
+SELECT CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+       CASE WHEN a.nat IS NOT NULL AND b.nat IS NOT NULL
+                 AND a.nat = b.nat THEN 1 ELSE 0 END AS agree_nation,
+       CASE WHEN a.seg IS NOT NULL AND b.seg IS NOT NULL
+                 AND a.seg = b.seg THEN 1 ELSE 0 END AS agree_segment,
+       CASE WHEN a.bal_band IS NOT NULL AND b.bal_band IS NOT NULL
+                 AND a.bal_band = b.bal_band
+            THEN 1 ELSE 0 END AS agree_bal_band,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM names a JOIN names b ON a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 2
+GROUP BY 1, 2, 3, 4
+""",
+)
+def q210_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement-pattern histogram over the radius-2 linkage
+    candidates: one row per (dist, agree_nation, agree_segment,
+    agree_bal_band) pattern with its pair count — the SUFFICIENT
+    STATISTIC for Fellegi-Sunter m/u estimation (Winkler 1988 EM;
+    :func:`vnavc_spark.operators.dedup.fellegi_sunter_em` fits the
+    model from exactly these rows). q208 scores with fixed priors;
+    this is the table you'd fit those priors FROM, certified
+    end-to-end so the estimation input can't drift from the scoring
+    input.
+
+    Scale shape: identical blocking to q207/q208 (deliberately NOT
+    benched — that cost shape is already witnessed three times);
+    the rollup is a map-side-combinable count over ≤ 2·2³ = 16
+    pattern rows, and the EM step downstream is driver-side
+    arithmetic on those 16 rows — the corpus never participates in
+    the fit. Brute-force names²+arithmetic oracle (the q202
+    stance)."""
+    ent = _customer_fs_entities(spark, sf_dir)
+    pairs = dedup.name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
+    scored = dedup.fellegi_sunter_customer_scores(pairs, ent)
+    return dedup.fs_agreement_patterns(scored).select(
+        "dist",
+        "agree_nation",
+        "agree_segment",
+        F.col("agree_bal_band"),
+        "n_pairs",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
