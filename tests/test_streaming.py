@@ -1844,3 +1844,52 @@ class TestFellegiSunterTwin:
         # one d=1 pair, all three attrs agree (nation merged to 7 on
         # both sides): weight = 6 + 4 + 2 + 3 = 15 -> match
         assert out == {("match", 1): (1, 1, 1, 1, 15)}, out
+
+
+class TestAgreementPatternsTwin:
+    """queries.q210's streaming twin: the SAME entity partials as the
+    fellegi-sunter twin re-rolled into the agreement-pattern
+    histogram — one staging contract, three consumers (scorer,
+    decision rollup, estimation sufficient statistic)."""
+
+    def test_snapshot_equals_batch_on_real_customers(
+        self, spark, tmp_path
+    ):
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        partials = str(tmp_path / "partials")
+        cust = table(spark, sf, "customer")
+        for bid, half in enumerate(
+            (
+                cust.filter(F.col("c_custkey") % 2 == 0),
+                cust.filter(F.col("c_custkey") % 2 == 1),
+            )
+        ):
+            half.filter(F.col("c_name").isNotNull()).groupBy(
+                F.col("c_name").alias("nm")
+            ).agg(
+                F.count("*").cast("long").alias("n_recs"),
+                F.min("c_nationkey").alias("nation"),
+                F.min("c_mktsegment").alias("segment"),
+                F.min(
+                    F.floor(F.col("c_acctbal") / F.lit(1000.0))
+                ).alias("bal_band"),
+            ).write.mode("overwrite").parquet(
+                f"{partials}/batch_id={bid}"
+            )
+        got = sorted(
+            tuple(r)
+            for r in ingest.agreement_patterns_snapshot(
+                spark, partials
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q210_agreement_patterns"](
+                spark, sf
+            ).collect()
+        )
+        assert got == want and len(got) >= 8, (got, want)

@@ -1315,6 +1315,37 @@ def fellegi_sunter_snapshot(spark, partials_path: str) -> DataFrame:
     )
 
 
+def agreement_patterns_snapshot(spark, partials_path: str) -> DataFrame:
+    """Agreement-pattern histogram from the staged entity partials —
+    identical output contract to queries.q210 (dist, agree_nation,
+    agree_segment, agree_bal_band, n_pairs). SAME staging as the
+    fellegi-sunter twin (start_entity_attr_partials): one partial
+    contract serves the scorer, the decision rollup, AND the
+    model-estimation sufficient statistic — streaming == batch is an
+    identity through the shared blocking + scoring cores
+    (parity-tested in tests/test_streaming.py)."""
+    from vnavc_spark.operators.dedup import (
+        fellegi_sunter_customer_scores,
+        fs_agreement_patterns,
+        name_linkage_pairs,
+    )
+
+    ent = (
+        spark.read.parquet(partials_path)
+        .groupBy("nm")
+        .agg(
+            F.sum("n_recs").cast("long").alias("n_recs"),
+            F.min("nation").alias("nation"),
+            F.min("segment").alias("segment"),
+            F.min("bal_band").alias("bal_band"),
+        )
+    )
+    pairs = name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
+    return fs_agreement_patterns(
+        fellegi_sunter_customer_scores(pairs, ent)
+    )
+
+
 #: Single authority for the streaming-twin surface: twin name ->
 #: (snapshot fn, start fn, accepted tuning flags, parity-pinned batch
 #: queries, staged-partial schema). The `monitor` CLI derives its
@@ -1428,6 +1459,15 @@ TWINS: dict[str, dict] = {
         "batch": ("q202_name_linkage", "q207_radius2_linkage"),
         "partials": "(nm, n_recs) additive name counts per "
         "batch_id=N",
+    },
+    "agreement-patterns": {
+        "snapshot": "agreement_patterns_snapshot",
+        "start": "start_entity_attr_partials",
+        "flags": (),
+        "batch": ("q210_agreement_patterns",),
+        "partials": "(nm, n_recs, nation, segment, bal_band) "
+        "mergeable entity partials per batch_id=N (same staging as "
+        "fellegi-sunter)",
     },
     "fellegi-sunter": {
         "snapshot": "fellegi_sunter_snapshot",
