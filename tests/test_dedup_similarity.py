@@ -830,3 +830,58 @@ class TestFellegiSunterEm:
         fit = dedup.fellegi_sunter_em(pats, n_fields=4, iters=10)
         assert 0.0 < fit["p"] < 1.0
         assert len(fit["weights"]) == 4
+
+
+class TestEntityRekey:
+    """dedup.entity_rekey: the ER apply step — every record keeps a
+    row, clustered names share an entity_id, unclustered names are
+    their own entity."""
+
+    def test_rekey_merges_and_passes_through(self, spark):
+        records = spark.createDataFrame(
+            [
+                (1, "alice cooper", 10.0),
+                (2, "alice coopar", 20.0),   # same entity as cooper
+                (3, "bob marley", 5.0),      # unclustered
+                (4, "alice cooper", 30.0),   # second record, same name
+            ],
+            "rec_id long, c_name string, amount double",
+        )
+        clusters = spark.createDataFrame(
+            [("alice cooper", "alice coopar"), ("alice coopar", "alice coopar")],
+            "nm string, entity_id string",
+        )
+        out = dedup.entity_rekey(records, clusters)
+        rows = {r.rec_id: r.entity_id for r in out.collect()}
+        assert rows == {
+            1: "alice coopar",
+            2: "alice coopar",
+            3: "bob marley",
+            4: "alice coopar",
+        }
+        # downstream merge: grouping by entity_id combines the records
+        agg = {
+            r.entity_id: r.total
+            for r in out.groupBy("entity_id")
+            .agg(F.sum("amount").alias("total"))
+            .collect()
+        }
+        assert agg == {"alice coopar": 60.0, "bob marley": 5.0}
+
+    def test_composes_with_real_clusters(self, spark):
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        clusters = QUERIES["q209_entity_clusters"](spark, sf).select(
+            "nm", "entity_id"
+        )
+        cust = table(spark, sf, "customer")
+        out = dedup.entity_rekey(cust, clusters)
+        # every record survives; entity count <= distinct names
+        assert out.count() == cust.count()
+        n_names = cust.select("c_name").distinct().count()
+        n_entities = out.select("entity_id").distinct().count()
+        n_clustered = clusters.count()
+        n_clusters = clusters.select("entity_id").distinct().count()
+        assert n_entities == n_names - n_clustered + n_clusters

@@ -2291,3 +2291,28 @@ def fellegi_sunter_em(
         for k in range(n_fields)
     ]
     return {"p": p, "m": m, "u": u, "weights": weights}
+
+
+def entity_rekey(
+    records: DataFrame,
+    clusters: DataFrame,
+    name_col: str = "c_name",
+) -> DataFrame:
+    """Apply step of the ER pipeline (the q106 dedup_apply analog for
+    entities): attach ``entity_id`` to every record — clustered names
+    map to their cluster's id (:func:`dedup_clusters` output via
+    queries.q209), names in no cluster are their own entity. All
+    records survive (ER rekeys; it does not drop — downstream
+    aggregations group by entity_id instead of the raw name, which is
+    where duplicate entities actually merge).
+
+    Scale shape: one left join against the cluster map, which is
+    clustered-names-sized (a small fraction of distinct names —
+    broadcastable in practice, and name-keyed either way); records
+    never shuffle on anything but the join key."""
+    m = clusters.select(
+        F.col("nm").alias(name_col), F.col("entity_id")
+    )
+    return records.join(m, on=name_col, how="left").withColumn(
+        "entity_id", F.coalesce(F.col("entity_id"), F.col(name_col))
+    )
