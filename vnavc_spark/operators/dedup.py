@@ -732,11 +732,13 @@ def stage_minhash_signatures(
     plain columns. Returns ``(n_new, new_ids_df)``."""
     spark = df.sparkSession
     src = df.select(id_col, text_col)
-    try:
+    # existence probe, not try/except: a transient READ failure of an
+    # existing signature table must propagate — the skipped anti-join
+    # would silently re-hash and re-append every doc (same fix as
+    # stage_deletion_variants)
+    if _parquet_exists(spark, sig_path):
         existing = spark.read.parquet(sig_path).select(id_col)
         src = src.join(existing, on=id_col, how="left_anti")
-    except Exception:  # first run — no table yet
-        pass
     # localCheckpoint (not persist): appending to sig_path below
     # invalidates any cached plan that READS sig_path — which the
     # anti-join does — so a lazily-cached `sigs` would silently
