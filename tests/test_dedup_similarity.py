@@ -885,3 +885,49 @@ class TestEntityRekey:
         n_clustered = clusters.count()
         n_clusters = clusters.select("entity_id").distinct().count()
         assert n_entities == n_names - n_clustered + n_clusters
+
+
+class TestSeveredCheckpoint:
+    """cache.severed_local_checkpoint: the guard against the
+    chained-checkpoint stats blowup (round-11 find, docs/SCALE.md) —
+    data identity, no fallback in this environment, and a deep CC
+    chain that the unfixed loop could not finish in budget."""
+
+    def test_identity_and_no_fallback(self, spark):
+        import vnavc_spark.cache as C
+
+        before = C.SEVER_FALLBACKS
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "k long, v string"
+        )
+        out = C.severed_local_checkpoint(df.filter(F.col("k") % 2 == 0))
+        got = sorted(tuple(r) for r in out.collect())
+        want = sorted((i, f"v{i}") for i in range(0, 100, 2))
+        assert got == want
+        # the internal rebuild worked (fallback would be a silent
+        # scale regression on a future Spark version)
+        assert C.SEVER_FALLBACKS == before
+
+    def test_cc_deep_chain_converges_in_budget(self, spark):
+        # a 2000-node path forces ~12 pointer-jump rounds — exactly
+        # the regime where the captured-stats BigInts went doubly-
+        # exponential (round 12 ALONE took 104 s before the fix; the
+        # whole loop now runs in a few seconds). The generous wall
+        # bound fails loudly if the blowup ever returns.
+        import time
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(2000)], "doc_a long, doc_b long"
+        )
+        t0 = time.time()
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dedup_clusters(edges).collect()
+        }
+        elapsed = time.time() - t0
+        assert all(v == 0 for v in labels.values())  # one component
+        assert len(labels) == 2001
+        assert elapsed < 120, (
+            f"CC on a 2000-chain took {elapsed:.0f}s — the chained-"
+            "checkpoint stats blowup may have returned (SCALE.md r11)"
+        )
