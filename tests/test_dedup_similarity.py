@@ -723,6 +723,31 @@ class TestFellegiSunter:
         assert (bd.agree_nation, bd.agree_segment) == (0, 1)
         assert (bd.match_weight, bd.decision) == (3, "non_match")
 
+    def test_pair_missing_from_attrs_scores_not_drops(self, spark):
+        # external candidate tables (incremental pairs over a stale
+        # entity snapshot) can reference names absent from attrs; the
+        # pair must be SCORED as all-disagreement, not silently
+        # dropped by an inner join (round-11 advice)
+        pairs = spark.createDataFrame(
+            [("a", "ghost", 1)],
+            "name_a string, name_b string, dist long",
+        )
+        attrs = spark.createDataFrame(
+            [("a", 7, "AUTO")], "nm string, nation int, segment string"
+        )
+        rows = dedup.fellegi_sunter_scores(
+            pairs,
+            attrs,
+            attr_weights={"nation": (4, -2), "segment": (2, -1)},
+            dist_weights={1: 6},
+            match_threshold=10,
+            possible_threshold=4,
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # d=1 + nation null-disagree + segment null-disagree = 6-2-1
+        assert (r.agree_nation, r.agree_segment) == (0, 0)
+        assert (r.match_weight, r.decision) == (3, "non_match")
 
     def test_radius_mismatch_raises(self, spark, tmp_path):
         # probing a radius-1 table at radius 2 would silently miss
@@ -738,6 +763,24 @@ class TestFellegiSunter:
             dedup.incremental_linkage_pairs(
                 names, var, None, radius=2
             ).collect()
+
+    def test_mixed_radius_table_rejected(self, spark, tmp_path):
+        # two first-run stagers racing on an absent path can each see
+        # "no table" and interleave appends at different radii; the
+        # validator must reject the resulting mixed table instead of
+        # blessing whichever radius one arbitrary row carries
+        var = str(tmp_path / "vars")
+        spark.createDataFrame(
+            [("alice", 1, 1), ("bob", 2, 2)],
+            "nm string, hv long, radius int",
+        ).write.parquet(var)
+        names = spark.createDataFrame(
+            [("carol", 1)], "nm string, n_recs long"
+        )
+        with pytest.raises(ValueError, match="MIXED"):
+            dedup.stage_deletion_variants(names, var, radius=1)
+        with pytest.raises(ValueError, match="MIXED"):
+            dedup.incremental_linkage_pairs(names, var, None, radius=1)
 
     def test_null_names_never_stage_as_new(self, spark, tmp_path):
         # a null name explodes to zero variants, so an unfiltered
@@ -867,6 +910,21 @@ class TestEntityRekey:
             .collect()
         }
         assert agg == {"alice coopar": 60.0, "bob marley": 5.0}
+
+    def test_generic_over_node_type(self, spark):
+        # q56-style cluster maps key on LONG doc ids; entity_rekey
+        # must cast both coalesce branches so the mixed-type coalesce
+        # neither raises nor silently casts (round-11 advice)
+        records = spark.createDataFrame(
+            [(10, "x"), (11, "y"), (12, "z")], "doc_id long, body string"
+        )
+        clusters = spark.createDataFrame(
+            [(10, 11), (11, 11)], "nm long, entity_id long"
+        )
+        out = dedup.entity_rekey(records, clusters, name_col="doc_id")
+        assert dict(out.dtypes)["entity_id"] == "string"
+        got = {r.doc_id: r.entity_id for r in out.collect()}
+        assert got == {10: "11", 11: "11", 12: "12"}
 
     def test_composes_with_real_clusters(self, spark):
         from vnavc_spark.io import table

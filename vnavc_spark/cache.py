@@ -154,9 +154,26 @@ def severed_local_checkpoint(df: DataFrame) -> DataFrame:
             jrdd, jdf.schema(), False
         )
         return DataFrame(jdf2, spark)
-    except Exception:
+    except Exception as exc:
         global SEVER_FALLBACKS
         SEVER_FALLBACKS += 1
+        if SEVER_FALLBACKS == 1:
+            # one-time loud warning: the fallback is CORRECT but
+            # re-exposes the doubly-exponential captured-stats growth
+            # on deep loops — on a production cluster this shows up
+            # as an idle-executor driver stall, so it must be visible
+            # in logs, not only to code that polls the counter
+            import warnings
+
+            warnings.warn(
+                "severed_local_checkpoint: internal DataFrame rebuild "
+                f"unavailable on this Spark version ({exc!r}); falling "
+                "back to plain localCheckpoint. Deep iterative loops "
+                "(connected components, k-core) may regress to a "
+                "driver-side planner stall — see vnavc_spark/cache.py.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck
 
 

@@ -2014,7 +2014,17 @@ def fellegi_sunter_scores(
         F.col(name_col).alias("name_b"),
         *[F.col(c).alias(f"_b_{c}") for c in attr_cols],
     )
-    out = pairs.join(a_side, "name_a").join(b_side, "name_b")
+    # LEFT joins: a pair whose name is missing from attrs still gets
+    # scored — its attr columns are null, and null is already pinned
+    # as disagreement below (missing evidence never argues FOR a
+    # match). An inner join here silently DROPPED such pairs, a
+    # contract trap for external candidate tables (e.g.
+    # incremental_linkage_pairs over a stale entity snapshot); for
+    # pairs derived from the same entity table the result is
+    # identical.
+    out = pairs.join(a_side, "name_a", "left").join(
+        b_side, "name_b", "left"
+    )
     dist_w = F.lit(0)
     for d, w in sorted(dist_weights.items()):
         dist_w = F.when(F.col("dist") == d, F.lit(w)).otherwise(dist_w)
@@ -2124,13 +2134,26 @@ def _parquet_exists(spark, path: str) -> bool:
 def _check_staged_radius(staged: DataFrame, var_path: str, radius: int):
     """Raise if a staged deletion-variant table was built at a
     different radius than the caller is using (lossless candidates
-    require stage radius == probe radius)."""
-    row = staged.select("radius").first()
-    staged_radius = None if row is None else row[0]
-    if staged_radius is not None and staged_radius != radius:
+    require stage radius == probe radius), or if it holds MIXED radii
+    (two first-run stagers racing on an absent path can interleave
+    appends — each sees no table, so neither per-append check fires;
+    a first()-only probe here would then bless whichever radius one
+    arbitrary row carries). The distinct scan is bounded: radius is a
+    constant column with at most a handful of values."""
+    radii = sorted(
+        r[0] for r in staged.select("radius").distinct().collect()
+        if r[0] is not None
+    )
+    if len(radii) > 1:
+        raise ValueError(
+            f"staged variant table {var_path} holds MIXED radii "
+            f"{radii} (concurrent first-run stagers?); rebuild it — "
+            "a mixed table silently misses pairs for the larger radius"
+        )
+    if radii and radii[0] != radius:
         raise ValueError(
             f"staged variant table {var_path} was built at "
-            f"radius={staged_radius}, requested radius={radius}; "
+            f"radius={radii[0]}, requested radius={radius}; "
             "stage each radius under its own path"
         )
 
@@ -2311,10 +2334,23 @@ def entity_rekey(
     Scale shape: one left join against the cluster map, which is
     clustered-names-sized (a small fraction of distinct names —
     broadcastable in practice, and name-keyed either way); records
-    never shuffle on anything but the join key."""
+    never shuffle on anything but the join key.
+
+    ``entity_id`` is always a STRING: both coalesce branches are cast
+    so the function is generic over the node type (a q56-style long
+    doc-id cluster map and a q209-style string name map both work —
+    without the cast, mismatched branch types raise an analysis error
+    or silently cast one side)."""
     m = clusters.select(
-        F.col("nm").alias(name_col), F.col("entity_id")
+        F.col("nm").cast("string").alias("__rekey_nm"),
+        F.col("entity_id").cast("string").alias("entity_id"),
     )
-    return records.join(m, on=name_col, how="left").withColumn(
-        "entity_id", F.coalesce(F.col("entity_id"), F.col(name_col))
+    return (
+        records.withColumn("__rekey_nm", F.col(name_col).cast("string"))
+        .join(m, on="__rekey_nm", how="left")
+        .withColumn(
+            "entity_id",
+            F.coalesce(F.col("entity_id"), F.col("__rekey_nm")),
+        )
+        .drop("__rekey_nm")
     )
