@@ -2916,7 +2916,7 @@ def q71_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q72_fuzzy_vocab_pairs",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+  SELECT unnest({TOKS_SQL.format(c="s_name")}) AS tok FROM supplier),
 wc AS (SELECT tok, count(*) AS cnt FROM toks
        WHERE length(tok) >= 4 GROUP BY tok),
 v AS (SELECT tok, cnt,
@@ -2936,15 +2936,20 @@ def q72_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletion-neighborhood blocking: each word blocks on {itself} ∪
     {single-char deletions}, so every Levenshtein-distance-1 pair
     shares a block key and the verify step (levenshtein == 1) runs
-    on candidates only — never an all-pairs cross join. Scale shape:
-    the corpus collapses to the distinct-word table first; variants
-    multiply vocab by ~word_len (bounded rows, ~vocab-sized);
-    degenerate blocks can be capped with dedup.cap_bucket_size. The
-    deletion transform runs over attribute columns of the aggregated
-    vocab (no captured-expression recompute trap)."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    on candidates only — never an all-pairs cross join. Runs over
+    the supplier-name vocabulary: the synthetic documents corpus has
+    only ~30 distinct tokens and NO distance-1 pairs at any SF, so
+    the earlier documents-based form certified an empty result
+    (round-11 verdict) — supplier tokens yield pairs at every SF
+    (45 / 900 / 13.5k at sf0.001/0.01/0.1). Scale shape: the corpus
+    collapses to the distinct-word table first; variants multiply
+    vocab by ~word_len (bounded rows, ~vocab-sized); degenerate
+    blocks can be capped with dedup.cap_bucket_size. The deletion
+    transform runs over attribute columns of the aggregated vocab
+    (no captured-expression recompute trap)."""
+    s = table(spark, sf_dir, "supplier")
+    toks = s.select(
+        F.explode(Q.tokens(Q.normalized_text("s_name"))).alias("tok")
     )
     wc = (
         toks.filter(F.length("tok") >= 4)
