@@ -945,6 +945,83 @@ class TestEntityRekey:
         assert n_entities == n_names - n_clustered + n_clusters
 
 
+class TestErPipeline:
+    """pipeline/er.resolve_entities: the production ER composition —
+    blocking paid ONCE through the staged variant table, every stage
+    parity-checked against the independently-certified q208/q209/q211
+    registered queries (which each recompute blocking by design)."""
+
+    def test_staged_composition_matches_registered_queries(
+        self, spark, tmp_path
+    ):
+        from vnavc_spark.io import table
+        from vnavc_spark.pipeline import er
+        from vnavc_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        var = str(tmp_path / "vars")
+        cust = table(spark, sf, "customer")
+        ent = er.customer_entities(spark, sf)
+        res = er.resolve_entities(
+            cust, ent, var, name_col="c_name", radius=2
+        )
+        # cluster step == q209 (nm -> entity_id map)
+        got = sorted(
+            (r.nm, r.entity_id) for r in res.clusters.collect()
+        )
+        want = sorted(
+            (r.nm, r.entity_id)
+            for r in QUERIES["q209_entity_clusters"](spark, sf)
+            .select("nm", "entity_id")
+            .collect()
+        )
+        assert got == want
+        # scoring step == q208 (decision/dist rollup off the SAME
+        # scored table the clusters consumed)
+        got208 = sorted(
+            tuple(r)
+            for r in dedup.fellegi_sunter_rollup(res.scored).collect()
+        )
+        want208 = sorted(
+            tuple(r)
+            for r in QUERIES["q208_fellegi_sunter"](spark, sf).collect()
+        )
+        assert got208 == want208
+        # apply step == q211 (per-record entity assignment)
+        got211 = sorted(
+            (r.c_custkey, r.entity_id)
+            for r in res.rekeyed.select("c_custkey", "entity_id").collect()
+        )
+        want211 = sorted(
+            (r.c_custkey, r.entity_id)
+            for r in QUERIES["q211_entity_rekey"](spark, sf)
+            .select("c_custkey", "entity_id")
+            .collect()
+        )
+        assert got211 == want211
+
+    def test_second_run_stages_nothing_and_agrees(self, spark, tmp_path):
+        from vnavc_spark.io import table
+        from vnavc_spark.pipeline import er
+
+        sf = "/root/testdata/sf0.001"
+        var = str(tmp_path / "vars")
+        cust = table(spark, sf, "customer")
+        ent = er.customer_entities(spark, sf)
+        first = er.resolve_entities(
+            cust, ent, var, name_col="c_name", radius=2
+        )
+        assert first.n_new_names > 0
+        again = er.resolve_entities(
+            cust, ent, var, name_col="c_name", radius=2
+        )
+        # variant table already holds every name: zero re-explosion
+        assert again.n_new_names == 0
+        assert sorted(map(tuple, again.clusters.collect())) == sorted(
+            map(tuple, first.clusters.collect())
+        )
+
+
 class TestSeveredCheckpoint:
     """cache.severed_local_checkpoint: the guard against the
     chained-checkpoint stats blowup (round-11 find, docs/SCALE.md) —

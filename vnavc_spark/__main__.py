@@ -149,6 +149,35 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_er(args) -> int:
+    from pyspark.sql import functions as F
+
+    from vnavc_spark.io import table
+    from vnavc_spark.pipeline import er
+
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    cust = table(spark, args.sf_dir, "customer")
+    ent = er.customer_entities(spark, args.sf_dir)
+    res = er.resolve_entities(
+        cust, ent, args.var_path, name_col="c_name", radius=args.radius
+    )
+    print(f"staged {res.n_new_names} new names in {args.var_path}")
+    n_pairs = res.scored.count()
+    n_match = res.scored.filter(F.col("decision") == "match").count()
+    n_clustered = res.clusters.count()
+    n_entities = res.rekeyed.select("entity_id").distinct().count()
+    n_records = res.rekeyed.count()
+    print(
+        f"candidates {n_pairs}, matches {n_match}, clustered names "
+        f"{n_clustered}, records {n_records} -> entities {n_entities}"
+    )
+    res.rekeyed.select("c_custkey", "c_name", "entity_id").show(
+        args.limit, truncate=False
+    )
+    return 0
+
+
 def cmd_verify(args) -> int:
     from vnavc_spark.oracle import compare, duckdb_connect
     from vnavc_spark.queries import all_oracles, all_queries
@@ -299,6 +328,18 @@ def main(argv: list[str] | None = None) -> int:
         help="compact the --sig-dir state tables (one row/id, few files)",
     )
 
+    e = sub.add_parser(
+        "er",
+        help="entity resolution off a staged variant table: "
+        "block -> score -> cluster -> rekey, blocking paid once",
+    )
+    e.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    e.add_argument(
+        "--var-path", required=True, help="persistent variant table path"
+    )
+    e.add_argument("--radius", type=int, default=2)
+    e.add_argument("--limit", type=int, default=20)
+
     v = sub.add_parser(
         "verify", help="hash-compare a query (or all) vs its DuckDB oracle"
     )
@@ -326,6 +367,7 @@ def main(argv: list[str] | None = None) -> int:
         "explain": cmd_explain,
         "text-stage": cmd_text_stage,
         "dedup": cmd_dedup,
+        "er": cmd_er,
         "verify": cmd_verify,
         "monitor": cmd_monitor,
     }[args.cmd](args)

@@ -12404,19 +12404,13 @@ def q208_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _customer_fs_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The customer entity table the Fellegi-Sunter family (q208,
-    q209) scores over: one row per distinct name with the record
-    count and min-merged representative attributes (the same merge
-    the streaming twin's partials reproduce). Shared so the queries
+    q209, q210, q211) scores over — single authority lives in
+    :func:`vnavc_spark.pipeline.er.customer_entities` so the
+    registered queries and the production pipeline composition
     cannot drift onto different entity definitions."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
-    return c.groupBy(F.col("c_name").alias("nm")).agg(
-        F.count("*").cast("long").alias("n_recs"),
-        F.min("c_nationkey").alias("nation"),
-        F.min("c_mktsegment").alias("segment"),
-        F.min(F.floor(F.col("c_acctbal") / F.lit(1000.0))).alias(
-            "bal_band"
-        ),
-    )
+    from vnavc_spark.pipeline.er import customer_entities
+
+    return customer_entities(spark, sf_dir)
 
 
 @query(
@@ -12541,6 +12535,209 @@ def q210_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agree_segment",
         F.col("agree_bal_band"),
         "n_pairs",
+    )
+
+
+@query(
+    "q211_entity_rekey",
+    oracle="""
+WITH RECURSIVE names AS (
+  SELECT c_name AS nm,
+         min(c_nationkey) AS nat,
+         min(c_mktsegment) AS seg,
+         min(CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS bal_band
+  FROM customer WHERE c_name IS NOT NULL GROUP BY c_name),
+p AS (
+  SELECT a.nm AS na, b.nm AS nb,
+         (CASE WHEN levenshtein(a.nm, b.nm) = 1 THEN 6 ELSE 3 END
+          + CASE WHEN a.nat IS NOT NULL AND b.nat IS NOT NULL
+                      AND a.nat = b.nat THEN 4 ELSE -2 END
+          + CASE WHEN a.seg IS NOT NULL AND b.seg IS NOT NULL
+                      AND a.seg = b.seg THEN 2 ELSE -1 END
+          + CASE WHEN a.bal_band IS NOT NULL AND b.bal_band IS NOT NULL
+                      AND a.bal_band = b.bal_band THEN 3 ELSE -1 END
+         ) AS mw
+  FROM names a JOIN names b ON a.nm < b.nm
+  WHERE levenshtein(a.nm, b.nm) <= 2),
+m AS (SELECT na, nb FROM p WHERE mw >= 10),
+edges AS (
+  SELECT na AS src, nb AS dst FROM m
+  UNION SELECT nb, na FROM m),
+reach AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+clusters AS (
+  SELECT node AS nm, min(root) AS entity_id FROM reach GROUP BY node)
+SELECT c.c_custkey, c.c_name,
+       coalesce(cl.entity_id, c.c_name) AS entity_id
+FROM customer c LEFT JOIN clusters cl ON cl.nm = c.c_name
+""",
+)
+def q211_entity_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity rekey — the APPLY step that finishes the ER pipeline
+    (block -> verify -> score -> decide -> cluster -> APPLY): every
+    customer RECORD gets an entity_id — its cluster's id if its name
+    was clustered by q209, else its own name. All records survive
+    (ER rekeys, it does not drop); downstream aggregations group by
+    entity_id instead of the raw name, which is where duplicate
+    entities actually merge — the q106 dedup_apply analog for
+    entities, and the reference analog of the metadata upsert
+    consumers (tts_data_pipeline/pre_processing/process_all.py:
+    797-839).
+
+    Scale shape: the cluster map is clustered-names-sized (a small
+    fraction of distinct names); the apply is ONE name-keyed left
+    join (:func:`vnavc_spark.operators.dedup.entity_rekey`) —
+    records never shuffle on anything but the join key. The ORACLE
+    recomputes blocking/scoring/closure brute-force (names² +
+    recursive CTE, the q209 stance) and applies the same left join,
+    so a bug anywhere in the pipeline INCLUDING the apply step
+    breaks the hash."""
+    ent = _customer_fs_entities(spark, sf_dir)
+    pairs = dedup.name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
+    scored = dedup.fellegi_sunter_customer_scores(pairs, ent)
+    matches = scored.filter(F.col("decision") == "match").select(
+        F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+    )
+    matches = matches.localCheckpoint()  # see q209
+    clusters = dedup.dedup_clusters(matches).select(
+        F.col("doc_id").alias("nm"), F.col("cluster_id").alias("entity_id")
+    )
+    cust = table(spark, sf_dir, "customer")
+    return dedup.entity_rekey(cust, clusters, name_col="c_name").select(
+        "c_custkey", "c_name", "entity_id"
+    )
+
+
+def _em_sql(iters: int = 25) -> str:
+    """DuckDB mirror of :func:`vnavc_spark.operators.dedup.
+    fellegi_sunter_em` over the q210 histogram: a recursive CTE
+    carries the EM state (p, m1..m4, u1..u4) through ``iters``
+    fixed iterations — same init (p=0.05, m=0.9, u=0.1), same
+    1e-6 clamps, same per-pattern posterior — then renders the
+    per-field integer log2-odds weights. Pure arithmetic over the
+    ≤16 pattern rows, exactly like the Spark side's driver fit."""
+    e_step = """
+    SELECT em.i AS i, pat.n AS n, pat.g1 AS g1, pat.g2 AS g2,
+           pat.g3 AS g3, pat.g4 AS g4, tot.total AS total,
+           em.p * (CASE WHEN pat.g1 = 1 THEN em.m1 ELSE 1 - em.m1 END)
+                * (CASE WHEN pat.g2 = 1 THEN em.m2 ELSE 1 - em.m2 END)
+                * (CASE WHEN pat.g3 = 1 THEN em.m3 ELSE 1 - em.m3 END)
+                * (CASE WHEN pat.g4 = 1 THEN em.m4 ELSE 1 - em.m4 END)
+             AS pm,
+           (1 - em.p)
+                * (CASE WHEN pat.g1 = 1 THEN em.u1 ELSE 1 - em.u1 END)
+                * (CASE WHEN pat.g2 = 1 THEN em.u2 ELSE 1 - em.u2 END)
+                * (CASE WHEN pat.g3 = 1 THEN em.u3 ELSE 1 - em.u3 END)
+                * (CASE WHEN pat.g4 = 1 THEN em.u4 ELSE 1 - em.u4 END)
+             AS pu
+    FROM em, pat, tot WHERE em.i < {iters}"""
+    m_upd = ", ".join(
+        "greatest(least(sum(CASE WHEN g{k} = 1 THEN n * w ELSE 0 END)"
+        " / sum(n * w), 1 - 1e-6), 1e-6)".format(k=k)
+        for k in (1, 2, 3, 4)
+    )
+    u_upd = ", ".join(
+        "greatest(least(sum(CASE WHEN g{k} = 1 THEN n * (1 - w) ELSE 0"
+        " END) / sum(n * (1 - w)), 1 - 1e-6), 1e-6)".format(k=k)
+        for k in (1, 2, 3, 4)
+    )
+    fields = [("dist1", 1), ("nation", 2), ("segment", 3), ("bal_band", 4)]
+    render = "\nUNION ALL\n".join(
+        f"SELECT {i} AS ord, '{name}' AS field,"
+        f" CAST(round(log2(m{k} / u{k})) AS BIGINT) AS w_agree,"
+        f" CAST(round(log2((1 - m{k}) / (1 - u{k}))) AS BIGINT)"
+        f" AS w_disagree FROM em WHERE i = {iters}"
+        for i, (name, k) in enumerate(fields)
+    )
+    return f"""
+WITH RECURSIVE names AS (
+  SELECT c_name AS nm,
+         min(c_nationkey) AS nat,
+         min(c_mktsegment) AS seg,
+         min(CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS bal_band
+  FROM customer WHERE c_name IS NOT NULL GROUP BY c_name),
+pat AS (
+  SELECT CASE WHEN levenshtein(a.nm, b.nm) = 1 THEN 1 ELSE 0 END AS g1,
+         CASE WHEN a.nat IS NOT NULL AND b.nat IS NOT NULL
+                   AND a.nat = b.nat THEN 1 ELSE 0 END AS g2,
+         CASE WHEN a.seg IS NOT NULL AND b.seg IS NOT NULL
+                   AND a.seg = b.seg THEN 1 ELSE 0 END AS g3,
+         CASE WHEN a.bal_band IS NOT NULL AND b.bal_band IS NOT NULL
+                   AND a.bal_band = b.bal_band THEN 1 ELSE 0 END AS g4,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM names a JOIN names b ON a.nm < b.nm
+  WHERE levenshtein(a.nm, b.nm) <= 2
+  GROUP BY 1, 2, 3, 4),
+tot AS (SELECT sum(n) AS total FROM pat),
+em(i, p, m1, m2, m3, m4, u1, u2, u3, u4) AS (
+  SELECT 0, CAST(0.05 AS DOUBLE),
+         CAST(0.9 AS DOUBLE), CAST(0.9 AS DOUBLE),
+         CAST(0.9 AS DOUBLE), CAST(0.9 AS DOUBLE),
+         CAST(0.1 AS DOUBLE), CAST(0.1 AS DOUBLE),
+         CAST(0.1 AS DOUBLE), CAST(0.1 AS DOUBLE)
+  UNION ALL
+  SELECT i + 1,
+         sum(n * w) / max(total),
+         {m_upd},
+         {u_upd}
+  FROM (
+    SELECT i, n, g1, g2, g3, g4, total,
+           CASE WHEN pm + pu > 0 THEN pm / (pm + pu) ELSE 0 END AS w
+    FROM ({e_step.format(iters=iters)}))
+  GROUP BY i)
+SELECT field, w_agree, w_disagree FROM ({render}) ORDER BY ord
+"""
+
+
+@query("q212_em_weights", oracle=_em_sql())
+def q212_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-fitted Fellegi-Sunter weights readout — the ESTIMATION step
+    certified end-to-end: q210's agreement-pattern histogram
+    (computed distributed, ≤16 contract-bounded rows collected) is
+    fed to :func:`vnavc_spark.operators.dedup.fellegi_sunter_em`
+    (Winkler 1988, fixed init/iterations/clamps) and the per-field
+    integer log2-odds weights come back as rows — the table you'd
+    paste into q208's fixed priors. The ORACLE renders the SAME EM
+    as a DuckDB recursive CTE over a brute-force names² histogram,
+    so blocking, histogram, AND fit bugs all break the hash; the
+    integer rounding at the end makes the comparison robust to
+    sub-ulp float-summation-order differences between engines.
+
+    Scale shape: identical blocking to q207–q210 (not benched —
+    witnessed three times); the fit itself is driver-side arithmetic
+    on ≤16 rows, so it runs identically at any corpus size."""
+    ent = _customer_fs_entities(spark, sf_dir)
+    pairs = dedup.name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
+    scored = dedup.fellegi_sunter_customer_scores(pairs, ent)
+    hist = sorted(
+        dedup.fs_agreement_patterns(scored).collect(),
+        key=lambda r: (
+            r["dist"], r["agree_nation"], r["agree_segment"],
+            r["agree_bal_band"],
+        ),
+    )
+    pats = [
+        (
+            (
+                1 if r["dist"] == 1 else 0,
+                r["agree_nation"],
+                r["agree_segment"],
+                r["agree_bal_band"],
+            ),
+            r["n_pairs"],
+        )
+        for r in hist
+    ]
+    fit = dedup.fellegi_sunter_em(pats, n_fields=4, iters=25)
+    names = ["dist1", "nation", "segment", "bal_band"]
+    rows = [
+        (name, int(wa), int(wd))
+        for name, (wa, wd) in zip(names, fit["weights"])
+    ]
+    return spark.createDataFrame(
+        rows, "field string, w_agree long, w_disagree long"
     )
 
 
