@@ -684,3 +684,52 @@ class TestGlobalWindowPins:
             ln for ln in simple.splitlines() if re.search(r"\bWindow\s+\[", ln)
         ]
         assert len(wins) == 5  # lcum, pfx carry, mass carry, band carry, total
+
+
+class TestChainedCheckpointLint:
+    """plans/lint.chained_checkpoint_sites: the tripwire against the
+    round-11 footgun — a loop that re-checkpoints its own output
+    grows captured LogicalRDD stats doubly-exponentially (driver
+    stall at ~10 iterations on ANY cluster size); loop checkpoints
+    must route through cache.severed_local_checkpoint instead."""
+
+    def test_package_is_clean(self):
+        from vnavc_spark.plans.lint import scan_package
+
+        assert scan_package("vnavc_spark") == []
+
+    def test_flags_deliberately_chained_loop(self):
+        from vnavc_spark.plans.lint import chained_checkpoint_sites
+
+        toy = (
+            "def cc(labels, step):\n"
+            "    for _ in range(20):\n"
+            "        labels = step(labels).localCheckpoint()\n"
+            "    return labels\n"
+        )
+        sites = chained_checkpoint_sites(toy, "toy.py")
+        assert sites == ["toy.py:3: labels"]
+        # .checkpoint() has the same capture, same flag
+        toy2 = toy.replace("localCheckpoint", "checkpoint")
+        assert chained_checkpoint_sites(toy2, "t2.py") == ["t2.py:3: labels"]
+
+    def test_sanctioned_patterns_not_flagged(self):
+        from vnavc_spark.plans.lint import chained_checkpoint_sites
+
+        ok = (
+            "def stage(chunks, read_staged):\n"
+            "    for chunk in chunks:\n"
+            "        st = read_staged()\n"
+            # fresh plan per chunk (the q154 shape): target not on RHS
+            "        new = chunk.join(st, 'k', 'left_anti').localCheckpoint()\n"
+            "        new.write.mode('append').parquet('p')\n"
+            "def loop(labels, step, severed_local_checkpoint):\n"
+            "    for _ in range(20):\n"
+            # the sanctioned helper
+            "        labels = severed_local_checkpoint(step(labels))\n"
+            "    return labels\n"
+            "def oneshot(df):\n"
+            # lineage cut outside any loop
+            "    return df.localCheckpoint()\n"
+        )
+        assert chained_checkpoint_sites(ok, "ok.py") == []
