@@ -1498,6 +1498,30 @@ class TestHllSketchTwin:
         )
         assert first == again and len(first) == 2
 
+    def test_smaller_b_than_staged_is_refused(self, spark, tmp_path):
+        # registers staged at b=6 hold indices up to 63; reading
+        # them back at b=4 would silently mis-scale the harmonic
+        # estimate — the snapshot must refuse, not absorb
+        import pytest
+
+        from vnavc_spark.operators.aggregates import hll_register_maxima
+        from vnavc_spark.streaming import ingest
+
+        partials = str(tmp_path / "partials")
+        rows = spark.createDataFrame(
+            [("HI", i) for i in range(200)], "g string, v long"
+        )
+        hll_register_maxima(rows, ["g"], "v", 6).write.mode(
+            "overwrite"
+        ).parquet(f"{partials}/regs/batch_id=0")
+        rows.distinct().write.mode("overwrite").parquet(
+            f"{partials}/vals/batch_id=0"
+        )
+        with pytest.raises(ValueError, match="staged at a larger b"):
+            ingest.hll_snapshot(spark, partials, b=4).collect()
+        # the correct b still serves
+        assert len(ingest.hll_snapshot(spark, partials, b=6).collect()) == 1
+
 
 class TestKmvSketchTwin:
     """queries.q86's streaming twin: per-batch DISTINCT (group,

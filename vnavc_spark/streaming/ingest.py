@@ -694,7 +694,14 @@ def hll_snapshot(spark, partials_path: str, b: int = 6) -> DataFrame:
     ``aggregates.hll_estimate_from_registers`` core turns it into
     the estimate, and the exact anchor is countDistinct over the
     union-merged staged pairs — streaming == batch is an identity,
-    not an approximation (parity-tested in tests/test_streaming.py)."""
+    not an approximation (parity-tested in tests/test_streaming.py).
+
+    GUARD: registers are staged at a FIXED precision (the stage-time
+    ``b``); reading them back at a smaller ``b`` is detectable (a
+    staged register index lands outside [0, 2^b)) and REFUSED —
+    2^b would silently mis-scale the harmonic estimate. The reverse
+    mismatch (snapshot b larger than stage b) is NOT detectable from
+    the indices alone; keep b with the partials path."""
     from vnavc_spark.operators.aggregates import (
         hll_estimate_from_registers,
     )
@@ -704,6 +711,13 @@ def hll_snapshot(spark, partials_path: str, b: int = 6) -> DataFrame:
         .groupBy("g", "_reg")
         .agg(F.max("_M").alias("_M"))
     )
+    bad = regs.filter(F.col("_reg") >= F.lit(1 << b)).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"hll_snapshot: staged registers at {partials_path} hold "
+            f"indices >= 2^{b} — the partials were staged at a larger "
+            "b than requested; pass the stage-time b"
+        )
     ex = (
         spark.read.parquet(f"{partials_path}/vals")
         .groupBy("g")
@@ -1419,6 +1433,13 @@ TWINS: dict[str, dict] = {
         "batch": ("q47_approx_sketches",),
         "partials": "regs/batch_id=N register maxima + "
         "vals/batch_id=N distinct (g, v) for the exact check",
+        "guards": (
+            "`--b` smaller than the stage-time b is detected (a "
+            "staged register index lands outside [0, 2^b)) and "
+            "REFUSED — it would silently mis-scale the harmonic "
+            "estimate. The reverse (larger b) is undetectable from "
+            "indices alone: keep b with the partials path.",
+        ),
     },
     "kmv": {
         "snapshot": "kmv_snapshot",
@@ -1451,6 +1472,14 @@ TWINS: dict[str, dict] = {
         "partials": "(event_type, n_intervals, num, den) closed-"
         "interval partials per batch_id=N + open-interval carry "
         "state under state_path",
+        "guards": (
+            "a batch N > 0 whose batch N-1 carry state is missing "
+            "RAISES instead of proceeding — the open intervals "
+            "carried across the batch boundary would otherwise be "
+            "silently dropped and the time-weighted average "
+            "under-counts. Recovery: replay batch N-1 (its carry "
+            "state regenerates in place), then re-run batch N.",
+        ),
     },
     "name-linkage": {
         "snapshot": "name_linkage_snapshot",
@@ -1459,6 +1488,17 @@ TWINS: dict[str, dict] = {
         "batch": ("q202_name_linkage", "q207_radius2_linkage"),
         "partials": "(nm, n_recs) additive name counts per "
         "batch_id=N",
+        "guards": (
+            "`--radius` outside {1, 2} is REFUSED by the shared "
+            "blocking core (dedup.name_linkage_pairs) — a deeper "
+            "radius would emit candidates the deletion blocking "
+            "cannot certify lossless. (The staged (nm, n_recs) "
+            "partials themselves are radius-agnostic — both depths "
+            "serve from the same staging; contrast the PERSISTENT "
+            "variant table of the incremental-ER path, where "
+            "stage/probe radius mismatch and mixed-radius tables "
+            "are refused by dedup._check_staged_radius.)",
+        ),
     },
     "agreement-patterns": {
         "snapshot": "agreement_patterns_snapshot",
