@@ -533,6 +533,20 @@ class TestRound10Plans:
         assert f.nested_loop_joins <= 1
         assert f.python_nodes == 0
 
+    def test_radius2_recall_audit_single_bounded_scan(self, facts):
+        # same contract as q206 at depth 2: one deliberate
+        # sample×corpus BroadcastNestedLoopJoin, nothing else
+        f = facts("q213_radius2_recall_audit")
+        assert f.nested_loop_joins <= 1
+        assert f.python_nodes == 0
+
+    def test_source_benford_summation_joinless(self, facts):
+        # one map-side mass pass over the documents scan — the only
+        # join is the 9-digit grid broadcast in the shared core
+        f = facts("q214_source_benford_summation")
+        assert f.nested_loop_joins == 0 and f.python_nodes == 0
+        assert f.global_windows == 0
+
     def test_radius2_linkage_is_equi_join_only(self, facts):
         # candidates come ONLY from the variant-hash equi-join —
         # names² never appears as a nested loop at any radius

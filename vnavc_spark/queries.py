@@ -12741,6 +12741,192 @@ def q212_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q213_radius2_recall_audit",
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT c_name AS nm FROM customer WHERE c_name IS NOT NULL),
+s AS (SELECT nm FROM names ORDER BY md5('vnavc' || nm), nm LIMIT 50),
+tp AS (SELECT s.nm AS a, n.nm AS b,
+              CAST(levenshtein(s.nm, n.nm) AS BIGINT) AS d
+       FROM s CROSS JOIN names n
+       WHERE s.nm <> n.nm AND levenshtein(s.nm, n.nm) <= 2),
+v1 AS (SELECT nm, substr(nm, 1, CAST(i AS INT) - 1)
+                  || substr(nm, CAST(i AS INT) + 1) AS v
+       FROM (SELECT nm, unnest(range(1, length(nm) + 1)) AS i
+             FROM names)),
+v2 AS (SELECT nm, substr(v, 1, CAST(j AS INT) - 1)
+                  || substr(v, CAST(j AS INT) + 1) AS v
+       FROM (SELECT nm, v, unnest(range(1, length(v) + 1)) AS j
+             FROM v1)),
+va AS (SELECT nm, nm AS v FROM names
+       UNION SELECT nm, v FROM v1
+       UNION SELECT nm, v FROM v2),
+cand AS (SELECT DISTINCT vs.nm AS a, va.nm AS b
+         FROM va vs JOIN va ON vs.v = va.v
+         WHERE vs.nm IN (SELECT nm FROM s) AND vs.nm <> va.nm)
+SELECT d, CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN cand.a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked,
+       floor(sum(CASE WHEN cand.a IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS recall
+FROM tp LEFT JOIN cand ON tp.a = cand.a AND tp.b = cand.b
+GROUP BY d
+""",
+)
+def q213_radius2_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-recall audit at RADIUS 2 — q206 re-run against the
+    depth-2 deletion blocking q207/q208/q209 actually use: on the
+    same deterministic md5-ordered 50-name sample, brute-force the
+    true Levenshtein-≤2 neighbors and measure what fraction the
+    radius-2 neighborhoods generate as candidates, per distance.
+    q206 MEASURES the radius-1 d=2 coverage gap; this pins the
+    FastSS theorem live at depth 2 — recall ≡ 1.0 at BOTH d=1 and
+    d=2 is a standing proof that the production blocking loses no
+    true pairs at its design radius (a silent variant-generation
+    bug in _DEL2_SQL would drop recall below 1 and break the hash).
+
+    Scale shape: identical to q206 — the brute-force side is the
+    ONE deliberate sample×corpus BroadcastNestedLoopJoin (k·N,
+    linear in the corpus); the candidate side joins on the RAW
+    variant string (no downstream verify here, so a hash collision
+    would silently inflate n_blocked — the q206 stance); radius-2
+    fan-out is length-quadratic per name, corpus-linear."""
+    from vnavc_spark.operators.dedup import deletion_neighborhood
+
+    names = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_name").isNotNull())
+        .select(F.col("c_name").alias("nm"))
+        .distinct()
+    )
+    from vnavc_spark.cache import tracked_persist
+
+    names = tracked_persist(names, "recall_audit_names_r2")
+    s = sampling.exact_k_global(names, key="nm", k=50)
+    tp = (
+        names.select(F.col("nm").alias("b"))
+        .crossJoin(F.broadcast(s.select(F.col("nm").alias("a"))))
+        .withColumn("d", F.levenshtein("a", "b").cast("long"))
+        .filter((F.col("a") != F.col("b")) & (F.col("d") <= 2))
+    )
+    va = names.select(
+        "nm", F.explode(deletion_neighborhood("nm", 2)).alias("v")
+    )
+    vs = va.join(F.broadcast(s), "nm").select(
+        F.col("nm").alias("a"), "v"
+    )
+    cand = (
+        va.select(F.col("nm").alias("b"), "v")
+        .join(F.broadcast(vs), "v")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tp.join(cand, ["a", "b"], "left")
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_blocked"),
+        )
+        .select(
+            "d",
+            "n_true",
+            "n_blocked",
+            stable_round(
+                F.col("n_blocked").cast("double")
+                / F.col("n_true").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+@query(
+    "q214_source_benford_summation",
+    oracle="""
+WITH v AS (
+  SELECT source AS src, n_chars AS vc FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+obs AS (SELECT src, CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS INT) AS d,
+               CAST(sum(vc) AS HUGEINT) AS m
+        FROM v GROUP BY src, d),
+tot AS (SELECT src, CAST(sum(m) AS HUGEINT) AS n FROM obs GROUP BY src),
+grid AS (
+  SELECT t.src, t.n, dg.d, COALESCE(o.m, 0) AS m
+  FROM tot t CROSS JOIN range(1, 10) dg(d)
+  LEFT JOIN obs o ON o.src = t.src AND o.d = dg.d),
+cc AS (
+  SELECT src, n, d,
+         CAST((9 * m - n) * (9 * m - n) AS DOUBLE)
+         / CAST(9 * n AS DOUBLE) AS contrib
+  FROM grid),
+piv AS (
+  SELECT src, n,
+         sum(CASE WHEN d = 1 THEN contrib ELSE 0.0 END) AS c1,
+         sum(CASE WHEN d = 2 THEN contrib ELSE 0.0 END) AS c2,
+         sum(CASE WHEN d = 3 THEN contrib ELSE 0.0 END) AS c3,
+         sum(CASE WHEN d = 4 THEN contrib ELSE 0.0 END) AS c4,
+         sum(CASE WHEN d = 5 THEN contrib ELSE 0.0 END) AS c5,
+         sum(CASE WHEN d = 6 THEN contrib ELSE 0.0 END) AS c6,
+         sum(CASE WHEN d = 7 THEN contrib ELSE 0.0 END) AS c7,
+         sum(CASE WHEN d = 8 THEN contrib ELSE 0.0 END) AS c8,
+         sum(CASE WHEN d = 9 THEN contrib ELSE 0.0 END) AS c9
+  FROM cc GROUP BY src, n)
+SELECT src AS source, CAST(n AS BIGINT) AS total_chars,
+       floor((c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9)
+             * 1000000.0 + 0.5) / 1000000.0 AS sum_stat,
+       CASE WHEN (c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9) > 21.955
+            THEN 1 ELSE 0 END AS summation_flag
+FROM piv
+""",
+)
+def q214_source_benford_summation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nigrini summation test per DOCUMENT SOURCE over text lengths —
+    q205's mass-weighted Benford gate pointed at the corpus-quality
+    question a training-data pipeline actually asks: does any
+    source's n_chars distribution carry its character mass in a few
+    first digits (machine-generated / truncated / padded text shows
+    up here long before a count gate moves)? Same shared core
+    (:func:`vnavc_spark.operators.aggregates.
+    benford_summation_from_digit_masses`): exact integer char
+    masses per (source, first digit), Σ(9·m−n)²/(9n) squared in
+    decimal(38,0)/HUGEINT with ONE terminal double division, fixed
+    9-column pivot sum, the shared 21.955 convention flag.
+
+    Scale shape: no join at all — one map-side mass pass over the
+    documents scan, then 9 × |sources| rows; n_chars rides the scan
+    as a stored column (the text itself is never touched)."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+    )
+    obs = d.groupBy(
+        F.col("source").alias("src"),
+        F.substring(F.col("n_chars").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d"),
+    ).agg(F.sum("n_chars").cast("long").alias("m"))
+    from vnavc_spark.operators.aggregates import (
+        benford_summation_from_digit_masses,
+    )
+
+    return benford_summation_from_digit_masses(obs, "src").select(
+        F.col("src").alias("source"),
+        F.col("total_mass").alias("total_chars"),
+        "sum_stat",
+        "summation_flag",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
