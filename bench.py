@@ -155,6 +155,11 @@ BENCH_QUERIES = [
     # the chained-checkpoint stats blowup hid exactly here)
     "q208_fellegi_sunter",
     "q209_entity_clusters",
+    # round 12: per-source Benford summation (joinless documents mass
+    # pass — a clean scan witness). q211/q212/q213 are deliberately
+    # NOT benched: each re-runs the radius-2 blocking shape already
+    # witnessed three times (q207/q208/q209 — the q210 stance).
+    "q214_source_benford_summation",
 ]
 
 #: Bit-unchanged ambient witnesses (round-10 verdict item #1): four
