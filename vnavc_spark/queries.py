@@ -12718,6 +12718,11 @@ def q212_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["agree_bal_band"],
         ),
     )
+    schema = "field string, w_agree long, w_disagree long"
+    if not hist:
+        # empty corpus -> nothing to fit; the oracle's recursive CTE
+        # likewise never reaches iteration 25 and yields zero rows
+        return spark.createDataFrame([], schema)
     pats = [
         (
             (
@@ -12736,9 +12741,7 @@ def q212_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (name, int(wa), int(wd))
         for name, (wa, wd) in zip(names, fit["weights"])
     ]
-    return spark.createDataFrame(
-        rows, "field string, w_agree long, w_disagree long"
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 @query(
