@@ -129,6 +129,26 @@ class TestIncrementalDedupCli:
         assert main(["dedup", "--incremental", "--sf-dir", SF_SMALL]) == 2
 
 
+class TestErCli:
+    def test_er_runs_and_second_run_stages_nothing(
+        self, spark, tmp_path, capsys
+    ):
+        var = str(tmp_path / "vars")
+        rc = main(
+            ["er", "--var-path", var, "--sf-dir", SF_SMALL, "--limit", "3"]
+        )
+        assert rc == 0
+        out1 = capsys.readouterr().out
+        assert "staged" in out1 and "staged 0" not in out1
+        assert "entities" in out1 and "entity_id" in out1
+        rc = main(
+            ["er", "--var-path", var, "--sf-dir", SF_SMALL, "--limit", "3"]
+        )
+        assert rc == 0
+        out2 = capsys.readouterr().out
+        assert "staged 0 new names" in out2
+
+
 class TestExplainCli:
     def test_explain_prints_plan_and_audit(self, spark, capsys):
         assert main(["explain", "q01_region_revenue", "--sf-dir", SF_SMALL]) == 0

@@ -1917,3 +1917,50 @@ class TestAgreementPatternsTwin:
             ).collect()
         )
         assert got == want and len(got) >= 8, (got, want)
+
+
+class TestEntityClustersTwin:
+    """queries.q209's streaming twin: the SAME entity partials as the
+    fellegi-sunter / agreement-patterns twins pushed through the full
+    decide -> cluster tail (match filter + connected components) —
+    the complete ER readout family off one staging contract."""
+
+    def test_snapshot_equals_batch_on_real_customers(
+        self, spark, tmp_path
+    ):
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        partials = str(tmp_path / "partials")
+        cust = table(spark, sf, "customer")
+        for bid, half in enumerate(
+            (
+                cust.filter(F.col("c_custkey") % 2 == 0),
+                cust.filter(F.col("c_custkey") % 2 == 1),
+            )
+        ):
+            half.filter(F.col("c_name").isNotNull()).groupBy(
+                F.col("c_name").alias("nm")
+            ).agg(
+                F.count("*").cast("long").alias("n_recs"),
+                F.min("c_nationkey").alias("nation"),
+                F.min("c_mktsegment").alias("segment"),
+                F.min(
+                    F.floor(F.col("c_acctbal") / F.lit(1000.0))
+                ).alias("bal_band"),
+            ).write.mode("overwrite").parquet(
+                f"{partials}/batch_id={bid}"
+            )
+        got = sorted(
+            tuple(r)
+            for r in ingest.entity_clusters_snapshot(
+                spark, partials
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q209_entity_clusters"](spark, sf).collect()
+        )
+        assert got == want and len(got) >= 2, (got, want)

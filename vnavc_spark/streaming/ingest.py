@@ -1296,6 +1296,25 @@ def start_entity_attr_partials(
     )
 
 
+def _merged_entities(spark, partials_path: str) -> DataFrame:
+    """Corpus-wide entity table from the staged entity-attr partials
+    — sum counts, min attributes (min of per-batch mins == corpus
+    min; null-in-one-batch merges to the present value exactly like
+    the batch groupBy). Single authority for the three ER twins
+    (fellegi-sunter, agreement-patterns, entity-clusters) so their
+    merge semantics cannot drift."""
+    return (
+        spark.read.parquet(partials_path)
+        .groupBy("nm")
+        .agg(
+            F.sum("n_recs").cast("long").alias("n_recs"),
+            F.min("nation").alias("nation"),
+            F.min("segment").alias("segment"),
+            F.min("bal_band").alias("bal_band"),
+        )
+    )
+
+
 def fellegi_sunter_snapshot(spark, partials_path: str) -> DataFrame:
     """Fellegi-Sunter decision rollup from the staged entity
     partials — identical output contract to queries.q208 (decision,
@@ -1313,19 +1332,42 @@ def fellegi_sunter_snapshot(spark, partials_path: str) -> DataFrame:
         name_linkage_pairs,
     )
 
-    ent = (
-        spark.read.parquet(partials_path)
-        .groupBy("nm")
-        .agg(
-            F.sum("n_recs").cast("long").alias("n_recs"),
-            F.min("nation").alias("nation"),
-            F.min("segment").alias("segment"),
-            F.min("bal_band").alias("bal_band"),
-        )
-    )
+    ent = _merged_entities(spark, partials_path)
     pairs = name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
     return fellegi_sunter_rollup(
         fellegi_sunter_customer_scores(pairs, ent)
+    )
+
+
+def entity_clusters_snapshot(spark, partials_path: str) -> DataFrame:
+    """Entity clusters from the staged entity partials — identical
+    output contract to queries.q209 (nm, entity_id, n_recs): the
+    SAME staging as the fellegi-sunter and agreement-patterns twins
+    serves the full decide→cluster tail too (one partial contract,
+    the whole ER readout family). Merged partials reproduce the
+    batch entity table exactly; the shared blocking + scoring cores
+    produce the match pairs; ``dedup.dedup_clusters`` (min-label CC
+    with severed checkpoints) groups them — streaming == batch is an
+    identity (parity-tested in tests/test_streaming.py). The match
+    edge set is decision-filtered (tiny vs candidates) and
+    localCheckpointed before the CC loop, the q209 stance."""
+    from vnavc_spark.operators.dedup import (
+        dedup_clusters,
+        fellegi_sunter_customer_scores,
+        name_linkage_pairs,
+    )
+
+    ent = _merged_entities(spark, partials_path)
+    pairs = name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
+    scored = fellegi_sunter_customer_scores(pairs, ent)
+    matches = scored.filter(F.col("decision") == "match").select(
+        F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+    ).localCheckpoint()
+    clusters = dedup_clusters(matches).select(
+        F.col("doc_id").alias("nm"), F.col("cluster_id").alias("entity_id")
+    )
+    return clusters.join(ent.select("nm", "n_recs"), "nm").select(
+        "nm", "entity_id", "n_recs"
     )
 
 
@@ -1344,16 +1386,7 @@ def agreement_patterns_snapshot(spark, partials_path: str) -> DataFrame:
         name_linkage_pairs,
     )
 
-    ent = (
-        spark.read.parquet(partials_path)
-        .groupBy("nm")
-        .agg(
-            F.sum("n_recs").cast("long").alias("n_recs"),
-            F.min("nation").alias("nation"),
-            F.min("segment").alias("segment"),
-            F.min("bal_band").alias("bal_band"),
-        )
-    )
+    ent = _merged_entities(spark, partials_path)
     pairs = name_linkage_pairs(ent.select("nm", "n_recs"), radius=2)
     return fs_agreement_patterns(
         fellegi_sunter_customer_scores(pairs, ent)
@@ -1517,6 +1550,16 @@ TWINS: dict[str, dict] = {
         "partials": "(nm, n_recs, nation, segment, bal_band) "
         "mergeable entity partials per batch_id=N (sum counts, "
         "min attributes)",
+    },
+    "entity-clusters": {
+        "snapshot": "entity_clusters_snapshot",
+        "start": "start_entity_attr_partials",
+        "flags": (),
+        "batch": ("q209_entity_clusters",),
+        "partials": "(nm, n_recs, nation, segment, bal_band) "
+        "mergeable entity partials per batch_id=N (same staging as "
+        "fellegi-sunter — one contract serves score, histogram, AND "
+        "cluster readouts)",
     },
     "k-anonymity": {
         "snapshot": "k_anonymity_snapshot",
