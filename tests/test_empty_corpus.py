@@ -287,6 +287,14 @@ NULL_SENSITIVE = [
     "q205_benford_summation",
     "q206_blocking_recall_audit",
     "q207_radius2_linkage",
+    # round-12: null names must drop from the ER entity table but
+    # KEEP their record rows in the rekey output (entity_id null, the
+    # coalesce-of-null contract) identically in both engines; null
+    # source/n_chars drop from the digit masses; the radius-2 audit
+    # samples only non-null names
+    "q211_entity_rekey",
+    "q213_radius2_recall_audit",
+    "q214_source_benford_summation",
 ]
 
 
