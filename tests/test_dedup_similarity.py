@@ -1021,6 +1021,39 @@ class TestErPipeline:
             map(tuple, first.clusters.collect())
         )
 
+    def test_incremental_batch_pairs_touch_new_names_only(
+        self, spark, tmp_path
+    ):
+        # the steady-state ingest shape: base corpus staged, a delta
+        # batch arrives — the pipeline stages only the delta's names
+        # and every emitted pair touches a delta name (old-old pairs
+        # were already emitted when the old names were the delta)
+        from vnavc_spark.io import table
+        from vnavc_spark.pipeline import er
+
+        sf = "/root/testdata/sf0.001"
+        var = str(tmp_path / "vars")
+        cust = table(spark, sf, "customer")
+        ent = er.customer_entities(spark, sf)
+        base_ent = ent.filter(F.col("nm") < "Customer#000000100")
+        delta_ent = ent.filter(F.col("nm") >= "Customer#000000100")
+        er.resolve_entities(
+            cust, base_ent, var, name_col="c_name", radius=2
+        )
+        new_names = delta_ent.select("nm")
+        res = er.resolve_entities(
+            cust, ent, var, name_col="c_name",
+            radius=2, new_names=new_names,
+        )
+        assert res.n_new_names == delta_ent.count()
+        delta = {r.nm for r in new_names.collect()}
+        pair_rows = res.pairs.collect()
+        assert pair_rows, "delta batch produced no candidate pairs"
+        assert all(
+            (r.name_a in delta) or (r.name_b in delta)
+            for r in pair_rows
+        )
+
 
 class TestSeveredCheckpoint:
     """cache.severed_local_checkpoint: the guard against the
