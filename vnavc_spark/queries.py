@@ -7633,7 +7633,7 @@ WITH sup_ret AS (
          CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r,
          CAST(count(*) AS BIGINT) AS n
   FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey),
-excl AS (SELECT sk FROM sup_ret WHERE r * 4 > n),
+excl AS (SELECT sk FROM sup_ret WHERE r * 20 > 7 * n),
 pb AS (
   SELECT p_brand AS brand, p_type AS ptype,
          CAST(p_size // 10 AS BIGINT) AS size_band, l_suppkey
@@ -7649,14 +7649,21 @@ FROM pb GROUP BY brand, ptype, size_band
 def q150_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 analog (parts/supplier relationship): DISTINCT
     suppliers per (brand, type, size band), excluding "problem"
-    suppliers — here, return rate > 25% (the testdata has no
+    suppliers — here, return rate > 35% (the testdata has no
     complaint text; the exclusion set is data-derived instead of a
-    LIKE over comments). The NOT IN compiles to a broadcast
-    LEFT ANTI join against the supplier-cardinality exclusion set
-    (null suppkeys dropped explicitly on BOTH engines — NULL NOT IN
-    is never-true, and a null key would silently leak through an
-    anti join); distinct counting is a two-level aggregate that
-    partial-aggregates map-side."""
+    LIKE over comments). The threshold is 35%, NOT the original 25%:
+    the synthetic l_returnflag is ~uniform over three values, so
+    every supplier's return rate sits near 33% and a 25% gate
+    excluded EVERYONE — the query certified an empty result at every
+    SF (the q72 vacuity class, caught by the round-12 registry-wide
+    row-count sweep). At 35% the gate splits the population
+    (0/18/197 excluded at sf0.001/0.01/0.1), so the anti-join
+    semantics are live at certification scale. The NOT IN compiles
+    to a broadcast LEFT ANTI join against the supplier-cardinality
+    exclusion set (null suppkeys dropped explicitly on BOTH engines
+    — NULL NOT IN is never-true, and a null key would silently leak
+    through an anti join); distinct counting is a two-level
+    aggregate that partial-aggregates map-side."""
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_suppkey").isNotNull()
     )
@@ -7665,7 +7672,9 @@ def q150_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r"),
         F.count("*").alias("n"),
     )
-    excl = sup_ret.filter(F.col("r") * 4 > F.col("n")).select("sk")
+    excl = sup_ret.filter(
+        F.col("r") * 20 > F.col("n") * 7
+    ).select("sk")
     pb = (
         li.join(
             p.filter(
