@@ -20,12 +20,31 @@ def duck():
     con.close()
 
 
+# Queries allowed to return ZERO rows at sf0.001 — each with the
+# reason it is legitimately empty at tiny scale (and verified
+# NON-empty at the driver's sf0.01 certification scale). Everything
+# else must produce rows: a hash-green row over an empty result
+# certifies only that both engines found nothing (the q72/q150
+# vacuity class, round-11 verdict + round-12 sweep).
+EMPTY_OK_SF0001 = {
+    # 8 embeddings at sf0.001 land in distinct IVF cells / below the
+    # 0.45 cosine threshold; 7 pairs at sf0.01
+    "q78_semdedup",
+}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, duck, name):
     res = compare(spark, duck, QUERIES[name], ORACLES[name], SF_SMALL)
     assert res["ok"], {k: v for k, v in res.items() if not str(k).startswith("hash")} | {
         "hash_match": res["hash_match"]
     }
+    if name not in EMPTY_OK_SF0001:
+        assert res["rows_spark"] > 0, (
+            f"{name} certifies an EMPTY result at sf0.001 — vacuous "
+            "evidence (the q72/q150 class); point it at data that "
+            "exercises the operator or allowlist it with a reason"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
