@@ -1733,6 +1733,46 @@ class TestScoreSeparation:
         assert out["const"].auc == 0.5
         assert out["const"].ks_stat == 0.0
 
+    def test_weighted_auc_is_mass_fed_core(self, spark):
+        # the round-13 shelf identity: with INTEGER weights, the
+        # weighted AUC/Gini/KS (each observation counted w times in
+        # the pair probability) is EXACTLY the unweighted core fed
+        # cnt = Σw, cnt_pos = Σw·label — a weight-w row is w replicas
+        # under the midrank math. Pin it by feeding weight masses and
+        # comparing against the core over physically-replicated rows.
+        import random
+
+        from vnavc_spark.operators.ordering import (
+            score_separation_from_counts,
+        )
+
+        random.seed(29)
+        obs = [
+            (random.randint(1, 8), random.randint(0, 1),
+             random.randint(1, 5))
+            for _ in range(120)
+        ]
+        w = spark.createDataFrame(obs, "v long, lab int, w long")
+        masses = w.groupBy(F.lit("g").alias("g"), "v").agg(
+            F.sum("w").cast("long").alias("cnt"),
+            F.sum(F.col("w") * F.col("lab")).cast("long").alias("cnt_pos"),
+        )
+        got = score_separation_from_counts(masses, "g", "v").collect()[0]
+        reps = [("g", v, lab) for v, lab, wt in obs for _ in range(wt)]
+        rdf = spark.createDataFrame(reps, "g string, v long, lab int")
+        rv = rdf.groupBy("g", "v").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("lab").cast("long").alias("cnt_pos"),
+        )
+        want = score_separation_from_counts(rv, "g", "v").collect()[0]
+        assert tuple(got) == tuple(want)
+        # and the brute-force weighted definition agrees
+        n1, n0, auc, gini, ks = self._brute(
+            [(v, lab) for v, lab, wt in obs for _ in range(wt)]
+        )
+        assert (got.n_pos, got.n_neg) == (n1, n0)
+        assert got.auc == self._r6(auc) and got.ks_stat == self._r6(ks)
+
     def test_single_class_groups_drop(self, spark):
         groups = {
             "allpos": [(i, 1) for i in range(5)],
