@@ -764,6 +764,71 @@ class TestFellegiSunter:
                 names, var, None, radius=2
             ).collect()
 
+    def test_partial_append_recovers_via_manifest(self, spark, tmp_path):
+        # a crash mid-append can leave a name's variant rows PARTIALLY
+        # visible; because staging is manifested strictly after the
+        # variants commit, the unmanifested name is re-staged in full
+        # — without the manifest the variants-keyed anti-join would
+        # treat it as staged and its true pairs would be lost forever
+        var = str(tmp_path / "vars")
+        base = spark.createDataFrame(
+            [("alice", 1), ("bob", 1)], "nm string, n_recs long"
+        )
+        dedup.stage_deletion_variants(base, var, radius=1)
+        # simulated crash: ONE bogus variant row for carol, no
+        # manifest row (the real rows never committed)
+        spark.createDataFrame(
+            [("carol", 123456789, 1)], "nm string, hv long, radius int"
+        ).write.mode("append").parquet(var)
+        names = spark.createDataFrame(
+            [("alice", 1), ("bob", 1), ("carol", 1), ("carok", 1)],
+            "nm string, n_recs long",
+        )
+        n, _ = dedup.stage_deletion_variants(names, var, radius=1)
+        assert n == 2  # carol RE-staged despite visible rows, + carok
+        got = sorted(
+            (r.name_a, r.name_b, r.dist)
+            for r in dedup.incremental_linkage_pairs(
+                names, var, None, radius=1
+            ).collect()
+        )
+        want = sorted(
+            (r.name_a, r.name_b, r.dist)
+            for r in dedup.name_linkage_pairs(names, radius=1).collect()
+        )
+        assert got == want
+        assert ("carok", "carol", 1) in got  # the pair a wedge loses
+
+    def test_legacy_table_without_manifest_restages(self, spark, tmp_path):
+        # a pre-manifest variants table is indistinguishable from a
+        # crashed first append — everything re-stages (duplicates are
+        # lossless; adopted partial names would not be)
+        var = str(tmp_path / "vars")
+        names = spark.createDataFrame(
+            [("alice", 1), ("alicx", 1)], "nm string, n_recs long"
+        )
+        names.select(
+            "nm",
+            F.explode(
+                dedup.deletion_neighborhood("nm", 1)
+            ).alias("v"),
+        ).select(
+            "nm",
+            F.xxhash64("v").alias("hv"),
+            F.lit(1).cast("int").alias("radius"),
+        ).write.parquet(var)  # legacy: variants only, no manifest
+        n, _ = dedup.stage_deletion_variants(names, var, radius=1)
+        assert n == 2  # full re-stage
+        n2, _ = dedup.stage_deletion_variants(names, var, radius=1)
+        assert n2 == 0  # manifested now — converged
+        got = sorted(
+            (r.name_a, r.name_b)
+            for r in dedup.incremental_linkage_pairs(
+                names, var, None, radius=1
+            ).collect()
+        )
+        assert got == [("alice", "alicx")]  # duplicates collapsed
+
     def test_mixed_radius_table_rejected(self, spark, tmp_path):
         # two first-run stagers racing on an absent path can each see
         # "no table" and interleave appends at different radii; the

@@ -2083,8 +2083,27 @@ def stage_deletion_variants(
     a radius-1 table at radius 2 would silently miss true dist-2
     pairs, so a mismatch raises instead (and mixed-radius appends to
     one path are rejected the same way).
+
+    CRASH SAFETY — the names MANIFEST (``var_path + "_names"``): a
+    name spans MANY variant rows, so "is this name staged?" must not
+    be answered from the variants table itself — a crash mid-append
+    can leave a name's rows partially visible, and a variants-keyed
+    anti-join would then treat the name as staged while its missing
+    variants silently lose true pairs FOREVER (unlike the signature
+    table, whose one-row-per-doc staging is per-row atomic). Names
+    are therefore anti-joined against a manifest written strictly
+    AFTER the variants append commits: a crash between the two
+    writes leaves the name unmanifested, so the next run re-stages
+    it completely — duplicate variant rows, which only re-ADD
+    candidates the downstream ``distinct()`` collapses (lossless),
+    never lost ones. A variants table with NO manifest is treated as
+    nothing-staged (full re-stage): a legacy pre-manifest table is
+    indistinguishable from a crashed first append, and adopting its
+    names would re-create exactly the partial-staging loss — a
+    one-time doubling of harmless duplicate rows is the safe side.
     Returns ``(n_new_names, new_names_df)``."""
     spark = names.sparkSession
+    names_path = f"{var_path}_names"
     # null names explode to zero variants, so a null could never be
     # staged and would be counted "new" on every run (n_new would
     # never converge to 0) — drop it here, mirroring the entity
@@ -2100,9 +2119,15 @@ def stage_deletion_variants(
     if _parquet_exists(spark, var_path):
         staged_tbl = spark.read.parquet(var_path)
         _check_staged_radius(staged_tbl, var_path, radius)
-        src = src.join(
-            staged_tbl.select("nm").distinct(), on="nm", how="left_anti"
-        )
+        if _parquet_exists(spark, names_path):
+            src = src.join(
+                spark.read.parquet(names_path).select("nm"),
+                on="nm",
+                how="left_anti",
+            )
+        # no manifest: fall through with every name "new" — full
+        # re-stage (see docstring: the lossless side of the
+        # legacy-vs-crashed-first-append ambiguity)
     # localCheckpoint, not persist: the append below invalidates any
     # cached plan that reads var_path (the anti-join does), so a
     # lazily-cached batch would silently re-evaluate to empty after
@@ -2118,6 +2143,10 @@ def stage_deletion_variants(
             F.xxhash64("v").alias("hv"),
             F.lit(radius).cast("int").alias("radius"),
         ).write.mode("append").parquet(var_path)
+        # manifest STRICTLY AFTER the variants commit — see docstring
+        src.select(
+            "nm", F.lit(radius).cast("int").alias("radius")
+        ).write.mode("append").parquet(names_path)
     return n_new, src
 
 
