@@ -829,6 +829,103 @@ class TestFellegiSunter:
         )
         assert got == [("alice", "alicx")]  # duplicates collapsed
 
+    def test_orphan_manifest_after_rebuild_is_discarded(
+        self, spark, tmp_path
+    ):
+        # round-12 ADVICE (medium): the variants table is deleted /
+        # rebuilt (the remedy the radius errors prescribe) but the
+        # sibling names manifest survives. An APPEND to that orphan
+        # would let a later batch's names be anti-joined away as
+        # "staged" with no variants on disk — silently losing their
+        # true pairs forever. The orphan must be discarded whenever
+        # the anti-join did not run.
+        import shutil
+
+        var = str(tmp_path / "vars")
+        both = spark.createDataFrame(
+            [("alice", 1), ("bob", 1)], "nm string, n_recs long"
+        )
+        dedup.stage_deletion_variants(both, var, radius=1)
+        shutil.rmtree(var)  # rebuild remedy: table gone, orphan stays
+        assert (tmp_path / "vars_names").exists()
+        # first post-rebuild batch holds only alice — bob now lives
+        # ONLY in the orphan manifest
+        alice = spark.createDataFrame(
+            [("alice", 1)], "nm string, n_recs long"
+        )
+        n, _ = dedup.stage_deletion_variants(alice, var, radius=1)
+        assert n == 1
+        manifested = {
+            r.nm
+            for r in spark.read.parquet(str(tmp_path / "vars_names"))
+            .select("nm")
+            .collect()
+        }
+        assert manifested == {"alice"}  # orphan discarded, not merged
+        # bob's batch must RE-stage (the buggy append would anti-join
+        # it away) and its true pair must survive end-to-end
+        bobs = spark.createDataFrame(
+            [("bob", 1), ("bobx", 1)], "nm string, n_recs long"
+        )
+        n2, new_names = dedup.stage_deletion_variants(bobs, var, radius=1)
+        assert n2 == 2
+        got = sorted(
+            (r.name_a, r.name_b, r.dist)
+            for r in dedup.incremental_linkage_pairs(
+                bobs, var, new_names, radius=1
+            ).collect()
+        )
+        assert ("bob", "bobx", 1) in got
+
+    def test_orphan_manifest_discarded_even_with_legacy_table(
+        self, spark, tmp_path
+    ):
+        # complementary no-anti-join case: table EXISTS but manifest
+        # is absent (legacy/crashed-first-append). The fresh manifest
+        # must hold exactly the re-staged names and the run must
+        # still converge on repeat.
+        var = str(tmp_path / "vars")
+        names = spark.createDataFrame(
+            [("alice", 1)], "nm string, n_recs long"
+        )
+        names.select(
+            "nm",
+            F.explode(dedup.deletion_neighborhood("nm", 1)).alias("v"),
+        ).select(
+            "nm",
+            F.xxhash64("v").alias("hv"),
+            F.lit(1).cast("int").alias("radius"),
+        ).write.parquet(var)  # legacy: no manifest
+        n, _ = dedup.stage_deletion_variants(names, var, radius=1)
+        assert n == 1
+        manifested = {
+            r.nm
+            for r in spark.read.parquet(str(tmp_path / "vars_names"))
+            .select("nm")
+            .collect()
+        }
+        assert manifested == {"alice"}
+        n2, _ = dedup.stage_deletion_variants(names, var, radius=1)
+        assert n2 == 0  # converged
+
+    def test_radius_errors_name_the_manifest(self, spark, tmp_path):
+        # the rebuild remedies must tell the operator to delete the
+        # manifest WITH the table — deleting only the table used to
+        # create exactly the orphan the previous test pins
+        var = str(tmp_path / "vars")
+        names = spark.createDataFrame(
+            [("alice", 1)], "nm string, n_recs long"
+        )
+        dedup.stage_deletion_variants(names, var, radius=1)
+        with pytest.raises(ValueError, match="_names"):
+            dedup.stage_deletion_variants(names, var, radius=2)
+        spark.createDataFrame(
+            [("alice", 1, 1), ("bob", 2, 2)],
+            "nm string, hv long, radius int",
+        ).write.mode("overwrite").parquet(var)
+        with pytest.raises(ValueError, match="_names"):
+            dedup.stage_deletion_variants(names, var, radius=1)
+
     def test_mixed_radius_table_rejected(self, spark, tmp_path):
         # two first-run stagers racing on an absent path can each see
         # "no table" and interleave appends at different radii; the
@@ -1085,6 +1182,56 @@ class TestErPipeline:
         assert sorted(map(tuple, again.clusters.collect())) == sorted(
             map(tuple, first.clusters.collect())
         )
+
+    def test_q215_matches_q211_and_second_run_stages_nothing(
+        self, spark, tmp_path
+    ):
+        # the registered composition witness (q215) == the
+        # fresh-blocking q211 it shares an oracle with, AND a rerun
+        # against the same state_dir resumes (stages zero names —
+        # the manifest converged) and returns the identical table
+        from vnavc_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        state = str(tmp_path / "er_state")
+        got = sorted(
+            map(tuple, QUERIES["q215_er_pipeline_staged"](
+                spark, sf, state_dir=state
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, QUERIES["q211_entity_rekey"](spark, sf).collect())
+        )
+        assert got == want
+        n_manifest = (
+            spark.read.parquet(f"{state}/variants_names").count()
+        )
+        again = sorted(
+            map(tuple, QUERIES["q215_er_pipeline_staged"](
+                spark, sf, state_dir=state
+            ).collect())
+        )
+        assert again == got
+        assert (
+            spark.read.parquet(f"{state}/variants_names").count()
+            == n_manifest
+        )  # converged: rerun staged nothing
+
+    def test_q215_apply_plan_is_one_join(self, spark, tmp_path):
+        # blocking/verify/score all happen BEFORE the localCheckpoint
+        # inside resolve_entities, so the apply stage's plan must be
+        # one name-keyed left join — no levenshtein verify and no
+        # variant explode may leak past the checkpoint into the
+        # per-record path (the "blocking paid once" claim, pinned on
+        # the plan itself)
+        from vnavc_spark.queries import QUERIES
+
+        plan = QUERIES["q215_er_pipeline_staged"](
+            spark, "/root/testdata/sf0.001",
+            state_dir=str(tmp_path / "er_state"),
+        )._jdf.queryExecution().analyzed().toString().lower()
+        assert "levenshtein" not in plan
+        assert "explode" not in plan
 
     def test_incremental_batch_pairs_touch_new_names_only(
         self, spark, tmp_path

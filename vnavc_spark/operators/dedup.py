@@ -2101,7 +2101,21 @@ def stage_deletion_variants(
     indistinguishable from a crashed first append, and adopting its
     names would re-create exactly the partial-staging loss — a
     one-time doubling of harmless duplicate rows is the safe side.
-    Returns ``(n_new_names, new_names_df)``."""
+
+    ORPHAN manifests (round-12 ADVICE, medium): if the variants
+    table was deleted/rebuilt (the remedy the mixed-radius and
+    radius-mismatch errors prescribe) but the sibling manifest
+    survived, an append would resurrect it — later batches whose
+    names sit only in the orphan would be anti-joined away as
+    "staged" with no variants on disk, silently losing their true
+    pairs forever. So whenever the anti-join does NOT run (variants
+    table or manifest absent), any existing manifest is DELETED
+    up front, before any write: the invariant "manifest names ⊆
+    fully-staged names" then holds at every crash point — a crash
+    after the delete but mid-variants-write leaves no manifest, so
+    the next run re-stages completely (a plain mode="overwrite" at
+    the end would instead keep the orphan alive across exactly that
+    crash window). Returns ``(n_new_names, new_names_df)``."""
     spark = names.sparkSession
     names_path = f"{var_path}_names"
     # null names explode to zero variants, so a null could never be
@@ -2116,6 +2130,7 @@ def stage_deletion_variants(
     # existence probe, not try/except: a transient READ failure of an
     # existing table must propagate, or the skipped anti-join silently
     # re-stages every name and doubles the table (the q154 lesson)
+    anti_joined = False
     if _parquet_exists(spark, var_path):
         staged_tbl = spark.read.parquet(var_path)
         _check_staged_radius(staged_tbl, var_path, radius)
@@ -2125,9 +2140,15 @@ def stage_deletion_variants(
                 on="nm",
                 how="left_anti",
             )
+            anti_joined = True
         # no manifest: fall through with every name "new" — full
         # re-stage (see docstring: the lossless side of the
         # legacy-vs-crashed-first-append ambiguity)
+    if not anti_joined and _parquet_exists(spark, names_path):
+        # orphan/untrusted manifest (variants table absent or
+        # rebuilt): delete it BEFORE any write so it cannot claim
+        # names this run might fail to stage — see docstring
+        _delete_path(spark, names_path)
     # localCheckpoint, not persist: the append below invalidates any
     # cached plan that reads var_path (the anti-join does), so a
     # lazily-cached batch would silently re-evaluate to empty after
@@ -2160,6 +2181,15 @@ def _parquet_exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _delete_path(spark, path: str) -> None:
+    """Recursively delete ``path`` on the session's filesystem (used
+    to retire an orphan names manifest before re-staging)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def _check_staged_radius(staged: DataFrame, var_path: str, radius: int):
     """Raise if a staged deletion-variant table was built at a
     different radius than the caller is using (lossless candidates
@@ -2177,13 +2207,17 @@ def _check_staged_radius(staged: DataFrame, var_path: str, radius: int):
         raise ValueError(
             f"staged variant table {var_path} holds MIXED radii "
             f"{radii} (concurrent first-run stagers?); rebuild it — "
-            "a mixed table silently misses pairs for the larger radius"
+            "delete BOTH the table and its names manifest "
+            f"{var_path}_names — a mixed table silently misses pairs "
+            "for the larger radius"
         )
     if radii and radii[0] != radius:
         raise ValueError(
             f"staged variant table {var_path} was built at "
             f"radius={radii[0]}, requested radius={radius}; "
-            "stage each radius under its own path"
+            "stage each radius under its own path (and if rebuilding "
+            f"this one, delete its names manifest {var_path}_names "
+            "with it)"
         )
 
 
@@ -2337,10 +2371,16 @@ def fellegi_sunter_em(
         clamp = lambda x: min(max(x, 1e-6), 1.0 - 1e-6)
         m = [clamp(sm[k] / sw) for k in range(n_fields)]
         u = [clamp(su[k] / swn) for k in range(n_fields)]
+    # floor(x + 0.5), NOT round(): Python round() is half-to-even
+    # while DuckDB's (the q212 oracle) is half-away-from-zero — a
+    # log2 weight landing exactly on x.5 would certify differently.
+    # Pin the one rule the repo already uses everywhere else
+    # (stable_round / q214): both engines compute floor(x + 0.5).
+    r_half_up = lambda x: int(math.floor(x + 0.5))
     weights = [
         (
-            round(math.log2(m[k] / u[k])),
-            round(math.log2((1.0 - m[k]) / (1.0 - u[k]))),
+            r_half_up(math.log2(m[k] / u[k])),
+            r_half_up(math.log2((1.0 - m[k]) / (1.0 - u[k]))),
         )
         for k in range(n_fields)
     ]

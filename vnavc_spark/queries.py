@@ -12625,8 +12625,11 @@ def _em_sql(iters: int = 25) -> str:
     carries the EM state (p, m1..m4, u1..u4) through ``iters``
     fixed iterations — same init (p=0.05, m=0.9, u=0.1), same
     1e-6 clamps, same per-pattern posterior — then renders the
-    per-field integer log2-odds weights. Pure arithmetic over the
-    ≤16 pattern rows, exactly like the Spark side's driver fit."""
+    per-field integer log2-odds weights with floor(x + 0.5), the
+    SAME half-up rule the Python fit uses (round-12 ADVICE: Python
+    round() is half-to-even, DuckDB's half-away-from-zero — pinning
+    one rule removes the cross-engine x.5 hazard). Pure arithmetic
+    over the ≤16 pattern rows, exactly like the Spark driver fit."""
     e_step = """
     SELECT em.i AS i, pat.n AS n, pat.g1 AS g1, pat.g2 AS g2,
            pat.g3 AS g3, pat.g4 AS g4, tot.total AS total,
@@ -12655,8 +12658,8 @@ def _em_sql(iters: int = 25) -> str:
     fields = [("dist1", 1), ("nation", 2), ("segment", 3), ("bal_band", 4)]
     render = "\nUNION ALL\n".join(
         f"SELECT {i} AS ord, '{name}' AS field,"
-        f" CAST(round(log2(m{k} / u{k})) AS BIGINT) AS w_agree,"
-        f" CAST(round(log2((1 - m{k}) / (1 - u{k}))) AS BIGINT)"
+        f" CAST(floor(log2(m{k} / u{k}) + 0.5) AS BIGINT) AS w_agree,"
+        f" CAST(floor(log2((1 - m{k}) / (1 - u{k})) + 0.5) AS BIGINT)"
         f" AS w_disagree FROM em WHERE i = {iters}"
         for i, (name, k) in enumerate(fields)
     )
@@ -12937,6 +12940,68 @@ def q214_source_benford_summation(
         "sum_stat",
         "summation_flag",
     )
+
+
+@query("q215_er_pipeline_staged", oracle=ORACLE["q211_entity_rekey"])
+def q215_er_pipeline_staged(
+    spark: SparkSession, sf_dir: str, state_dir: str | None = None
+) -> DataFrame:
+    """The COMPOSED ER pipeline certified through its PRODUCTION
+    path — q200's composition-witness stance applied to entity
+    resolution. q207–q211 each recompute radius-2 blocking from
+    scratch (certification independence); a real pipeline pays it
+    once:
+    :func:`vnavc_spark.pipeline.er.resolve_entities` stages deletion
+    variants to a persistent Parquet table + crash-safe names
+    manifest (exploded once EVER per name), computes the candidate
+    pairs from THAT table, scores, decides, clusters, and rekeys —
+    block → verify → score → decide → cluster → apply off one staged
+    artifact. This query hashes the final rekeyed table computed
+    through that staged path, so staging, manifest recovery, the
+    incremental probe, scoring, clustering AND the apply join are
+    certified COMPOSED, not just stage-by-stage (they are also
+    parity-tested per stage in
+    tests/test_dedup_similarity.py::TestErPipeline). Oracle: q211's
+    brute-force names² + recursive-closure SQL VERBATIM (shared via
+    the ORACLE registry at registration time — the two cannot
+    drift): same output contract, so a divergence between the
+    staged composition and the fresh-blocking q211 breaks the hash.
+
+    Reference analog: the resolved-entity upsert consumers in
+    tts_data_pipeline/pre_processing/process_all.py:797-839, which
+    re-key records against the maintained entity map rather than
+    re-resolving per consumer.
+
+    Scale shape: variant explosion ∝ names NEW to the staged table
+    (zero on re-runs — the incremental-dedup stance); candidates are
+    hash-bucketed variant equi-joins (FastSS); the scored table is
+    localCheckpointed once and feeds clustering + rekey, so the
+    apply stage's plan is ONE name-keyed left join with no
+    levenshtein/explode anywhere (pinned by
+    test_q215_apply_plan_is_one_join). ``state_dir`` defaults to a
+    process-lifetime tempdir (self-contained driver/demo shape); a
+    real pipeline passes shared storage and each run RESUMES —
+    second run stages zero names (pinned by
+    test_q215_second_run_stages_nothing)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vnavc_spark.pipeline.er import customer_entities, resolve_entities
+
+    if state_dir is None:
+        state_dir = tempfile.mkdtemp(prefix="q215_er_")
+        atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ent = customer_entities(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer")
+    res = resolve_entities(
+        cust,
+        ent,
+        var_path=f"{state_dir}/variants",
+        name_col="c_name",
+        radius=2,
+    )
+    return res.rekeyed.select("c_custkey", "c_name", "entity_id")
 
 
 # ---------------------------------------------------------------------------
