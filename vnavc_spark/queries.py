@@ -13004,6 +13004,101 @@ def q215_er_pipeline_staged(
     return res.rekeyed.select("c_custkey", "c_name", "entity_id")
 
 
+@query(
+    "q216_quantity_weighted_auc",
+    oracle="""
+WITH v AS (
+  SELECT l_linestatus AS g,
+         CAST(floor(l_extendedprice) AS BIGINT) AS vc,
+         CAST(floor(l_quantity) AS BIGINT) AS q,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS p
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+c AS (SELECT g, vc, CAST(sum(q) AS HUGEINT) AS cnt,
+             CAST(sum(q * p) AS HUGEINT) AS cnt_pos
+      FROM v GROUP BY g, vc),
+w AS (SELECT g, vc, cnt, cnt_pos,
+             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY vc)
+                  AS HUGEINT) AS cum,
+             CAST(sum(cnt_pos) OVER (PARTITION BY g ORDER BY vc)
+                  AS HUGEINT) AS cum_pos
+      FROM c),
+t AS (SELECT g, CAST(sum(cnt) AS HUGEINT) AS n,
+             CAST(sum(cnt_pos) AS HUGEINT) AS n1
+      FROM c GROUP BY g),
+a AS (SELECT w.g, t.n, t.n1,
+             CAST(sum(cnt_pos * (2 * (cum - cnt) + cnt + 1))
+                  AS HUGEINT) AS two_r1,
+             max(abs(cum_pos * (t.n - t.n1)
+                     - (cum - cum_pos) * t.n1)) AS ks_num
+      FROM w JOIN t ON t.g = w.g
+      GROUP BY w.g, t.n, t.n1)
+SELECT g AS linestatus,
+       CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n - n1 AS BIGINT) AS n_neg,
+       floor(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * (n - n1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS auc,
+       floor((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+              / CAST(2 * n1 * (n - n1) AS DOUBLE) * 2.0 - 1.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS gini,
+       floor(CAST(ks_num AS DOUBLE) / CAST(n1 * (n - n1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+FROM a WHERE n1 >= 1 AND n - n1 >= 1
+""",
+)
+def q216_quantity_weighted_auc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED AUC/Gini/KS — per line status, does the line's
+    whole-dollar extended price separate RETURNED units from kept
+    ones, with every lineitem counted ``l_quantity`` times? The
+    unit-weighted (not line-weighted) separation is the question a
+    revenue-risk readout actually asks: a 50-unit returned line is
+    50 returned units, not one.
+
+    Fourth certified consumer of the shared
+    :func:`vnavc_spark.operators.ordering.score_separation_from_counts`
+    core (after q186/q203/q204), exercising it with weight ≠ 1 via
+    the identity pinned in
+    tests/test_operators_unit.py::TestScoreSeparation::
+    test_weighted_auc_is_mass_fed_core: with INTEGER weights the
+    weighted triple is EXACTLY the unweighted midrank math fed mass
+    histograms — cnt = Σw, cnt_pos = Σw·label — so no new operator
+    and no new staging contract; the streaming label-histogram twin's
+    additive partials sum to this count table the same way they do
+    for count masses.
+
+    Scale shape: one map-side combinable aggregation over the
+    lineitem scan onto the (status, whole-dollar) grid — a BOUNDED
+    value domain (~26k cells/group at sf0.01, saturating as prices
+    do), never the corpus; everything downstream is the core's
+    exact decimal(38,0) value-domain arithmetic with two terminal
+    divisions. Quantities are integral in the data model (1..50);
+    floor() pins the identical integer on both engines."""
+    from vnavc_spark.operators.ordering import score_separation_from_counts
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
+    sv = li.select(
+        F.col("l_linestatus").alias("linestatus"),
+        F.floor("l_extendedprice").cast("long").alias("usd"),
+        F.floor("l_quantity").cast("long").alias("q"),
+        F.when(F.col("l_returnflag") == F.lit("R"), 1)
+        .otherwise(0)
+        .alias("p"),
+    ).groupBy("linestatus", "usd").agg(
+        F.sum("q").cast("long").alias("cnt"),
+        F.sum(F.col("q") * F.col("p")).cast("long").alias("cnt_pos"),
+    )
+    return score_separation_from_counts(sv, "linestatus", "usd")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
