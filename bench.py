@@ -184,15 +184,20 @@ WITNESS_QUERIES = (
 #: run, and note the re-pin in docs/ROUNDS.md — the whole point is a
 #: fixed cross-round reference.
 WITNESS_ANCHOR = {
-    "q88_sliding_chunks": 0.533,
-    "q144_shipping_priority": 0.902,
-    "q32_hourly_stats": 0.394,
-    "q46_text_stage": 4.835,
+    "q88_sliding_chunks": 0.389,
+    "q144_shipping_priority": 0.828,
+    "q32_hourly_stats": 0.209,
+    "q46_text_stage": 3.979,
 }
 WITNESS_ANCHOR_PROVENANCE = (
-    "r10 quiet-window anchor 2026-08-15: sf0.1 local[32] 3-rep "
-    "medians (value_median 200.97 over 107 queries; sched floor "
-    "0.15 s, shuffle floor 0.44 s)"
+    "r13 quiet-window anchor 2026-08-16: sf0.1 local[32] 3-rep "
+    "medians (value_median 172.39 over 114 queries; sched floor "
+    "0.09 s, shuffle floor 0.30 s). Re-pinned from the r10 anchor "
+    "(2026-08-15) after witness_scale drifted to 0.773-0.823 — "
+    "cross-round normalized comparisons spanning the re-pin must "
+    "multiply pre-r13 normalized values by (r13_anchor/r10_anchor) "
+    "per witness, or compare raw medians; the r10 anchor is "
+    "preserved in docs/SCALE.md"
 )
 
 

@@ -1784,6 +1784,94 @@ class TestScoreSeparation:
         assert out["mixed"].auc == 1.0
 
 
+class TestAveragePrecision:
+    """average_precision_from_counts (operators/ordering.py) — the
+    exact step-convention PR-AUC core behind q217 and the streaming
+    snapshot. Cross-checked against an independent per-threshold
+    Python sweep of the standard definition AP = Σ (r_i − r_{i−1})·p_i
+    with ties collapsed (thresholds descending), not the mirrored
+    oracle."""
+
+    @staticmethod
+    def _r6(x):
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def _brute(self, pairs):
+        pos = [s for s, lab in pairs if lab == 1]
+        n1, n = len(pos), len(pairs)
+        if n1 == 0 or n1 == n:
+            return None
+        ap = 0.0
+        for v in sorted({s for s, _ in pairs}, reverse=True):
+            a = sum(1 for s, _ in pairs if s >= v)
+            a1 = sum(1 for s, lab in pairs if s >= v and lab == 1)
+            c1 = sum(1 for s, lab in pairs if s == v and lab == 1)
+            ap += (c1 / n1) * (a1 / a)
+        return n1, n - n1, ap
+
+    def _run(self, spark, groups):
+        from vnavc_spark.operators.ordering import (
+            average_precision_from_counts,
+        )
+
+        rows = [
+            (g, s, lab) for g, pairs in groups.items() for s, lab in pairs
+        ]
+        df = spark.createDataFrame(rows, "g string, v long, lab int")
+        sv = df.groupBy("g", "v").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("lab").cast("long").alias("cnt_pos"),
+        )
+        return {
+            r.g: r
+            for r in average_precision_from_counts(sv, "g", "v").collect()
+        }
+
+    def test_matches_brute_force_threshold_sweep(self, spark):
+        import random
+
+        random.seed(23)
+        groups = {
+            "ties": [
+                (random.randint(1, 6), random.randint(0, 1))
+                for _ in range(200)
+            ],
+            "spread": [
+                (random.randint(1, 400), random.randint(0, 1))
+                for _ in range(300)
+            ],
+            "perfect": [(100 + i, 1) for i in range(20)]
+            + [(i, 0) for i in range(20)],
+            "const": [(7, i % 2) for i in range(30)],
+        }
+        out = self._run(spark, groups)
+        assert set(out) == set(groups)
+        for g, pairs in groups.items():
+            n1, n0, ap = self._brute(pairs)
+            r = out[g]
+            assert (r.n_pos, r.n_neg) == (n1, n0), g
+            # the core's certified value quantizes each term at 1e-9
+            # before the sum — within 0.5e-9/row + the 1e-6 readout
+            assert abs(r.ap - ap) <= 2e-6, (g, r.ap, ap)
+            assert r.prevalence == self._r6(n1 / (n1 + n0)), g
+        # pinned exact values: perfect separation is AP = 1;
+        # a constant score has ONE threshold, so AP = prevalence
+        assert out["perfect"].ap == 1.0
+        assert out["const"].ap == out["const"].prevalence
+
+    def test_single_class_groups_drop(self, spark):
+        groups = {
+            "allpos": [(i, 1) for i in range(5)],
+            "allneg": [(i, 0) for i in range(5)],
+            "mixed": [(1, 0), (2, 1)],
+        }
+        out = self._run(spark, groups)
+        assert set(out) == {"mixed"}
+        assert out["mixed"].ap == 1.0
+
+
 class TestKendallTauQuery:
     """q187_kendall_tau cross-checked against the O(n²) brute-force
     concordant/discordant pair count on a synthetic lineitem — an

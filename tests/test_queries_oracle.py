@@ -47,6 +47,38 @@ def test_oracle_match(spark, duck, name):
         )
 
 
+# Queries allowed to return ZERO rows at sf0.01 — the DRIVER'S
+# certification scale, where vacuous evidence matters most (a
+# hash-green row over an empty result certifies only that both
+# engines found nothing). Empty today; q78 has 7 pairs at sf0.01.
+EMPTY_OK_SF001: set[str] = set()
+
+
+def test_oracles_nonvacuous_at_certification_sf():
+    """Every oracle yields rows at sf0.01 (round-12 verdict #7: the
+    q72/q150 vacuity class can be tiny-but-nonzero at sf0.001 yet
+    degenerate at the certification SF). DuckDB-only on purpose:
+    whenever the hash gate is green, oracle rows == Spark rows, so
+    the oracle side is a faithful — and Spark-free, ~50 s for the
+    whole registry — proxy for certification-time row counts."""
+    con = duckdb_connect("/root/testdata/sf0.01")
+    try:
+        empty = [
+            name
+            for name, sql in ORACLES.items()
+            if name not in EMPTY_OK_SF001
+            and len(con.execute(sql).fetchall()) == 0
+        ]
+    finally:
+        con.close()
+    assert not empty, (
+        f"{empty} certify EMPTY results at the driver's sf0.01 "
+        "certification scale — vacuous evidence (the q72/q150 "
+        "class); point them at data that exercises the operator or "
+        "allowlist with a reason"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_no_oracle_runs(spark, name):
     from vnavc_spark.oracle import assert_canonicalizable

@@ -1310,6 +1310,24 @@ class TestEventsAucTwin:
             ).collect()
         )
         assert got == want and len(got) == 5
+        # FIFTH consumer of the SAME staged partials, ZERO new
+        # staging: the average-precision snapshot reproduces q217
+        # from the histograms this test just staged for the AUC
+        # parity above (the two snapshots must never drift onto
+        # different count tables)
+        got_ap = sorted(
+            tuple(r)
+            for r in ingest.average_precision_snapshot(
+                spark, partials, group_col="event_type", value_col="cents"
+            ).collect()
+        )
+        want_ap = sorted(
+            tuple(r)
+            for r in QUERIES["q217_average_precision"](
+                spark, sf
+            ).collect()
+        )
+        assert got_ap == want_ap and len(got_ap) == 5
 
     def test_snapshot_equals_batch_q204_composite_group(
         self, spark, tmp_path

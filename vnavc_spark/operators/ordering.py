@@ -693,6 +693,93 @@ def score_separation_from_counts(
     )
 
 
+def average_precision_from_counts(
+    sv: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Exact AVERAGE PRECISION (area under the precision-recall
+    curve, step convention) of a numeric score against a binary
+    label per group, from the SAME pre-aggregated (group, value,
+    cnt, cnt_pos) count table :func:`score_separation_from_counts`
+    consumes — the PR-side companion to the ROC triple, and the
+    metric quality-classifier gates for training corpora actually
+    report (PR is the informative curve under class imbalance,
+    where ROC AUC saturates). No new staging contract: the
+    streaming label-histogram twin's additive partials sum to this
+    count table exactly as they do for the AUC family.
+
+    Math: thresholds sweep the distinct score values DESCENDING
+    (predict positive at-or-above v). With the ascending
+    ``ordered_cumsum`` masses cum(v), cum1(v): at-or-above masses
+    are A(v) = n − cum(v) + c(v) and A1(v) = n1 − cum1(v) + c1(v);
+    precision(v) = A1/A, the recall step is c1(v)/n1, and the
+    step-function AP (the standard average-precision convention:
+    AP = Σ (r_i − r_{i−1})·p_i with ties collapsed into one
+    threshold) is AP = Σ_v c1(v)·A1(v) / (n1·A(v)).
+
+    Cross-engine determinism: every factor is an exactly-
+    representable integer-valued double (< 2^53 by the long input
+    contract), each term's double tree is identical in both
+    engines, and each term is quantized floor(x·1e9 + 0.5) BEFORE
+    the per-group sum (``functions.portable.exact_sum``) so the sum
+    is an order-independent INTEGER sum — summation order can never
+    split the engines. The certified value is that quantized-sum
+    definition (within 0.5e-9 per grid row of the real-valued AP).
+
+    Scale shape: identical to the AUC core — one value-domain
+    cumsum grid, a broadcast totals join, one partial-aggregable
+    sum; the corpus participates only in building ``sv``. Groups
+    with an empty class drop (same non-degeneracy contract as the
+    ROC triple; a negative-free group has AP ≡ 1 and a
+    positive-free one has AP undefined — neither says anything
+    about separation). Output: (group, n_pos, n_neg, ap,
+    prevalence) — prevalence n1/n is AP's random-classifier
+    baseline, riding along so a reader can see the lift."""
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.functions.portable import exact_sum, stable_round
+
+    sv = tracked_persist(
+        sv.select(
+            group_col,
+            value_col,
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("cnt_pos").cast("long").alias("cnt_pos"),
+        ),
+        f"apsep_sv:{group_col}",
+    )
+    grps = sv.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt_pos").cast("long").alias("n1"),
+    )
+    cums = ordered_cumsum(
+        sv,
+        [group_col],
+        value_col,
+        mass_cols=["cnt", "cnt_pos"],
+        slot=f"apsep_cums:{group_col}",
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # degenerate groups dropped BEFORE the term so the n1 division
+    # can never produce NaN/inf on either engine
+    j = cums.join(F.broadcast(grps), group_col).filter(
+        (F.col("n1") >= 1) & (F.col("n") - F.col("n1") >= 1)
+    )
+    above = d("n") - d("cum_cnt") + d("cnt")
+    above_pos = d("n1") - d("cum_cnt_pos") + d("cnt_pos")
+    term = d("cnt_pos") * above_pos / (d("n1") * above)
+    a = j.groupBy(group_col, "n", "n1").agg(
+        exact_sum(term, 9).alias("ap_raw")
+    )
+    return a.select(
+        group_col,
+        F.col("n1").alias("n_pos"),
+        (F.col("n") - F.col("n1")).alias("n_neg"),
+        stable_round(F.col("ap_raw"), 6).alias("ap"),
+        stable_round(d("n1") / d("n"), 6).alias("prevalence"),
+    )
+
+
 def quantile_drift_from_counts(
     sv: DataFrame,
     group_col: str = "source",

@@ -13099,6 +13099,103 @@ def q216_quantity_weighted_auc(
     return score_separation_from_counts(sv, "linestatus", "usd")
 
 
+@query(
+    "q217_average_precision",
+    oracle="""
+WITH v AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+         CASE WHEN ((CAST(ts AS DATE) - DATE '1970-01-01' + 3) % 7) + 1
+                   IN (6, 7)
+              THEN 1 ELSE 0 END AS p
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND ts IS NOT NULL),
+c AS (SELECT g, vc, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(p) AS BIGINT) AS cnt_pos
+      FROM v GROUP BY g, vc),
+w AS (SELECT g, vc, cnt, cnt_pos,
+             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY vc)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt_pos) OVER (PARTITION BY g ORDER BY vc)
+                  AS BIGINT) AS cum_pos
+      FROM c),
+t AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt_pos) AS BIGINT) AS n1
+      FROM c GROUP BY g),
+f AS (SELECT w.g, w.cnt, w.cnt_pos, w.cum, w.cum_pos, t.n, t.n1
+      FROM w JOIN t ON t.g = w.g
+      WHERE t.n1 >= 1 AND t.n - t.n1 >= 1),
+a AS (SELECT g, n, n1,
+             sum(floor(CAST(cnt_pos AS DOUBLE)
+                       * (CAST(n1 AS DOUBLE) - CAST(cum_pos AS DOUBLE)
+                          + CAST(cnt_pos AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE)
+                          * (CAST(n AS DOUBLE) - CAST(cum AS DOUBLE)
+                             + CAST(cnt AS DOUBLE)))
+                       * 1000000000.0 + 0.5)) / 1000000000.0 AS ap_raw
+      FROM f GROUP BY g, n, n1)
+SELECT g AS event_type,
+       CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n - n1 AS BIGINT) AS n_neg,
+       floor(ap_raw * 1000000.0 + 0.5) / 1000000.0 AS ap,
+       floor(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS prevalence
+FROM a
+""",
+)
+def q217_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AVERAGE PRECISION (step-convention PR-AUC) of the event
+    value against the weekend label, per event type — the PR-side
+    companion to q203's ROC triple on the SAME question, the SAME
+    cents grid, and the SAME (group, value, cnt, cnt_pos) mass
+    histogram: PR is the curve a quality-classifier gate for
+    training corpora actually reports (under class imbalance ROC
+    AUC saturates while AP keeps discriminating). Fifth certified
+    consumer of the mass-histogram contract
+    (:func:`vnavc_spark.operators.ordering.
+    average_precision_from_counts` beside the AUC core), so the
+    streaming label-histogram twin serves it with NO new staging —
+    its additive partials sum to this count table identically
+    (parity: tests/test_streaming.py).
+
+    Determinism: thresholds sweep distinct cents descending; each
+    grid term c1·A1/(n1·A) is an exact integer-valued double
+    quantized floor(x·1e9 + 0.5) BEFORE the sum, so both engines
+    take an order-independent integer sum (the exact_sum stance) —
+    summation order can never split them. ``prevalence`` (= n1/n,
+    the random-classifier AP) rides along as the baseline.
+
+    Scale shape: one map-side count pass onto the bounded cents
+    grid, one value-domain cumsum, a broadcast totals join, one
+    partial-aggregable sum — the corpus never participates past the
+    first aggregation."""
+    from vnavc_spark.operators.ordering import (
+        average_precision_from_counts,
+    )
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    epoch = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    wk = ((epoch + 3) % 7 + 1).isin(6, 7)
+    sv = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.when(wk, 1).otherwise(0).alias("p"),
+    ).groupBy("event_type", "cents").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("p").cast("long").alias("cnt_pos"),
+    )
+    return average_precision_from_counts(sv, "event_type", "cents")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -562,6 +562,38 @@ def score_separation_snapshot(
     return score_separation_from_counts(sv, group_col, value_col)
 
 
+def average_precision_snapshot(
+    spark,
+    partials_path: str,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group exact AVERAGE PRECISION (step-convention PR-AUC)
+    from the SAME staged class-conditional histogram partials the
+    score-separation twin maintains (:func:`start_label_histograms`
+    — no new staging contract): summing the additive partials
+    reproduces the batch (group, value, cnt, cnt_pos) count table
+    exactly, and the shared
+    ``ordering.average_precision_from_counts`` core does the rest,
+    so streaming == batch is an identity, not an approximation.
+    Identical output contract to queries.q217 in the events shape
+    (group=event_type, value=cents): (group, n_pos, n_neg, ap,
+    prevalence)."""
+    from vnavc_spark.operators.ordering import (
+        average_precision_from_counts,
+    )
+
+    sv = (
+        spark.read.parquet(partials_path)
+        .groupBy(group_col, value_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("cnt_pos").cast("long").alias("cnt_pos"),
+        )
+    )
+    return average_precision_from_counts(sv, group_col, value_col)
+
+
 def start_digit_partials(
     stream: DataFrame,
     partials_path: str,
@@ -1442,6 +1474,14 @@ TWINS: dict[str, dict] = {
         ),
         "partials": "(group, value, cnt, cnt_pos) class-conditional "
         "histogram per batch_id=N",
+    },
+    "average-precision": {
+        "snapshot": "average_precision_snapshot",
+        "start": "start_label_histograms",
+        "flags": ("group", "value"),
+        "batch": ("q217_average_precision",),
+        "partials": "(group, value, cnt, cnt_pos) class-conditional "
+        "histogram per batch_id=N (same staging as score-separation)",
     },
     "benford": {
         "snapshot": "benford_snapshot",
