@@ -1872,6 +1872,99 @@ class TestAveragePrecision:
         assert out["mixed"].ap == 1.0
 
 
+class TestBrierDecomposition:
+    """brier_decomposition_from_counts (operators/aggregates.py) —
+    the Murphy (1973) calibration core behind q218. Cross-checked
+    against a direct Python mean((f−y)²) over replicated rows and
+    per-level reliability/resolution sums — an independent
+    derivation, not the mirrored oracle — plus the decomposition
+    identity Brier = REL − RES + UNC."""
+
+    def _run(self, spark, groups):
+        from vnavc_spark.operators.aggregates import (
+            brier_decomposition_from_counts,
+        )
+
+        rows = [
+            (g, t, y) for g, obs in groups.items() for t, y in obs
+        ]
+        df = spark.createDataFrame(rows, "g string, t long, y int")
+        c = df.groupBy("g", "t").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("p"),
+        )
+        return {
+            r.g: r
+            for r in brier_decomposition_from_counts(
+                c, "g", "t", forecast_denom=1000
+            ).collect()
+        }
+
+    def _brute(self, obs):
+        n = len(obs)
+        base = sum(y for _, y in obs) / n
+        brier = sum((t / 1000 - y) ** 2 for t, y in obs) / n
+        levels = {}
+        for t, y in obs:
+            levels.setdefault(t, []).append(y)
+        rel = sum(
+            len(ys) * (t / 1000 - sum(ys) / len(ys)) ** 2
+            for t, ys in levels.items()
+        ) / n
+        res = sum(
+            len(ys) * (sum(ys) / len(ys) - base) ** 2
+            for t, ys in levels.items()
+        ) / n
+        unc = base * (1 - base)
+        return n, brier, rel, res, unc
+
+    def test_matches_brute_force_and_identity(self, spark):
+        import random
+
+        random.seed(31)
+        groups = {
+            # arbitrary miscalibrated forecast over 8 levels
+            "mis": [
+                (random.choice(range(0, 1001, 125)), random.randint(0, 1))
+                for _ in range(400)
+            ],
+            # constant forecast: resolution must be exactly 0
+            "flat": [(300, random.randint(0, 1)) for _ in range(100)],
+        }
+        out = self._run(spark, groups)
+        for g, obs in groups.items():
+            n, brier, rel, res, unc = self._brute(obs)
+            r = out[g]
+            assert r.n == n, g
+            assert abs(r.brier - brier) <= 2e-6, (g, r.brier, brier)
+            assert abs(r.reliability - rel) <= 2e-6, g
+            assert abs(r.resolution - res) <= 2e-6, g
+            assert abs(r.uncertainty - unc) <= 2e-6, g
+            # Murphy identity on the brute side is exact; on the
+            # quantized outputs it holds to a few rounding units
+            assert abs(
+                r.brier - (r.reliability - r.resolution + r.uncertainty)
+            ) <= 5e-6, g
+        assert out["flat"].resolution == 0.0
+
+    def test_perfectly_calibrated_has_zero_reliability(self, spark):
+        # each level's observed rate equals its forecast exactly —
+        # every reliability term is identically 0, so the quantized
+        # sum is exactly 0.0 (not merely small)
+        obs = (
+            [(200, 1)] * 1 + [(200, 0)] * 4      # f=0.2, rate 1/5
+            + [(500, 1)] * 1 + [(500, 0)] * 1    # f=0.5, rate 1/2
+            + [(800, 1)] * 4 + [(800, 0)] * 1    # f=0.8, rate 4/5
+        )
+        out = self._run(spark, {"cal": obs})
+        r = out["cal"]
+        assert r.reliability == 0.0
+        n, brier, rel, res, unc = self._brute(obs)
+        assert abs(r.brier - brier) <= 2e-6
+        # identity with REL = 0: Brier = UNC - RES
+        assert abs(r.brier + r.resolution - r.uncertainty) <= 5e-6
+
+
 class TestKendallTauQuery:
     """q187_kendall_tau cross-checked against the O(n²) brute-force
     concordant/discordant pair count on a synthetic lineitem — an

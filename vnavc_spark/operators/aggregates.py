@@ -1870,6 +1870,75 @@ def benford_summation_from_digit_masses(
     )
 
 
+def brier_decomposition_from_counts(
+    c: DataFrame,
+    group_col: str = "g",
+    forecast_col: str = "t",
+    forecast_denom: int = 1000,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score from a
+    pre-aggregated (group, forecast-level, n, p) count table — the
+    CALIBRATION companion to the discrimination metrics (AUC/AP/KS):
+    Brier = RELIABILITY − RESOLUTION + UNCERTAINTY, where
+    reliability Σ n_k(f_k − p_k/n_k)²/N measures how far the
+    forecast levels sit from their observed rates (0 = perfectly
+    calibrated), resolution Σ n_k(p_k/n_k − π)²/N measures how much
+    the levels separate the base rate, and uncertainty π(1 − π) is
+    the irreducible term. With binary labels the per-level Brier
+    mass is exactly n_k·f_k² − 2·f_k·p_k + p_k, so all three
+    components (and the identity) are computable from the SAME tiny
+    count table — no second corpus pass.
+
+    Input contract: ``forecast_col`` is the forecast as an INTEGER
+    numerator (f_k = t_k / forecast_denom — the cents/per-mille
+    stance, so both engines see the identical rational), ``n`` / ``p``
+    exact long counts (p ≤ n). Cross-engine determinism: every term
+    is a fixed double tree over exactly-representable integer-valued
+    doubles, quantized floor(x·1e9 + 0.5) BEFORE the per-group sum
+    (``functions.portable.exact_sum``) — order-independent integer
+    sums, the q217 stance. The Brier identity then holds to the
+    quantization (pinned in tests), not to float luck.
+
+    Scale shape: the count table is (groups × forecast levels)-sized
+    — built by one map-side combinable aggregation upstream; this
+    function is arithmetic over that grid plus a broadcast totals
+    join. Output: (group, n, brier, reliability, resolution,
+    uncertainty), stable_round(6)."""
+    from vnavc_spark.functions.portable import exact_sum, stable_round
+
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    denom = float(forecast_denom)
+    denom2 = float(forecast_denom) * float(forecast_denom)
+    tot = c.groupBy(group_col).agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("p").cast("long").alias("pp"),
+    )
+    j = c.join(F.broadcast(tot), group_col).filter(F.col("nn") >= 1)
+    x = d(forecast_col) * d("n") - F.lit(denom) * d("p")
+    rel_term = x * x / (d("n") * F.lit(denom2))
+    y = d("p") * d("nn") - d("pp") * d("n")
+    res_term = y * y / (d("n") * d("nn") * d("nn"))
+    brier_term = (
+        d("n") * d(forecast_col) * d(forecast_col)
+        - F.lit(2.0 * denom) * d(forecast_col) * d("p")
+        + F.lit(denom2) * d("p")
+    ) / F.lit(denom2)
+    a = j.groupBy(group_col, "nn", "pp").agg(
+        exact_sum(brier_term, 9).alias("sb"),
+        exact_sum(rel_term, 9).alias("srel"),
+        exact_sum(res_term, 9).alias("sres"),
+    )
+    unc = d("pp") * (d("nn") - d("pp")) / (d("nn") * d("nn"))
+    return a.select(
+        group_col,
+        F.col("nn").alias("n"),
+        stable_round(F.col("sb") / d("nn"), 6).alias("brier"),
+        stable_round(F.col("srel") / d("nn"), 6).alias("reliability"),
+        stable_round(F.col("sres") / d("nn"), 6).alias("resolution"),
+        stable_round(unc, 6).alias("uncertainty"),
+    )
+
+
 def k_anonymity_rollup(cls: DataFrame, k: int = 5) -> DataFrame:
     """Per-nation k-anonymity audit from a pre-aggregated QI-class
     count table (nk, seg, band, sz) — the math core of queries.q196,

@@ -13196,6 +13196,118 @@ def q217_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return average_precision_from_counts(sv, "event_type", "cents")
 
 
+@query(
+    "q218_discount_calibration",
+    oracle="""
+WITH v AS (
+  SELECT l_linestatus AS g,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) * 100 AS t,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_discount IS NOT NULL
+    AND l_returnflag IS NOT NULL),
+c AS (SELECT g, t, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS p
+      FROM v GROUP BY g, t),
+tt AS (SELECT g, CAST(sum(n) AS BIGINT) AS nn,
+              CAST(sum(p) AS BIGINT) AS pp
+       FROM c GROUP BY g),
+a AS (
+  SELECT c.g, tt.nn, tt.pp,
+         sum(floor(((CAST(c.n AS DOUBLE) * CAST(c.t AS DOUBLE)
+                     * CAST(c.t AS DOUBLE)
+                     - 2000.0 * CAST(c.t AS DOUBLE) * CAST(c.p AS DOUBLE)
+                     + 1000000.0 * CAST(c.p AS DOUBLE)) / 1000000.0)
+                   * 1000000000.0 + 0.5)) / 1000000000.0 AS sb,
+         sum(floor(((CAST(c.t AS DOUBLE) * CAST(c.n AS DOUBLE)
+                     - 1000.0 * CAST(c.p AS DOUBLE))
+                    * (CAST(c.t AS DOUBLE) * CAST(c.n AS DOUBLE)
+                       - 1000.0 * CAST(c.p AS DOUBLE))
+                    / (CAST(c.n AS DOUBLE) * 1000000.0))
+                   * 1000000000.0 + 0.5)) / 1000000000.0 AS srel,
+         sum(floor(((CAST(c.p AS DOUBLE) * CAST(tt.nn AS DOUBLE)
+                     - CAST(tt.pp AS DOUBLE) * CAST(c.n AS DOUBLE))
+                    * (CAST(c.p AS DOUBLE) * CAST(tt.nn AS DOUBLE)
+                       - CAST(tt.pp AS DOUBLE) * CAST(c.n AS DOUBLE))
+                    / (CAST(c.n AS DOUBLE) * CAST(tt.nn AS DOUBLE)
+                       * CAST(tt.nn AS DOUBLE)))
+                   * 1000000000.0 + 0.5)) / 1000000000.0 AS sres
+  FROM c JOIN tt ON tt.g = c.g
+  WHERE tt.nn >= 1
+  GROUP BY c.g, tt.nn, tt.pp)
+SELECT g AS linestatus,
+       nn AS n,
+       floor(sb / CAST(nn AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS brier,
+       floor(srel / CAST(nn AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS reliability,
+       floor(sres / CAST(nn AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS resolution,
+       floor(CAST(pp AS DOUBLE)
+             * (CAST(nn AS DOUBLE) - CAST(pp AS DOUBLE))
+             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS uncertainty
+FROM a
+""",
+)
+def q218_discount_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CALIBRATION diagnostics — the Murphy (1973) Brier-score
+    decomposition of "the discount level, read as a return
+    probability" against actual returns, per line status: Brier =
+    RELIABILITY − RESOLUTION + UNCERTAINTY. Reliability is the
+    reliability-diagram distance (how far each forecast level sits
+    from its observed return rate — the question a quality-score
+    gate asks before trusting model scores as probabilities),
+    resolution is how much the levels separate the base rate, and
+    uncertainty is the irreducible π(1−π). Completes the
+    classifier-evaluation family: AUC/Gini/KS (q186/q203/q204) and
+    AP (q217) measure DISCRIMINATION; this measures CALIBRATION —
+    the two failure modes are independent, and a training-data
+    quality classifier needs both audited.
+
+    Forecast levels ride as exact per-mille integers
+    (floor(discount·100 + 0.5)·100, so f = t/1000 is the identical
+    rational on both engines); every component term is a fixed
+    double tree over integer-valued doubles quantized
+    floor(x·1e9 + 0.5) BEFORE the sum
+    (:func:`vnavc_spark.operators.aggregates.
+    brier_decomposition_from_counts` — the q217 exact_sum stance),
+    and the decomposition identity is pinned to the quantization in
+    tests, not to float luck.
+
+    Scale shape: one map-side combinable count pass onto the
+    (status, forecast-level) grid — ≤ 11 levels × 2 statuses — then
+    arithmetic over that grid with a broadcast totals join; no
+    window, no second corpus pass."""
+    from vnavc_spark.operators.aggregates import (
+        brier_decomposition_from_counts,
+    )
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
+    c = li.select(
+        F.col("l_linestatus").alias("linestatus"),
+        (
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+            * 100
+        ).alias("t"),
+        F.when(F.col("l_returnflag") == F.lit("R"), 1)
+        .otherwise(0)
+        .alias("y"),
+    ).groupBy("linestatus", "t").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    return brier_decomposition_from_counts(
+        c, "linestatus", "t", forecast_denom=1000
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
