@@ -295,6 +295,16 @@ NULL_SENSITIVE = [
     "q211_entity_rekey",
     "q213_radius2_recall_audit",
     "q214_source_benford_summation",
+    # round-13: the staged ER composition inherits q211's null
+    # contract through the SAME left join (null names drop from
+    # blocking, their records survive the rekey); null
+    # quantity/price/discount/returnflag rows drop from the weighted
+    # AUC and calibration grids, null value/ts/event_type from the
+    # AP grid, identically in both engines
+    "q215_er_pipeline_staged",
+    "q216_quantity_weighted_auc",
+    "q217_average_precision",
+    "q218_discount_calibration",
 ]
 
 

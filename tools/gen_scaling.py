@@ -94,6 +94,16 @@ SWEEP = [
     ("q208_fellegi_sunter", ("customer",), False, False),
     ("q209_entity_clusters", ("customer",), False, False),
     ("q210_agreement_patterns", ("customer",), False, False),
+    # round 13: the staged ER composition (customer passthrough —
+    # entity table CONSTANT under replication, flat wall is the
+    # claim; the staged variant table is rebuilt per invocation in a
+    # fresh tempdir, so staging cost is included honestly), weighted
+    # AUC + calibration (bounded value grids saturate — only the
+    # count pass grows), average precision (the q203 cents grid)
+    ("q215_er_pipeline_staged", ("customer",), False, False),
+    ("q216_quantity_weighted_auc", ("lineitem",), True, False),
+    ("q217_average_precision", ("events",), True, False),
+    ("q218_discount_calibration", ("lineitem",), True, False),
     ("q120_gap_fill", ("events",), False, False),
     ("q121_exact_mad_scalable", ("lineitem",), False, False),
     ("q122_skyline", ("orders",), True, False),

@@ -2247,6 +2247,17 @@ def incremental_linkage_pairs(
             f"incremental_linkage_pairs: radius must be 1 or 2, got {radius}"
         )
     spark = names.sparkSession
+    # existence probe, not try/except (the q154 stance): an ABSENT
+    # table means nothing was ever staged — an empty corpus stages
+    # zero names and never creates the path — so there are zero
+    # candidate pairs by definition; a READ error on an existing
+    # table still propagates below
+    if not _parquet_exists(spark, var_path):
+        return spark.createDataFrame(
+            [],
+            "name_a string, name_b string, n_recs_a long, "
+            "n_recs_b long, dist long",
+        )
     variants = spark.read.parquet(var_path)
     # probing a radius-1 table at radius 2 silently misses true
     # dist-2 pairs — the staged radius must match (see
