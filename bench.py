@@ -160,6 +160,24 @@ BENCH_QUERIES = [
     # NOT benched: each re-runs the radius-2 blocking shape already
     # witnessed three times (q207/q208/q209 — the q210 stance).
     "q214_source_benford_summation",
+    # round 13: weighted AUC (mass-fed separation core on lineitem),
+    # average precision (new PR-side grid arithmetic on the q203
+    # histogram), Brier calibration (tiny forecast grid — a clean
+    # map-side-agg witness). q215 is deliberately NOT benched: it
+    # re-runs the q207–q209 blocking shape PLUS a full radius-2
+    # variant staging write per invocation (~37 s at sf0.1, flat at
+    # x10 — SCALING_r13); production pays that write once ever, so
+    # timing it per-round would witness a cost the design
+    # specifically amortizes (the q210 stance).
+    "q216_quantity_weighted_auc",
+    "q217_average_precision",
+    "q218_discount_calibration",
+    # round 13 back half: retrieval-eval nDCG (q60's BM25 shape plus
+    # the judgment join + discount-literal DCG stages) and the
+    # Nelson-Aalen churn hazard (two ordered_cumsum passes over the
+    # day-bounded duration grid — a clean narrow-grid witness)
+    "q219_bm25_ndcg",
+    "q220_churn_hazard",
 ]
 
 #: Bit-unchanged ambient witnesses (round-10 verdict item #1): four

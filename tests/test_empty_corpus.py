@@ -305,6 +305,11 @@ NULL_SENSITIVE = [
     "q216_quantity_weighted_auc",
     "q217_average_precision",
     "q218_discount_calibration",
+    # round-13 back half: null text vanishes identically from the
+    # token/judgment tables (the q60 conventions); null
+    # custkey/orderdate drop from the survival spans
+    "q219_bm25_ndcg",
+    "q220_churn_hazard",
 ]
 
 

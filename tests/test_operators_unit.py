@@ -1965,6 +1965,136 @@ class TestBrierDecomposition:
         assert abs(r.brier + r.resolution - r.uncertainty) <= 5e-6
 
 
+class TestNdcgAtK:
+    """retrieval.ndcg_at_k — cross-checked against a direct Python
+    DCG/IDCG computation (independent derivation with math.log2, so
+    the pre-rounded discount-literal path is verified against the
+    real definition within quantization), plus the exact
+    perfect-ranking pin."""
+
+    def _run(self, spark, ranked, rel, k=10):
+        from vnavc_spark.operators.retrieval import ndcg_at_k
+
+        rdf = spark.createDataFrame(ranked, "qid long, cand long, rnk long")
+        jdf = spark.createDataFrame(rel, "qid long, cand long, grade long")
+        return {
+            r.qid: r for r in ndcg_at_k(rdf, jdf, k=k).collect()
+        }
+
+    def test_matches_direct_definition(self, spark):
+        import math
+        import random
+
+        random.seed(37)
+        rel = [
+            (q, c, random.randint(1, 9))
+            for q in (1, 2)
+            for c in range(100, 130)
+        ]
+        # ranking: a deliberately imperfect deterministic shuffle
+        ranked = []
+        for q in (1, 2):
+            cands = sorted(
+                (c for qq, c, _ in rel if qq == q),
+                key=lambda c: (c * 7919) % 101,
+            )[:10]
+            ranked += [(q, c, i + 1) for i, c in enumerate(cands)]
+        out = self._run(spark, ranked, rel)
+        grades = {(q, c): g for q, c, g in rel}
+        for q in (1, 2):
+            dcg = sum(
+                grades[(q, c)] / math.log2(i + 2)
+                for qq, c, i in (
+                    (qq, c, r - 1) for qq, c, r in ranked if qq == q
+                )
+            )
+            ideal = sorted(
+                (g for qq, c, g in rel if qq == q), reverse=True
+            )[:10]
+            idcg = sum(g / math.log2(i + 2) for i, g in enumerate(ideal))
+            r = out[q]
+            assert abs(r.dcg - dcg) <= 2e-5, (q, r.dcg, dcg)
+            assert abs(r.idcg - idcg) <= 2e-5, q
+            assert abs(r.ndcg - dcg / idcg) <= 2e-5, q
+            assert r.ndcg < 1.0  # the shuffle is genuinely imperfect
+
+    def test_perfect_ranking_is_exactly_one(self, spark):
+        # ranking == ideal order -> DCG and IDCG are the SAME
+        # quantized sum, so ndcg is exactly 1.0
+        rel = [(1, c, 20 - c) for c in range(15)]
+        ranked = [(1, c, c + 1) for c in range(10)]
+        out = self._run(spark, ranked, rel)
+        assert out[1].ndcg == 1.0
+
+    def test_unjudged_candidates_contribute_zero(self, spark):
+        # a ranked candidate with no judgment row adds 0 gain but
+        # must not drop the query
+        rel = [(1, 100, 3)]
+        ranked = [(1, 100, 1), (1, 999, 2)]
+        out = self._run(spark, ranked, rel)
+        assert out[1].ndcg == 1.0  # the judged doc is at rank 1
+
+
+class TestNelsonAalen:
+    """aggregates.nelson_aalen_hazard — cross-checked against a
+    direct Python sweep of the textbook estimator (sorted distinct
+    times, at-risk = duration >= t, H = running sum of d/n) with
+    right-censoring."""
+
+    def _brute(self, obs):
+        times = sorted({t for t, _ in obs})
+        out = {}
+        h = 0.0
+        for t in times:
+            n = sum(1 for d, _ in obs if d >= t)
+            d = sum(1 for dd, e in obs if dd == t and e == 1)
+            c = sum(1 for dd, e in obs if dd == t and e == 0)
+            h += d / n
+            out[t] = (n, d, c, d / n, h)
+        return out
+
+    def test_matches_textbook_sweep(self, spark):
+        import random
+
+        from vnavc_spark.operators.aggregates import nelson_aalen_hazard
+
+        random.seed(41)
+        obs = [
+            (random.randint(0, 30), random.randint(0, 1))
+            for _ in range(500)
+        ]
+        per = spark.createDataFrame(obs, "t long, ev int")
+        rows = {
+            r.t_day: r
+            for r in nelson_aalen_hazard(per, "t", "ev").collect()
+        }
+        want = self._brute(obs)
+        assert set(rows) == set(want)
+        prev_risk, prev_h = None, -1.0
+        for t in sorted(want):
+            n, d, c, hz, h = want[t]
+            r = rows[t]
+            assert (r.n_risk, r.d_events, r.c_censored) == (n, d, c), t
+            assert abs(r.hazard - hz) <= 2e-6, t
+            assert abs(r.cum_hazard - h) <= 1e-5, t
+            # structural invariants: at-risk non-increasing, H
+            # non-decreasing, first at-risk = all subjects
+            if prev_risk is not None:
+                assert r.n_risk <= prev_risk
+            assert r.cum_hazard >= prev_h
+            prev_risk, prev_h = r.n_risk, r.cum_hazard
+        assert rows[min(want)].n_risk == len(obs)
+
+    def test_all_censored_has_zero_hazard(self, spark):
+        from vnavc_spark.operators.aggregates import nelson_aalen_hazard
+
+        per = spark.createDataFrame(
+            [(i % 5, 0) for i in range(50)], "t long, ev int"
+        )
+        rows = nelson_aalen_hazard(per, "t", "ev").collect()
+        assert all(r.hazard == 0.0 and r.cum_hazard == 0.0 for r in rows)
+
+
 class TestKendallTauQuery:
     """q187_kendall_tau cross-checked against the O(n²) brute-force
     concordant/discordant pair count on a synthetic lineitem — an

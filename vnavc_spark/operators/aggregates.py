@@ -1939,6 +1939,80 @@ def brier_decomposition_from_counts(
     )
 
 
+def nelson_aalen_hazard(
+    per: DataFrame,
+    time_col: str = "t",
+    event_col: str = "ev",
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator (Nelson 1972, Aalen
+    1978) over right-censored durations — the survival-analysis
+    readout retention/churn questions need: per distinct duration t,
+    the at-risk count n(t) (subjects with duration ≥ t), events d(t),
+    censored c(t), the hazard step d/n, and the cumulative hazard
+    H(t) = Σ_{t_i ≤ t} d_i/n_i. Deliberately Nelson–Aalen rather
+    than Kaplan–Meier for the CERTIFIED surface: H is a SUM of
+    per-step terms — quantized floor(x·1e9 + 0.5) before
+    order-independent integer cumulative sums (the q217 stance) —
+    while the KM product S(t) = Π(1 − d/n) is a float product whose
+    association order differs between engines' window implementations
+    (segment trees vs running fold), making its hash luck-dependent;
+    S(t) ≈ exp(−H(t)) when needed, and the per-step KM factors are
+    recoverable from the emitted (d, n) columns exactly.
+
+    ``per``: one row per subject with an integer duration
+    ``time_col`` and 0/1 ``event_col`` (1 = event observed, 0 =
+    right-censored at that duration). Scale shape: the duration grid
+    is VALUE-DOMAIN bounded (days/buckets, not subjects); both
+    passes are :func:`vnavc_spark.operators.ordering.ordered_cumsum`
+    over that grid (the first derives n(t) from the ≤-t mass, the
+    second accumulates the quantized hazard terms), plus one
+    broadcast total."""
+    from vnavc_spark.functions.portable import stable_round
+    from vnavc_spark.operators.ordering import ordered_cumsum
+
+    src = per.select(
+        F.col(time_col).cast("long").alias("t"),
+        F.lit(1).cast("long").alias("one"),
+        F.col(event_col).cast("long").alias("ev"),
+    )
+    tot = src.agg(F.sum("one").cast("long").alias("nn"))
+    c1 = ordered_cumsum(
+        src, [], "t", mass_cols=["one", "ev"], slot="na_hazard_c1"
+    ).crossJoin(F.broadcast(tot))
+    risk = F.col("nn") - F.col("cum_one") + F.col("one")
+    h_int = F.floor(
+        F.col("ev").cast("double") / risk.cast("double")
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    g2 = c1.select(
+        "t",
+        F.col("one").alias("n_at"),
+        F.col("ev").alias("d"),
+        risk.cast("long").alias("risk"),
+        h_int.alias("h_int"),
+    )
+    c2 = ordered_cumsum(
+        g2,
+        [],
+        "t",
+        mass_cols=["n_at", "d", "risk", "h_int"],
+        slot="na_hazard_c2",
+    )
+    return c2.select(
+        F.col("t").alias("t_day"),
+        F.col("risk").alias("n_risk"),
+        F.col("d").alias("d_events"),
+        (F.col("n_at") - F.col("d")).cast("long").alias("c_censored"),
+        stable_round(
+            F.col("d").cast("double") / F.col("risk").cast("double"), 6
+        ).alias("hazard"),
+        stable_round(
+            F.col("cum_h_int").cast("double") / F.lit(1000000000.0), 6
+        ).alias("cum_hazard"),
+    )
+
+
 def k_anonymity_rollup(cls: DataFrame, k: int = 5) -> DataFrame:
     """Per-nation k-anonymity audit from a pre-aggregated QI-class
     count table (nk, seg, band, sz) — the math core of queries.q196,

@@ -101,6 +101,96 @@ def bm25_topk(
     )
 
 
+def dcg_discounts(k: int) -> list[float]:
+    """Rank discounts 1/log2(rank+1) for ranks 1..k, pre-rounded
+    floor(x·1e9 + 0.5)/1e9 — emitted as RATIONAL DECIMAL LITERALS
+    instead of a runtime log2, because JVM and libm transcendentals
+    differ in the last ulp (the BM25 log-free-idf stance): both
+    engines consume the IDENTICAL literal per rank, so the DCG term
+    trees are bit-equal by construction. k is small by contract
+    (top-k lists), so the table is a broadcast literal."""
+    import math
+
+    return [
+        math.floor(1e9 / math.log2(i + 1) + 0.5) / 1e9
+        for i in range(1, k + 1)
+    ]
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    rel: DataFrame,
+    *,
+    k: int = 10,
+    places: int = 6,
+) -> DataFrame:
+    """Exact nDCG@k of a ranked candidate list against graded
+    relevance judgments — the ranking-quality metric the retrieval
+    family (BM25 q60, RRF q171/q177) gets EVALUATED by, with LINEAR
+    gain (gain = grade; the 2^grade−1 exponential form overflows for
+    count-valued grades and adds nothing on small grade ranges —
+    convention pinned here and in the oracle).
+
+    ``ranked``: (qid, cand, rnk) with rnk 1..k (ties already broken
+    deterministically upstream). ``rel``: (qid, cand, grade) over
+    ALL relevant candidates — the ideal ranking needs the full
+    relevance set, not just the top-k (an nDCG computed against
+    truncated judgments silently inflates). A ranked candidate with
+    no judgment contributes 0 gain (inner join — identical on both
+    engines).
+
+    DCG = Σ grade·w(rnk) with w from :func:`dcg_discounts`; each
+    term is quantized floor(x·10^places + 0.5) BEFORE the sum
+    (order-independent integer sums, the q217 stance); IDCG ranks
+    the judgments by (grade DESC, cand) with a per-qid top-k window
+    (WindowGroupLimit-prunable). Output: (qid, dcg, idcg, ndcg).
+
+    Scale shape: the discount table is a k-row broadcast literal;
+    DCG works on k·|queries| rows; the ideal ranking is a per-query
+    top-k over the judgment table (posting-list bounded when grades
+    come from term overlap)."""
+    from vnavc_spark.functions.portable import stable_round
+
+    spark = ranked.sparkSession
+    disc = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(dcg_discounts(k))],
+        "rnk long, w double",
+    )
+    scale = float(10**places)
+    term = F.floor(
+        F.col("grade").cast("double") * F.col("w") * F.lit(scale)
+        + F.lit(0.5)
+    )
+    dcg = (
+        ranked.join(rel, ["qid", "cand"])
+        .join(F.broadcast(disc), "rnk")
+        .groupBy("qid")
+        .agg((F.sum(term) / F.lit(scale)).alias("dcg_raw"))
+    )
+    iw = Window.partitionBy("qid").orderBy(
+        F.desc("grade"), F.asc("cand")
+    )
+    ideal = (
+        rel.withColumn("rnk", F.row_number().over(iw).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .join(F.broadcast(disc), "rnk")
+        .groupBy("qid")
+        .agg((F.sum(term) / F.lit(scale)).alias("idcg_raw"))
+    )
+    return (
+        dcg.join(ideal, "qid")
+        .filter(F.col("idcg_raw") > 0)
+        .select(
+            "qid",
+            stable_round(F.col("dcg_raw"), places).alias("dcg"),
+            stable_round(F.col("idcg_raw"), places).alias("idcg"),
+            stable_round(
+                F.col("dcg_raw") / F.col("idcg_raw"), places
+            ).alias("ndcg"),
+        )
+    )
+
+
 def inverted_index(
     toks: DataFrame,
     n_docs: DataFrame,

@@ -13308,6 +13308,216 @@ def q218_discount_calibration(
     )
 
 
+def _ndcg_disc_sql(k: int = 10) -> str:
+    """DuckDB VALUES table of the SAME pre-rounded rank discounts the
+    Spark side broadcasts (:func:`vnavc_spark.operators.retrieval.
+    dcg_discounts`) — one generator, two renderings, so the literals
+    cannot drift."""
+    from vnavc_spark.operators.retrieval import dcg_discounts
+
+    rows = ", ".join(
+        f"({i + 1}, {w!r})" for i, w in enumerate(dcg_discounts(k))
+    )
+    return f"disc(rnk, w) AS (VALUES {rows})"
+
+
+@query(
+    "q219_bm25_ndcg",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+q AS (SELECT DISTINCT doc_id AS qid, tok FROM toks
+      WHERE doc_id < 5 AND length(tok) >= 7),
+dl AS (SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY doc_id),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(floor((CAST(tf.cnt AS DOUBLE) * {1.2 + 1.0!r}
+                    / (CAST(tf.cnt AS DOUBLE)
+                       + {1.2!r} * ({1.0 - 0.75!r}
+                                    + {0.75!r} * (CAST(dl.dl * n.n_docs AS DOUBLE)
+                                                  / CAST(n.total_len AS DOUBLE))))
+                    * ((CAST(n.n_docs - df.df AS DOUBLE) + 0.5)
+                       / (CAST(df.df AS DOUBLE) + 0.5)))
+                   * 1000000.0 + 0.5)) / 1000000.0 AS score
+  FROM tf JOIN q USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.tok = df.tok CROSS JOIN n
+  WHERE tf.doc_id <> q.qid
+  GROUP BY q.qid, tf.doc_id),
+r AS (SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM scored) WHERE rnk <= 10),
+dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+rel AS (SELECT q.qid, dt.doc_id AS cand,
+               CAST(count(DISTINCT dt.tok) AS BIGINT) AS grade
+        FROM q JOIN dt USING (tok) WHERE dt.doc_id <> q.qid
+        GROUP BY q.qid, dt.doc_id),
+{_ndcg_disc_sql(10)},
+dcg AS (SELECT r.qid,
+               sum(floor(CAST(grade AS DOUBLE) * w * 1000000.0 + 0.5))
+                 / 1000000.0 AS dcg_raw
+        FROM r JOIN rel ON rel.qid = r.qid AND rel.cand = r.doc_id
+        JOIN disc ON disc.rnk = r.rnk
+        GROUP BY r.qid),
+ir AS (SELECT qid, cand, grade,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY grade DESC, cand) AS rnk
+       FROM rel),
+idcg AS (SELECT ir.qid,
+                sum(floor(CAST(grade AS DOUBLE) * w * 1000000.0 + 0.5))
+                  / 1000000.0 AS idcg_raw
+         FROM ir JOIN disc ON disc.rnk = ir.rnk
+         WHERE ir.rnk <= 10
+         GROUP BY ir.qid)
+SELECT dcg.qid,
+       floor(dcg_raw * 1000000.0 + 0.5) / 1000000.0 AS dcg,
+       floor(idcg_raw * 1000000.0 + 0.5) / 1000000.0 AS idcg,
+       floor(dcg_raw / idcg_raw * 1000000.0 + 0.5)
+         / 1000000.0 AS ndcg
+FROM dcg JOIN idcg ON idcg.qid = dcg.qid
+WHERE idcg_raw > 0
+""",
+)
+def q219_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking (q60's exact pipeline) against
+    graded term-overlap relevance — the retrieval family finally
+    gets EVALUATED, not just executed: per query (docs 0–4, their
+    ≥7-char tokens), how well does the BM25 top-10 order candidates
+    by how many distinct query terms they actually contain? Linear
+    gain (grade = overlap count; the 2^g−1 form overflows on
+    count-valued grades — convention pinned in
+    :func:`vnavc_spark.operators.retrieval.ndcg_at_k` and mirrored
+    here). The IDEAL ranking uses the FULL relevance set (every doc
+    sharing ≥1 query term), not just the top-k — truncated-judgment
+    nDCG silently inflates.
+
+    Determinism: rank discounts 1/log2(rank+1) ride as pre-rounded
+    decimal literals (one Python generator renders BOTH the Spark
+    broadcast table and the oracle's VALUES — no runtime log2, the
+    BM25 log-free-idf stance); every DCG term is quantized
+    floor(x·1e6 + 0.5) before order-independent integer sums.
+
+    Scale shape: BM25 exactly as q60 (broadcast query terms, one tf
+    shuffle, partial integer sums, per-query top-k window); the
+    judgment table is posting-list bounded (docs sharing a ≥7-char
+    query token); DCG/IDCG work on k·|queries| and judgment-sized
+    rows respectively."""
+    from vnavc_spark.cache import tracked_persist
+    from vnavc_spark.operators.retrieval import (
+        bm25_topk,
+        ndcg_at_k,
+        term_frequencies,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
+    )
+    tf = tracked_persist(term_frequencies(toks), "ndcg_tf")
+    qset = (
+        toks.filter((F.col("doc_id") < 5) & (F.length("tok") >= 7))
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+    )
+    ranked = bm25_topk(tf, qset, k=10).select(
+        "qid", F.col("doc_id").alias("cand"), "rnk"
+    )
+    dt = toks.select("doc_id", "tok").distinct()
+    rel = (
+        qset.join(dt, "tok")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("tok").cast("long").alias("grade"))
+        .select("qid", F.col("doc_id").alias("cand"), "grade")
+    )
+    return ndcg_at_k(ranked, rel, k=10)
+
+
+@query(
+    "q220_churn_hazard",
+    oracle="""
+WITH pc AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS f,
+         max(CAST(o_orderdate AS DATE)) AS l
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey),
+g AS (SELECT max(l) AS gmax FROM pc),
+per AS (
+  SELECT CAST(pc.l - pc.f AS BIGINT) AS t,
+         CASE WHEN g.gmax - pc.l > 90 THEN 1 ELSE 0 END AS ev
+  FROM pc CROSS JOIN g),
+c AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM per GROUP BY t),
+tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS nn FROM c),
+w AS (SELECT t, n_at, d,
+             CAST(sum(n_at) OVER (ORDER BY t) AS BIGINT) AS cum_n
+      FROM c),
+r AS (SELECT w.t, w.n_at, w.d,
+             CAST(tot.nn - w.cum_n + w.n_at AS BIGINT) AS risk
+      FROM w CROSS JOIN tot),
+h AS (SELECT t, n_at, d, risk,
+             CAST(floor(CAST(d AS DOUBLE) / CAST(risk AS DOUBLE)
+                        * 1000000000.0 + 0.5) AS BIGINT) AS h_int
+      FROM r),
+q AS (SELECT t, n_at, d, risk,
+             CAST(sum(h_int) OVER (ORDER BY t) AS BIGINT) AS cum_h
+      FROM h)
+SELECT t AS t_day,
+       risk AS n_risk,
+       d AS d_events,
+       CAST(n_at - d AS BIGINT) AS c_censored,
+       floor(CAST(d AS DOUBLE) / CAST(risk AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS hazard,
+       floor(CAST(cum_h AS DOUBLE) / 1000000000.0
+             * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard
+FROM q
+""",
+)
+def q220_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-churn SURVIVAL analysis — the Nelson–Aalen
+    cumulative-hazard table over customer activity spans: duration =
+    days between a customer's first and last order, right-CENSORED
+    when the last order falls within 90 days of the corpus end
+    (still active — treating them as churned is the classic
+    retention-analysis bias this estimator exists to avoid). Per
+    distinct duration: at-risk count, churn events, censored count,
+    hazard step d/n, cumulative hazard H(t)
+    (:func:`vnavc_spark.operators.aggregates.nelson_aalen_hazard`;
+    Nelson 1972 / Aalen 1978). Deliberately Nelson–Aalen, not
+    Kaplan–Meier, for the certified surface: H is a SUM of quantized
+    per-step terms (order-independent integer cumulative sums on
+    both engines), where the KM float PRODUCT's association order
+    differs between engines' window implementations — S(t) ≈
+    exp(−H(t)), and the exact per-step KM factors are recoverable
+    from the emitted (d, n) columns.
+
+    Scale shape: one groupBy(custkey) span pass, one broadcast
+    global max, then two ordered_cumsum passes over the
+    VALUE-DOMAIN-bounded duration grid (days — constant as
+    customers grow); no per-subject window anywhere."""
+    from vnavc_spark.operators.aggregates import nelson_aalen_hazard
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    pc = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    g = pc.agg(F.max("l").alias("gmax"))
+    per = pc.crossJoin(F.broadcast(g)).select(
+        F.datediff("l", "f").cast("long").alias("t"),
+        F.when(F.datediff("gmax", "l") > 90, 1).otherwise(0).alias("ev"),
+    )
+    return nelson_aalen_hazard(per, "t", "ev")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
