@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     # day-bounded duration grid — a clean narrow-grid witness)
     "q219_bm25_ndcg",
     "q220_churn_hazard",
+    # isotonic calibration: grid count pass + driver-side PAV — a
+    # collect-fit latency witness (the q212 shape, but cheap enough
+    # to bench since it skips the ER blocking)
+    "q221_isotonic_calibration",
 ]
 
 #: Bit-unchanged ambient witnesses (round-10 verdict item #1): four

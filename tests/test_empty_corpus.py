@@ -310,6 +310,7 @@ NULL_SENSITIVE = [
     # custkey/orderdate drop from the survival spans
     "q219_bm25_ndcg",
     "q220_churn_hazard",
+    "q221_isotonic_calibration",
 ]
 
 

@@ -2095,6 +2095,76 @@ class TestNelsonAalen:
         assert all(r.hazard == 0.0 and r.cum_hazard == 0.0 for r in rows)
 
 
+class TestPavIsotonic:
+    """aggregates.pav_isotonic — checked against the minimax closed
+    form fitted[i] = max_{j<=i} min_{k>=j} avg(p[j..k]) computed
+    independently in Python (the identity the q221 oracle pins
+    cross-engine), a hand-computed pooling example, and the KKT
+    structural properties of the isotonic projection."""
+
+    @staticmethod
+    def _minimax(levels):
+        out = []
+        K = len(levels)
+        for i in range(K):
+            best = None
+            for j in range(i + 1):
+                mn = None
+                for k in range(j, K):
+                    sn = sum(n for n, _ in levels[j : k + 1])
+                    sp = sum(p for _, p in levels[j : k + 1])
+                    v = sp / sn
+                    mn = v if mn is None or v < mn else mn
+                best = mn if best is None or mn > best else best
+            out.append(best)
+        return out
+
+    def test_matches_minimax_identity(self):
+        import random
+
+        from vnavc_spark.operators.aggregates import pav_isotonic
+
+        random.seed(43)
+        for _ in range(50):
+            K = random.randint(1, 12)
+            levels = [
+                (n := random.randint(1, 20), random.randint(0, n))
+                for _ in range(K)
+            ]
+            got = pav_isotonic(levels)
+            want = self._minimax(levels)
+            assert got == want, (levels, got, want)
+            # KKT/projection properties: monotone; total mass kept
+            assert all(a <= b for a, b in zip(got, got[1:]))
+            assert abs(
+                sum(n * f for (n, _), f in zip(levels, got))
+                - sum(p for _, p in levels)
+            ) < 1e-9
+
+    def test_hand_example_pools_the_violation(self):
+        from vnavc_spark.operators.aggregates import pav_isotonic
+
+        # rates [0, 1, 0]: the 1 > 0 violation pools levels 2+3 into
+        # (2+2 obs, 2+0 pos) = 0.5; level 1 stays 0
+        assert pav_isotonic([(2, 0), (2, 2), (2, 0)]) == [0.0, 0.5, 0.5]
+        # already isotonic: identity
+        assert pav_isotonic([(4, 1), (4, 2), (4, 3)]) == [
+            0.25,
+            0.5,
+            0.75,
+        ]
+        # fully decreasing: one pooled block = global rate
+        assert pav_isotonic([(2, 2), (2, 1), (2, 0)]) == [0.5, 0.5, 0.5]
+
+    def test_malformed_levels_raise(self):
+        import pytest as _pytest
+
+        from vnavc_spark.operators.aggregates import pav_isotonic
+
+        with _pytest.raises(ValueError, match="malformed"):
+            pav_isotonic([(2, 3)])
+
+
 class TestKendallTauQuery:
     """q187_kendall_tau cross-checked against the O(n²) brute-force
     concordant/discordant pair count on a synthetic lineitem — an

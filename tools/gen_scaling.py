@@ -112,6 +112,9 @@ SWEEP = [
     # fixed customer dim so per-customer spans just densify)
     ("q219_bm25_ndcg", ("documents",), False, False),
     ("q220_churn_hazard", ("orders",), True, False),
+    # isotonic calibration: the fit is driver-side on the ≤22-row
+    # level grid — only the count pass grows
+    ("q221_isotonic_calibration", ("lineitem",), True, False),
     ("q120_gap_fill", ("events",), False, False),
     ("q121_exact_mad_scalable", ("lineitem",), False, False),
     ("q122_skyline", ("orders",), True, False),

@@ -1939,6 +1939,53 @@ def brier_decomposition_from_counts(
     )
 
 
+def pav_isotonic(levels: list) -> list:
+    """Pool-Adjacent-Violators isotonic regression (Ayer et al. 1955;
+    Barlow et al. 1972) over an ordered level histogram: ``levels``
+    is a list of ``(n, p)`` pairs in increasing forecast order (n =
+    observations at the level, p = positives); returns the fitted
+    non-decreasing probability per level — the isotonic CALIBRATION
+    map a quality-classifier gate applies when the reliability
+    diagram (q218) shows miscalibration but the ORDER of the scores
+    is trusted. Pure driver-side arithmetic on the contract-bounded
+    level grid (the fellegi_sunter_em stance — the corpus never
+    participates, so this runs identically at any scale).
+
+    Exactness: blocks pool EXACT integer sums and violations compare
+    via cross-multiplication (p_a·n_b > p_b·n_a — no float ordering
+    anywhere); each fitted value is ONE terminal IEEE division
+    sum_p/sum_n. The q221 oracle certifies this against the
+    INDEPENDENT minimax closed form fitted[i] = max_{j≤i} min_{k≥j}
+    avg(p[j..k]) (two different algorithms, equal as exact rationals
+    — equal rationals divide to equal doubles, so the hash pins the
+    algebraic identity, not shared code)."""
+    blocks: list[list[int]] = []  # [sum_n, sum_p, width]
+    for n, p in levels:
+        n, p = int(n), int(p)
+        if n < 0 or p < 0 or p > n:
+            raise ValueError(f"malformed level (n={n}, p={p})")
+        blocks.append([n, p, 1])
+        # pool while the last block's rate exceeds... the PREVIOUS
+        # one's (violation of non-decreasing fit), comparing exact
+        # rationals p_prev/n_prev > p_last/n_last by cross-mult;
+        # zero-n blocks pool into their neighbour (0/0 is orderless)
+        while len(blocks) > 1 and (
+            blocks[-2][0] == 0
+            or blocks[-1][0] == 0
+            or blocks[-2][1] * blocks[-1][0]
+            > blocks[-1][1] * blocks[-2][0]
+        ):
+            n2, p2, w2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+            blocks[-1][2] += w2
+    out: list[float] = []
+    for n, p, w in blocks:
+        v = (p / n) if n else 0.0
+        out.extend([v] * w)
+    return out
+
+
 def nelson_aalen_hazard(
     per: DataFrame,
     time_col: str = "t",

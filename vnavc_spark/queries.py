@@ -13518,6 +13518,117 @@ def q220_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nelson_aalen_hazard(per, "t", "ev")
 
 
+@query(
+    "q221_isotonic_calibration",
+    oracle="""
+WITH v AS (
+  SELECT l_linestatus AS g,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) * 100 AS t,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_discount IS NOT NULL
+    AND l_returnflag IS NOT NULL),
+c AS (SELECT g, t, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS p
+      FROM v GROUP BY g, t),
+lv AS (SELECT g, t, n, p,
+              row_number() OVER (PARTITION BY g ORDER BY t) AS i,
+              CAST(sum(n) OVER (PARTITION BY g ORDER BY t) AS BIGINT)
+                AS cn,
+              CAST(sum(p) OVER (PARTITION BY g ORDER BY t) AS BIGINT)
+                AS cp
+       FROM c),
+rng AS (SELECT a.g, a.i AS j, b.i AS k,
+               CAST(b.cp - a.cp + a.p AS DOUBLE)
+                 / CAST(b.cn - a.cn + a.n AS DOUBLE) AS avgjk
+        FROM lv a JOIN lv b ON b.g = a.g AND b.i >= a.i),
+mn AS (SELECT g, j, min(avgjk) AS mnv FROM rng GROUP BY g, j),
+fit AS (SELECT lv.g, lv.i, max(mn.mnv) AS fitted
+        FROM lv JOIN mn ON mn.g = lv.g AND mn.j <= lv.i
+        GROUP BY lv.g, lv.i)
+SELECT lv.g AS linestatus,
+       lv.t AS level_pm,
+       lv.n, lv.p,
+       floor(CAST(lv.p AS DOUBLE) / CAST(lv.n AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS obs_rate,
+       floor(fit.fitted * 1000000.0 + 0.5) / 1000000.0 AS fitted
+FROM lv JOIN fit ON fit.g = lv.g AND fit.i = lv.i
+""",
+)
+def q221_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ISOTONIC calibration map (Pool-Adjacent-Violators; Ayer 1955 /
+    Barlow 1972) over q218's exact forecast grid: the non-decreasing
+    return-probability fit per discount level — what a pipeline
+    APPLIES when the reliability diagram (q218) shows miscalibration
+    but the score ORDER is trusted; q218 diagnoses, this repairs.
+    The fitted map rides next to the observed rate so the pooled
+    (violating) levels are visible.
+
+    Certification by ALGEBRAIC IDENTITY, not mirrored code: Spark
+    fits with driver-side PAV over the contract-bounded level grid
+    (:func:`vnavc_spark.operators.aggregates.pav_isotonic` — exact
+    integer pooling, cross-multiplied violation tests, one terminal
+    division per block; the fellegi_sunter_em stance), while the
+    ORACLE computes the INDEPENDENT minimax closed form fitted[i] =
+    max_{j≤i} min_{k≥j} avg(p[j..k]) as pure SQL over prefix sums
+    (O(K²) rows at K ≤ 11 levels). The two algorithms agree as exact
+    rationals, equal rationals divide to equal doubles, and
+    min/max over correctly-rounded doubles preserves the real-valued
+    ordering — so the hash pins the PAV ⇔ minimax identity itself.
+
+    Scale shape: one map-side count pass onto the (status, level)
+    grid; the fit is driver-side arithmetic on ≤ 11 levels × 2
+    statuses — identical at any corpus size (guarded ≤ 4096 grid
+    rows)."""
+    import math
+
+    from vnavc_spark.operators.aggregates import pav_isotonic
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
+    c = li.select(
+        F.col("l_linestatus").alias("g"),
+        (
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+            * 100
+        ).alias("t"),
+        F.when(F.col("l_returnflag") == F.lit("R"), 1)
+        .otherwise(0)
+        .alias("y"),
+    ).groupBy("g", "t").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    rows = c.collect()
+    if len(rows) > 4096:
+        raise ValueError(
+            f"q221: {len(rows)} grid rows exceeds the 4096 driver-fit "
+            "guard — the forecast-level domain should be bounded"
+        )
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((r["t"], r["n"], r["p"]))
+    out = []
+    for g in sorted(by_g):
+        lv = sorted(by_g[g])
+        fitted = pav_isotonic([(n, p) for _, n, p in lv])
+        out.extend(
+            (g, t, n, p, r6(p / n), r6(v))
+            for (t, n, p), v in zip(lv, fitted)
+        )
+    schema = (
+        "linestatus string, level_pm long, n long, p long, "
+        "obs_rate double, fitted double"
+    )
+    return spark.createDataFrame(out, schema)
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
