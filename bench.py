@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     # collect-fit latency witness (the q212 shape, but cheap enough
     # to bench since it skips the ER blocking)
     "q221_isotonic_calibration",
+    # Cochran-Armitage trend: a joinless one-pass moment witness
+    "q222_discount_return_trend",
 ]
 
 #: Bit-unchanged ambient witnesses (round-10 verdict item #1): four

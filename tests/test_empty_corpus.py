@@ -311,6 +311,7 @@ NULL_SENSITIVE = [
     "q219_bm25_ndcg",
     "q220_churn_hazard",
     "q221_isotonic_calibration",
+    "q222_discount_return_trend",
 ]
 
 

@@ -2095,6 +2095,73 @@ class TestNelsonAalen:
         assert all(r.hazard == 0.0 and r.cum_hazard == 0.0 for r in rows)
 
 
+class TestCochranArmitage:
+    """q222's division-free z² cross-checked against the textbook
+    Cochran-Armitage form T²/Var with T = Σ s(y − π) and
+    Var = π(1−π)(Σs²n − (Σsn)²/N), computed independently in Python
+    floats — plus planted trend / flat-null behavior of the flag."""
+
+    def _z2(self, rows):
+        n = len(rows)
+        p = sum(y for _, y in rows)
+        pi = p / n
+        t = sum(s * (y - pi) for s, y in rows)
+        ssn = sum(s * s for s, _ in rows)
+        sn = sum(s for s, _ in rows)
+        var = pi * (1 - pi) * (ssn - sn * sn / n)
+        return t * t / var
+
+    def _run(self, spark, tmp_path, rows_by_g):
+        import math
+
+        from vnavc_spark.queries import QUERIES
+
+        sf = str(tmp_path)
+        data = [
+            (g, s / 1000 / 10, "R" if y else "N")
+            for g, obs in rows_by_g.items()
+            for s, y in obs
+        ]
+        spark.createDataFrame(
+            data, "l_linestatus string, l_discount double, l_returnflag string"
+        ).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+        out = {
+            r.linestatus: r
+            for r in QUERIES["q222_discount_return_trend"](
+                spark, sf
+            ).collect()
+        }
+        want = {
+            g: math.floor(self._z2(obs) * 1e6 + 0.5) / 1e6
+            for g, obs in rows_by_g.items()
+        }
+        return out, want
+
+    def test_matches_textbook_form_and_flags(self, spark, tmp_path):
+        import random
+
+        random.seed(47)
+        # planted dose-response: P(return) rises with the level
+        trended = [
+            (s, 1 if random.random() < 0.1 + s / 2000 else 0)
+            for _ in range(400)
+            for s in [random.choice(range(0, 1001, 100))]
+        ]
+        # flat null: rate independent of the level
+        flat = [
+            (random.choice(range(0, 1001, 100)),
+             1 if random.random() < 0.3 else 0)
+            for _ in range(400)
+        ]
+        out, want = self._run(
+            spark, tmp_path, {"T": trended, "F": flat}
+        )
+        for g in ("T", "F"):
+            assert abs(out[g].z2 - want[g]) <= 2e-5, (g, out[g].z2, want[g])
+        assert out["T"].trend_flag is True
+        assert out["F"].trend_flag is False
+
+
 class TestPavIsotonic:
     """aggregates.pav_isotonic — checked against the minimax closed
     form fitted[i] = max_{j<=i} min_{k>=j} avg(p[j..k]) computed

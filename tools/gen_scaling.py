@@ -115,6 +115,8 @@ SWEEP = [
     # isotonic calibration: the fit is driver-side on the ≤22-row
     # level grid — only the count pass grows
     ("q221_isotonic_calibration", ("lineitem",), True, False),
+    # trend test: one joinless moment pass onto <=2 status rows
+    ("q222_discount_return_trend", ("lineitem",), True, False),
     ("q120_gap_fill", ("events",), False, False),
     ("q121_exact_mad_scalable", ("lineitem",), False, False),
     ("q122_skyline", ("orders",), True, False),

@@ -13629,6 +13629,111 @@ def q221_isotonic_calibration(
     return spark.createDataFrame(out, schema)
 
 
+@query(
+    "q222_discount_return_trend",
+    oracle="""
+WITH v AS (
+  SELECT l_linestatus AS g,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) * 100 AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_discount IS NOT NULL
+    AND l_returnflag IS NOT NULL),
+c AS (SELECT g, s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS p
+      FROM v GROUP BY g, s),
+t AS (SELECT g,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(p) AS BIGINT) AS pp,
+             CAST(sum(s * n) AS BIGINT) AS sn,
+             CAST(sum(s * p) AS BIGINT) AS sp,
+             CAST(sum(s * s * n) AS BIGINT) AS ssn
+      FROM c GROUP BY g),
+z AS (SELECT g, nn, pp,
+             (CAST(nn AS DOUBLE) * CAST(sp AS DOUBLE)
+              - CAST(pp AS DOUBLE) * CAST(sn AS DOUBLE)) AS a,
+             (CAST(nn AS DOUBLE) * CAST(ssn AS DOUBLE)
+              - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) AS b
+      FROM t
+      WHERE pp >= 1 AND nn - pp >= 1)
+SELECT g AS linestatus,
+       nn AS n,
+       pp AS n_pos,
+       floor(a * a * CAST(nn AS DOUBLE)
+             / (CAST(pp AS DOUBLE) * (CAST(nn AS DOUBLE)
+                                      - CAST(pp AS DOUBLE)) * b)
+             * 1000000.0 + 0.5) / 1000000.0 AS z2,
+       CAST(a * a * CAST(nn AS DOUBLE)
+            / (CAST(pp AS DOUBLE) * (CAST(nn AS DOUBLE)
+                                     - CAST(pp AS DOUBLE)) * b)
+            > 3.841 AS BOOLEAN) AS trend_flag
+FROM z
+""",
+)
+def q222_discount_return_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran–Armitage TREND test (Cochran 1954 / Armitage 1955) —
+    is the return rate MONOTONICALLY TRENDING in the discount level,
+    per line status? Completes the dose-response family on the
+    shared forecast grid: q218 diagnoses miscalibration, q221
+    repairs it isotonically, and this tests whether there is a trend
+    to calibrate AT ALL (an isotonic fit of a flat relationship is
+    noise). Scores are the exact per-mille levels; the statistic is
+    rendered DIVISION-FREE until the end: z² =
+    A²·N / (P·(N−P)·B) with A = N·Σsp − P·Σsn and B = N·Σs²n −
+    (Σsn)² — every factor an exactly-representable integer-valued
+    double from ONE map-side moment pass (no logs, no per-level
+    divisions, the q201 cramers-v stance). ``trend_flag`` pins the
+    χ²(1) 95% threshold (3.841) identically on both engines.
+
+    Scale shape: one map-side combinable moment aggregation over the
+    lineitem scan onto ≤ 2 status rows — joinless, windowless; the
+    five moments are partial-aggregable longs (Σs²n needs ~10^6·N —
+    lift to decimal past ~10^12 rows/group)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
+    c = li.select(
+        F.col("l_linestatus").alias("g"),
+        (
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+            * 100
+        ).alias("s"),
+        F.when(F.col("l_returnflag") == F.lit("R"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    t = c.groupBy("g").agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("pp"),
+        F.sum("s").cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("y")).cast("long").alias("sp"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ssn"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    a = d("nn") * d("sp") - d("pp") * d("sn")
+    b = d("nn") * d("ssn") - d("sn") * d("sn")
+    z2 = (
+        a * a * d("nn")
+        / (d("pp") * (d("nn") - d("pp")) * b)
+    )
+    from vnavc_spark.functions.portable import stable_round
+
+    return (
+        t.filter((F.col("pp") >= 1) & (F.col("nn") - F.col("pp") >= 1))
+        .select(
+            F.col("g").alias("linestatus"),
+            F.col("nn").alias("n"),
+            F.col("pp").alias("n_pos"),
+            stable_round(z2, 6).alias("z2"),
+            (z2 > F.lit(3.841)).alias("trend_flag"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
