@@ -205,6 +205,12 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, int] = {
     "q17_chunk_ids": 1,
     "q57_vocabulary": 1,
     "q67_bpe_merge_pairs": 1,
+    # two ungrouped ordered_cumsum passes over the day-bounded
+    # duration grid (n-at-risk, then quantized hazard terms): each
+    # global window is the cumsum's carry over <= num_parts
+    # partition-total rows — bounded by CLUSTER CONFIG, not data
+    # (the documented ungrouped-ordered_cumsum class)
+    "q220_churn_hazard": 2,
 }
 
 
