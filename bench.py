@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "q221_isotonic_calibration",
     # Cochran-Armitage trend: a joinless one-pass moment witness
     "q222_discount_return_trend",
+    # session survival: sessionize shuffle + hazard-grid cumsums
+    "q223_session_survival",
 ]
 
 #: Bit-unchanged ambient witnesses (round-10 verdict item #1): four

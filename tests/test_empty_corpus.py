@@ -312,6 +312,7 @@ NULL_SENSITIVE = [
     "q220_churn_hazard",
     "q221_isotonic_calibration",
     "q222_discount_return_trend",
+    "q223_session_survival",
 ]
 
 

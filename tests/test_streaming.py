@@ -1329,6 +1329,63 @@ class TestEventsAucTwin:
         )
         assert got_ap == want_ap and len(got_ap) == 5
 
+    def test_session_survival_snapshot_equals_batch_q223(
+        self, spark, tmp_path
+    ):
+        """The session-survival twin: halves split by event_id
+        PARITY, so nearly every session's events are scattered
+        across BOTH batches — the per-batch partial spans are
+        fragments that only the gap-rule merge can reassemble; the
+        snapshot must still equal the batch q223 exactly (the
+        session-window merge identity, plus a replayed-batch
+        overwrite staying idempotent)."""
+        from vnavc_spark.io import table
+        from vnavc_spark.queries import QUERIES
+        from vnavc_spark.streaming import ingest
+
+        sf = "/root/testdata/sf0.001"
+        ev = table(spark, sf, "events")
+        partials = str(tmp_path / "partials")
+        ckpt = str(tmp_path / "ckpt")
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, half in enumerate(
+            (
+                ev.filter(F.col("event_id") % 2 == 0),
+                ev.filter(F.col("event_id") % 2 == 1),
+            )
+        ):
+            part = tmp_path / f"sstage{i}"
+            half.select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ).coalesce(1).write.json(str(part))
+            import glob as _glob
+            import shutil as _shutil
+
+            for j, f in enumerate(
+                sorted(_glob.glob(str(part / "*.json")))
+            ):
+                _shutil.copy(f, src / f"half{i}_{j}.json")
+            q = ingest.start_session_span_partials(
+                spark.readStream.schema(
+                    ingest.EVENT_STREAM_SCHEMA
+                ).json(str(src)),
+                partials,
+                ckpt,
+            )
+            q.awaitTermination(60)
+        got = sorted(
+            tuple(r)
+            for r in ingest.session_survival_snapshot(
+                spark, partials
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["q223_session_survival"](spark, sf).collect()
+        )
+        assert got == want and len(got) >= 10
+
     def test_snapshot_equals_batch_q204_composite_group(
         self, spark, tmp_path
     ):

@@ -117,6 +117,10 @@ SWEEP = [
     ("q221_isotonic_calibration", ("lineitem",), True, False),
     # trend test: one joinless moment pass onto <=2 status rows
     ("q222_discount_return_trend", ("lineitem",), True, False),
+    # session survival: one user_id shuffle + the minute-bounded
+    # duration grid (events replicate with shifted user_ids, so
+    # sessions and spans grow ~linearly)
+    ("q223_session_survival", ("events",), False, False),
     ("q120_gap_fill", ("events",), False, False),
     ("q121_exact_mad_scalable", ("lineitem",), False, False),
     ("q122_skyline", ("orders",), True, False),

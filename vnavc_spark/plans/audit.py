@@ -211,6 +211,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, int] = {
     # partition-total rows — bounded by CLUSTER CONFIG, not data
     # (the documented ungrouped-ordered_cumsum class)
     "q220_churn_hazard": 2,
+    # same hazard core, minute-bounded session-duration grid (the
+    # sessionization windows are user_id-partitioned, not global)
+    "q223_session_survival": 2,
 }
 
 

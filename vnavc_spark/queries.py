@@ -13734,6 +13734,104 @@ def q222_discount_return_trend(
     )
 
 
+@query(
+    "q223_session_survival",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+lg AS (SELECT user_id, event_id, ts, sec,
+              lag(sec) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+       FROM e),
+b AS (SELECT user_id, event_id, ts, sec,
+             CASE WHEN prev IS NULL OR sec - prev > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM lg),
+s AS (SELECT user_id, sec,
+             CAST(sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS sid
+      FROM b),
+g AS (SELECT user_id, sid, min(sec) AS f, max(sec) AS l
+      FROM s GROUP BY user_id, sid),
+m AS (SELECT max(l) AS gm FROM g),
+per AS (SELECT CAST(floor((g.l - g.f) / 60.0) AS BIGINT) AS t,
+               CASE WHEN m.gm - g.l < 1800 THEN 0 ELSE 1 END AS ev
+        FROM g CROSS JOIN m),
+c AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM per GROUP BY t),
+tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS nn FROM c),
+w AS (SELECT t, n_at, d,
+             CAST(sum(n_at) OVER (ORDER BY t) AS BIGINT) AS cum_n
+      FROM c),
+r AS (SELECT w.t, w.n_at, w.d,
+             CAST(tot.nn - w.cum_n + w.n_at AS BIGINT) AS risk
+      FROM w CROSS JOIN tot),
+h AS (SELECT t, n_at, d, risk,
+             CAST(floor(CAST(d AS DOUBLE) / CAST(risk AS DOUBLE)
+                        * 1000000000.0 + 0.5) AS BIGINT) AS h_int
+      FROM r),
+q AS (SELECT t, n_at, d, risk,
+             CAST(sum(h_int) OVER (ORDER BY t) AS BIGINT) AS cum_h
+      FROM h)
+SELECT t AS t_day,
+       risk AS n_risk,
+       d AS d_events,
+       CAST(n_at - d AS BIGINT) AS c_censored,
+       floor(CAST(d AS DOUBLE) / CAST(risk AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS hazard,
+       floor(CAST(cum_h AS DOUBLE) / 1000000000.0
+             * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard
+FROM q
+""",
+)
+def q223_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-LENGTH survival — the Nelson–Aalen hazard core's
+    second consumer, on the question online analytics actually asks
+    at event scale: given a session has lasted t minutes, what is
+    the hazard of it ending now? Sessions are q31's 30-minute-gap
+    sessionization in its interval-producing form
+    (:func:`vnavc_spark.operators.intervals.session_intervals` —
+    lag + running boundary sum, ONE shuffle on user_id shared by
+    both windows); duration = whole minutes
+    between a session's first and last event; a session whose last
+    event falls within the 30-minute gap of the corpus end is
+    right-CENSORED (it may still be open — the corpus simply ended;
+    counting it as ended biases the hazard up, the exact bias the
+    estimator exists to remove). Same output contract and
+    quantized-sum determinism as q220
+    (:func:`vnavc_spark.operators.aggregates.nelson_aalen_hazard`);
+    the duration column is labeled ``t_day`` by the shared core —
+    here the unit is minutes.
+
+    Scale shape: sessionization is one user_id shuffle with two
+    windows over it; spans reduce per (user, session); the hazard
+    tail is two ordered_cumsum passes over the minute-bounded
+    duration grid (saturating — constant as events grow)."""
+    from vnavc_spark.operators.aggregates import nelson_aalen_hazard
+    from vnavc_spark.operators.intervals import session_intervals
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    g = session_intervals(e).select(
+        F.unix_timestamp("s_start").alias("f"),
+        F.unix_timestamp("s_end").alias("l"),
+    )
+    m = g.agg(F.max("l").alias("gm"))
+    per = g.crossJoin(F.broadcast(m)).select(
+        F.floor((F.col("l") - F.col("f")) / F.lit(60.0))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("gm") - F.col("l") < 1800, 0).otherwise(1).alias("ev"),
+    )
+    return nelson_aalen_hazard(per, "t", "ev")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

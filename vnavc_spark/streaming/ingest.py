@@ -594,6 +594,107 @@ def average_precision_snapshot(
     return average_precision_from_counts(sv, group_col, value_col)
 
 
+def start_session_span_partials(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    gap_s: int = 1800,
+):
+    """Stream side of the session-survival monitor (queries.q223's
+    twin): each micro-batch sessionizes ITS OWN events
+    (:func:`vnavc_spark.operators.intervals.session_intervals`) and
+    stages the per-batch PARTIAL session spans (user_id, f_sec,
+    l_sec) under ``partials_path/batch_id=N``. Partial spans are
+    MERGEABLE state: sessionize(union of batches) ≡ gap-rule
+    interval merge of the per-batch spans — a span's endpoints are
+    its extreme events, so the minimal event gap between two partial
+    sessions IS their endpoint gap, and merging spans whose gap ≤
+    ``gap_s`` reconstructs the event-level chain exactly (the Spark
+    session-window merge identity; overlapping spans from a session
+    seen in two batches merge at negative gap). A replayed batch id
+    overwrites its own partial in place."""
+    from vnavc_spark.operators.intervals import session_intervals
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            session_intervals(
+                batch_df.filter(
+                    F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                ),
+                gap_s=gap_s,
+            )
+            .select(
+                "user_id",
+                F.unix_timestamp("s_start").alias("f_sec"),
+                F.unix_timestamp("s_end").alias("l_sec"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{partials_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def session_survival_snapshot(
+    spark,
+    partials_path: str,
+    gap_s: int = 1800,
+    horizon_s: int = 1800,
+) -> DataFrame:
+    """Nelson–Aalen session-length hazard from the staged partial
+    session spans — identical output contract to queries.q223.
+    Spans are merged per user with the gap rule (running-max end
+    carried BEFORE each span, so overlapping replays and split
+    sessions collapse exactly as the event-level sessionizer would
+    — see :func:`start_session_span_partials`), then durations,
+    the ``horizon_s`` right-censor against the corpus end, and the
+    shared ``aggregates.nelson_aalen_hazard`` core. Streaming ==
+    batch is the session-window merge identity, not an
+    approximation (parity-tested in tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    from vnavc_spark.operators.aggregates import nelson_aalen_hazard
+
+    spans = spark.read.parquet(partials_path)
+    w = Window.partitionBy("user_id").orderBy("f_sec", "l_sec")
+    prev_end = F.max("l_sec").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        spans.withColumn(
+            "_new",
+            F.when(
+                prev_end.isNull()
+                | (F.col("f_sec") - prev_end > gap_s),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_gid",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "_gid")
+        .agg(F.min("f_sec").alias("f"), F.max("l_sec").alias("l"))
+    )
+    m = merged.agg(F.max("l").alias("gm"))
+    per = merged.crossJoin(F.broadcast(m)).select(
+        F.floor((F.col("l") - F.col("f")) / F.lit(60.0))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("gm") - F.col("l") < horizon_s, 0)
+        .otherwise(1)
+        .alias("ev"),
+    )
+    return nelson_aalen_hazard(per, "t", "ev")
+
+
 def start_digit_partials(
     stream: DataFrame,
     partials_path: str,
@@ -1482,6 +1583,15 @@ TWINS: dict[str, dict] = {
         "batch": ("q217_average_precision",),
         "partials": "(group, value, cnt, cnt_pos) class-conditional "
         "histogram per batch_id=N (same staging as score-separation)",
+    },
+    "session-survival": {
+        "snapshot": "session_survival_snapshot",
+        "start": "start_session_span_partials",
+        "flags": (),
+        "batch": ("q223_session_survival",),
+        "partials": "(user_id, f_sec, l_sec) per-batch PARTIAL "
+        "session spans per batch_id=N (snapshot merges spans with "
+        "the gap rule — the session-window merge identity)",
     },
     "benford": {
         "snapshot": "benford_snapshot",
