@@ -2498,6 +2498,19 @@ def q63_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "quota", "rk")
 
 
+#: q64's FIXED reference lexicon — the 25-word vocabulary the
+#: unigram-LM gate scores against (an LM/tokenizer vocabulary is a
+#: shipped artifact, not corpus-derived). One list, two renderings
+#: (Spark isin + SQL IN), so the engines cannot drift.
+_LM_VOCAB = (
+    "a", "agg", "big", "column", "customer", "data", "fast", "filter",
+    "group", "hash", "join", "key", "line", "merge", "order", "part",
+    "query", "row", "scan", "slow", "small", "sort", "table", "the",
+    "value",
+)
+_LM_VOCAB_SQL = ", ".join(f"'{t}'" for t in _LM_VOCAB)
+
+
 @query(
     "q64_unigram_lm_gate",
     oracle=f"""
@@ -2505,9 +2518,10 @@ WITH toks AS (
   SELECT doc_id, unnest({TOKS_SQL.format(c="text")}) AS tok FROM documents),
 c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
 t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
-j AS (SELECT toks.doc_id, c.c FROM toks JOIN c USING (tok)),
+j AS (SELECT toks.doc_id, toks.tok, c.c FROM toks JOIN c USING (tok)),
 p AS (SELECT doc_id, count(*) AS n_tok,
-             CAST(sum(CASE WHEN c >= 5 THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+             CAST(sum(CASE WHEN tok IN ({_LM_VOCAB_SQL})
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
              CAST(sum(c) AS BIGINT) AS freq_sum
       FROM j GROUP BY doc_id)
 SELECT doc_id, n_tok, n_oov,
@@ -2520,12 +2534,25 @@ FROM p CROSS JOIN t
 def q64_unigram_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality gate, log-free (the KenLM-perplexity-filter
     shape without transcendental functions): per-doc OOV rate against
-    a min-count-5 corpus vocabulary, plus mean corpus token frequency
-    — both exact integer sums with one terminal division, so the
-    whole filter hash-certifies (a real perplexity would need ``ln``,
-    which differs JVM vs libm in the last ulp). Scale shape: token
-    counts aggregate map-side; the count table joins back on the SAME
-    tok partitioning (exchange reuse), then one shuffle on doc_id."""
+    a FIXED 25-word reference vocabulary (``_LM_VOCAB`` — the shape a
+    real gate has: an LM/tokenizer vocabulary is a shipped ARTIFACT,
+    not something re-derived from the corpus being scored), plus mean
+    corpus token frequency — exact integer sums with one terminal
+    division each, so the whole filter hash-certifies (a real
+    perplexity would need ``ln``, which differs JVM vs libm in the
+    last ulp). Scale shape: the vocabulary is a broadcast literal;
+    token counts aggregate map-side; the count table joins back on
+    the SAME tok partitioning (exchange reuse), then one shuffle on
+    doc_id.
+
+    De-vacuated round 13 (the q72/q150 class at the VALUE level,
+    caught by the constant-column sweep): the original
+    min-count-5 SELF-vocabulary could never reject — the corpus
+    lexicon is ~31 tokens, every one far above any count threshold
+    at every SF, so n_oov ≡ 0 and keep ≡ True were certified
+    forever. Against the fixed reference lexicon, 27–385 docs
+    reject per SF with oov_rate spanning 0–0.54 — both branches
+    live everywhere."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
@@ -2537,7 +2564,7 @@ def q64_unigram_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tok"),
-            F.sum(F.when(F.col("c") >= 5, 0).otherwise(1))
+            F.sum(F.when(F.col("tok").isin(*_LM_VOCAB), 0).otherwise(1))
             .cast("long")
             .alias("n_oov"),
             F.sum("c").cast("long").alias("freq_sum"),
@@ -6667,29 +6694,29 @@ def q133_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q134_mad_fences",
     oracle="""
 WITH m AS (
-  SELECT l_returnflag,
-         floor(quantile_disc(l_extendedprice, 0.5) * 100.0 + 0.5)
+  SELECT event_type,
+         floor(quantile_disc(value, 0.5) * 100.0 + 0.5)
            / 100.0 AS med,
          CAST(count(*) AS BIGINT) AS n_rows
-  FROM lineitem WHERE l_extendedprice IS NOT NULL
-  GROUP BY l_returnflag),
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type),
 dv AS (
-  SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS dev
-  FROM lineitem l JOIN m USING (l_returnflag)
-  WHERE l.l_extendedprice IS NOT NULL),
+  SELECT e.event_type, abs(e.value - m.med) AS dev
+  FROM events e JOIN m USING (event_type)
+  WHERE e.value IS NOT NULL),
 mm AS (
-  SELECT m.l_returnflag, m.n_rows, m.med,
+  SELECT m.event_type, m.n_rows, m.med,
          floor(quantile_disc(dv.dev, 0.5) * 100.0 + 0.5) / 100.0 AS mad
-  FROM dv JOIN m USING (l_returnflag)
-  GROUP BY m.l_returnflag, m.n_rows, m.med),
+  FROM dv JOIN m USING (event_type)
+  GROUP BY m.event_type, m.n_rows, m.med),
 o AS (
-  SELECT l.l_returnflag,
-         CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vc,
+  SELECT e.event_type,
+         CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS vc,
          CAST(floor(mm.med * 100.0 + 0.5) AS BIGINT) AS medc,
          CAST(floor(mm.mad * 100.0 + 0.5) AS BIGINT) AS madc
-  FROM lineitem l JOIN mm USING (l_returnflag)
-  WHERE l.l_extendedprice IS NOT NULL)
-SELECT mm.l_returnflag, mm.n_rows, mm.med, mm.mad,
+  FROM events e JOIN mm USING (event_type)
+  WHERE e.value IS NOT NULL)
+SELECT mm.event_type, mm.n_rows, mm.med, mm.mad,
        CAST(count(*) FILTER (
          WHERE vc < medc - 3 * madc OR vc > medc + 3 * madc)
          AS BIGINT) AS n_outliers,
@@ -6699,38 +6726,51 @@ SELECT mm.l_returnflag, mm.n_rows, mm.med, mm.mad,
        max(vc) FILTER (
          WHERE vc < medc - 3 * madc OR vc > medc + 3 * madc)
          / 100.0 AS out_hi
-FROM o JOIN mm USING (l_returnflag)
-GROUP BY mm.l_returnflag, mm.n_rows, mm.med, mm.mad
+FROM o JOIN mm USING (event_type)
+GROUP BY mm.event_type, mm.n_rows, mm.med, mm.mad
 """,
 )
 def q134_mad_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier fences (median ± 3·MAD) per return flag, with
-    outlier count and extreme values — the dispersion-based anomaly
-    gate a single corrupt extreme cannot move (unlike mean ± 3σ,
-    whose moments the outlier itself inflates). Median and MAD come
-    from q121's chained zero-buffering narrowing selections; the
-    fence pass then compares integer CENTS against the broadcast
-    per-group fence bounds, so the outlier SET is engine-exact (no
-    float boundary ambiguity). Three corpus scans total (median,
-    deviations, fence) — each a map-side-combinable aggregate, no
-    value buffering anywhere."""
-    li = table(spark, sf_dir, "lineitem")
-    med = aggregates.exact_rank_select(
-        li, ["l_returnflag"], "l_extendedprice", n_buckets=4096
-    ).select(
-        "l_returnflag", "n_rows", F.col("median").alias("med")
+    """Robust outlier fences (median ± 3·MAD) per event type over the
+    event VALUE, with outlier count and extreme values — the
+    dispersion-based anomaly gate a single corrupt extreme cannot
+    move (unlike mean ± 3σ, whose moments the outlier itself
+    inflates). Median and MAD come from q121's chained
+    zero-buffering narrowing selections; the fence pass then
+    compares integer CENTS against the broadcast per-group fence
+    bounds, so the outlier SET is engine-exact (no float boundary
+    ambiguity). Three corpus scans total (median, deviations,
+    fence) — each a map-side-combinable aggregate, no value
+    buffering anywhere.
+
+    De-vacuated round 13 (the q72/q150 class at the VALUE level,
+    caught by the constant-column sweep): the original
+    l_extendedprice target has max|dev|/MAD ≈ 2.0 at EVERY SF —
+    bounded near-uniform, so a 3·MAD fence could never fire and the
+    green rows certified n_outliers ≡ 0 / NULL fences forever. The
+    event value's tail runs 7–16 MADs, so every group now has live
+    outliers at every SF (both fence branches exercised)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
     )
-    dev = li.join(F.broadcast(med), on="l_returnflag").select(
-        "l_returnflag",
-        F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
+    med = aggregates.exact_rank_select(
+        e, ["event_type"], "value", n_buckets=4096
+    ).select("event_type", "n_rows", F.col("median").alias("med"))
+    dev = e.filter(F.col("value").isNotNull()).join(
+        F.broadcast(med), on="event_type"
+    ).select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
     )
     mad = aggregates.exact_rank_select(
-        dev, ["l_returnflag"], "dev", n_buckets=4096
-    ).select("l_returnflag", F.col("median").alias("mad"))
-    mm = med.join(mad, on="l_returnflag")
-    vc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    o = li.join(F.broadcast(mm), on="l_returnflag").select(
-        "l_returnflag",
+        dev, ["event_type"], "dev", n_buckets=4096
+    ).select("event_type", F.col("median").alias("mad"))
+    mm = med.join(mad, on="event_type")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    o = e.filter(F.col("value").isNotNull()).join(
+        F.broadcast(mm), on="event_type"
+    ).select(
+        "event_type",
         "n_rows",
         "med",
         "mad",
@@ -6741,7 +6781,7 @@ def q134_mad_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (F.col("vc") < F.col("medc") - 3 * F.col("madc")) | (
         F.col("vc") > F.col("medc") + 3 * F.col("madc")
     )
-    return o.groupBy("l_returnflag", "n_rows", "med", "mad").agg(
+    return o.groupBy("event_type", "n_rows", "med", "mad").agg(
         F.count(F.when(out, 1)).cast("long").alias("n_outliers"),
         (F.min(F.when(out, F.col("vc"))) / 100.0).alias("out_lo"),
         (F.max(F.when(out, F.col("vc"))) / 100.0).alias("out_hi"),
@@ -13351,11 +13391,10 @@ r AS (SELECT qid, doc_id, rnk FROM (
                row_number() OVER (PARTITION BY qid
                                   ORDER BY score DESC, doc_id) AS rnk
         FROM scored) WHERE rnk <= 10),
-dt AS (SELECT DISTINCT doc_id, tok FROM toks),
-rel AS (SELECT q.qid, dt.doc_id AS cand,
-               CAST(count(DISTINCT dt.tok) AS BIGINT) AS grade
-        FROM q JOIN dt USING (tok) WHERE dt.doc_id <> q.qid
-        GROUP BY q.qid, dt.doc_id),
+rel AS (SELECT q.qid, tf2.doc_id AS cand,
+               CAST(sum(tf2.cnt) AS BIGINT) AS grade
+        FROM q JOIN tf tf2 USING (tok) WHERE tf2.doc_id <> q.qid
+        GROUP BY q.qid, tf2.doc_id),
 {_ndcg_disc_sql(10)},
 dcg AS (SELECT r.qid,
                sum(floor(CAST(grade AS DOUBLE) * w * 1000000.0 + 0.5))
@@ -13384,12 +13423,18 @@ WHERE idcg_raw > 0
 )
 def q219_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@10 of the BM25 ranking (q60's exact pipeline) against
-    graded term-overlap relevance — the retrieval family finally
-    gets EVALUATED, not just executed: per query (docs 0–4, their
-    ≥7-char tokens), how well does the BM25 top-10 order candidates
-    by how many distinct query terms they actually contain? Linear
-    gain (grade = overlap count; the 2^g−1 form overflows on
-    count-valued grades — convention pinned in
+    graded relevance — the retrieval family finally gets EVALUATED,
+    not just executed: per query (docs 0–4, their ≥7-char tokens),
+    how well does the BM25 top-10 order candidates by the TOTAL
+    OCCURRENCE MASS of query terms they contain (grade = Σ tf)?
+    BM25's idf weighting, tf saturation, and length normalization
+    deliberately DISAGREE with raw tf mass, so the metric has real
+    room below 1 — measured 0.76–0.81 at every SF. (An earlier
+    distinct-overlap grade made the ideal ranking coincide with
+    BM25's at every SF and certified ndcg ≡ 1.0 — the q72 vacuity
+    class at the VALUE level, caught by the round-13 constant-column
+    sweep.) Linear gain (the 2^g−1 form overflows on count-valued
+    grades — convention pinned in
     :func:`vnavc_spark.operators.retrieval.ndcg_at_k` and mirrored
     here). The IDEAL ranking uses the FULL relevance set (every doc
     sharing ≥1 query term), not just the top-k — truncated-judgment
@@ -13426,12 +13471,11 @@ def q219_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = bm25_topk(tf, qset, k=10).select(
         "qid", F.col("doc_id").alias("cand"), "rnk"
     )
-    dt = toks.select("doc_id", "tok").distinct()
     rel = (
-        qset.join(dt, "tok")
+        qset.join(tf, "tok")
         .filter(F.col("doc_id") != F.col("qid"))
         .groupBy("qid", "doc_id")
-        .agg(F.countDistinct("tok").cast("long").alias("grade"))
+        .agg(F.sum("cnt").cast("long").alias("grade"))
         .select("qid", F.col("doc_id").alias("cand"), "grade")
     )
     return ndcg_at_k(ranked, rel, k=10)
