@@ -427,20 +427,22 @@ def test_journey_trigrams_planted(spark, tmp_path):
 
 
 def test_mad_fences_catch_planted_extreme(spark, tmp_path):
+    # q134 re-pointed at events.value in round 13 (the lineitem
+    # price column's max deviation is 2 MADs at every SF, so the
+    # fence could never fire there) — same planted-extreme contract
+    # on the new shape
     import vnavc_spark.queries as Qr
 
     base = _ts("2024-01-01 00:00:00")
-    rows = []
-    for i in range(40):
-        rows.append((i, 1, 1, 1, 1.0, 100.0 + (i % 5), 0.0, 0.0, "N", "O", base))
-    rows.append((99, 1, 1, 1, 1.0, 10000.0, 0.0, 0.0, "N", "O", base))
+    rows = [
+        (i, base, 1, "click", 100.0 + (i % 5), "{}") for i in range(40)
+    ]
+    rows.append((99, base, 1, "click", 10000.0, "{}"))
     spark.createDataFrame(
         rows,
-        "l_orderkey long, l_partkey long, l_suppkey long,"
-        " l_linenumber int, l_quantity double, l_extendedprice double,"
-        " l_discount double, l_tax double, l_returnflag string,"
-        " l_linestatus string, l_shipdate timestamp",
-    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
     out = Qr.q134_mad_fences(spark, str(tmp_path)).collect()
     assert len(out) == 1
     r = out[0]
