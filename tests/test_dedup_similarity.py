@@ -458,7 +458,11 @@ class TestDedupClusters:
         dedup.CC_STATS.clear()
         out = {
             r.doc_id: r.cluster_id
-            for r in dedup.dedup_clusters(pairs).collect()
+            # cap 0 forces the distributed loop: this test pins the
+            # loop's sync discipline, not the small-graph gate
+            for r in dedup.dedup_clusters(
+                pairs, driver_edge_cap=0
+            ).collect()
         }
         assert set(out.values()) == {0} and len(out) == 41
         (stats,) = dedup.CC_STATS
@@ -476,12 +480,55 @@ class TestDedupClusters:
         dedup.CC_STATS.clear()
         out = {
             r.doc_id: r.cluster_id
-            for r in dedup.dedup_clusters(pairs).collect()
+            for r in dedup.dedup_clusters(
+                pairs, driver_edge_cap=0
+            ).collect()
         }
         assert set(out.values()) == {0} and len(out) == 5
         (stats,) = dedup.CC_STATS
         # converged at round 1, confirmed at round 2 -> ONE batch
         assert stats["batches"] == 1 and stats["rounds"] == 2, stats
+
+    def test_driver_gate_parity_with_distributed_loop(self, spark):
+        """Round-13 size gate: under the edge cap the labels come
+        from a driver union-find — they must be BIT-IDENTICAL to the
+        distributed loop's fixpoint on the same graph (chains,
+        a clique, an isolated pair, string and long node ids)."""
+        graphs = [
+            [(i, i + 1) for i in range(15)]
+            + [(100, 101)]
+            + [(a, b) for a in range(50, 55) for b in range(a + 1, 55)],
+        ]
+        for edges in graphs:
+            pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+            dedup.CC_STATS.clear()
+            fast = {
+                r.doc_id: r.cluster_id
+                for r in dedup.dedup_clusters(pairs).collect()
+            }
+            assert dedup.CC_STATS[-1].get("driver_path") is True
+            slow = {
+                r.doc_id: r.cluster_id
+                for r in dedup.dedup_clusters(
+                    pairs, driver_edge_cap=0
+                ).collect()
+            }
+            assert fast == slow
+        # string node ids (the q209 shape)
+        spairs = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")], ["doc_a", "doc_b"]
+        )
+        fast = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dedup_clusters(spairs).collect()
+        }
+        slow = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dedup_clusters(
+                spairs, driver_edge_cap=0
+            ).collect()
+        }
+        assert fast == slow == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
     def test_drop_near_dups_keeps_representatives(self, spark):
         docs = spark.createDataFrame(
@@ -1302,7 +1349,10 @@ class TestSeveredCheckpoint:
         t0 = time.time()
         labels = {
             r.doc_id: r.cluster_id
-            for r in dedup.dedup_clusters(edges).collect()
+            # cap 0: this guards the DISTRIBUTED loop's stats blowup
+            for r in dedup.dedup_clusters(
+                edges, driver_edge_cap=0
+            ).collect()
         }
         elapsed = time.time() - t0
         assert all(v == 0 for v in labels.values())  # one component

@@ -2502,6 +2502,34 @@ class TestKcorePeel:
         with pytest.raises(ValueError, match="k must be"):
             kcore_peel(df, k=0)
 
+    def test_driver_gate_parity_with_distributed_loop(self, spark):
+        """Round-13 size gate: under the edge cap the peel runs
+        driver-side — sweeps must be BIT-IDENTICAL to the
+        distributed loop (cap 0 forces it) in both the fixed-round
+        and fixpoint forms."""
+        from vnavc_spark.operators.dedup import kcore_peel
+
+        edges = self._edges()
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        for rounds, fix in ((1, False), (3, False), (50, True)):
+            fast = {
+                r.doc_id: r.residual_deg
+                for r in kcore_peel(
+                    df, k=2, rounds=rounds, to_fixpoint=fix
+                ).collect()
+            }
+            slow = {
+                r.doc_id: r.residual_deg
+                for r in kcore_peel(
+                    df,
+                    k=2,
+                    rounds=rounds,
+                    to_fixpoint=fix,
+                    driver_edge_cap=0,
+                ).collect()
+            }
+            assert fast == slow, (rounds, fix)
+
 
 class TestRobustTrendQuery:
     """q197_robust_trend vs brute-force Theil-Sen / Mann-Kendall on a

@@ -887,8 +887,100 @@ def compact_signature_table(
 CC_STATS: list[dict] = []
 
 
+#: Default edge-count ceiling below which dedup_clusters solves the
+#: component labels with a driver-side union-find instead of the
+#: iterative join loop. Rationale (round-13 optimization, guide §1.2
+#: "the distributed algorithm first" + §3.1's pick-by-size stance):
+#: the join loop costs O(log diameter) checkpoint batches of driver
+#: sync (~1 s/batch measured — 6.5 s for q209's 5,599-edge match
+#: graph, >40% of the whole query) REGARDLESS of cluster size,
+#: because the per-batch work is scheduling, not data. A match graph
+#: under the cap collects to a few MB (the broadcast-join size
+#: class), union-find labels it in milliseconds, and the result is
+#: bit-identical (min member id per component). Graphs above the cap
+#: keep the distributed loop — the cap is a driver-memory knob
+#: (500k doubled edges ≈ tens of MB collected, same class as
+#: spark.sql.autoBroadcastJoinThreshold's reasoning), overridable
+#: per call, via spark.vnavc.cc.driverEdgeCap, or
+#: $SPARK_GRAFT_CC_DRIVER_EDGE_CAP; 0 disables the driver path.
+CC_DRIVER_EDGE_CAP = 500_000
+
+
+def _cc_driver_edge_cap(spark) -> int:
+    import os as _os
+
+    try:
+        return int(
+            spark.conf.get(
+                "spark.vnavc.cc.driverEdgeCap",
+                _os.environ.get(
+                    "SPARK_GRAFT_CC_DRIVER_EDGE_CAP",
+                    str(CC_DRIVER_EDGE_CAP),
+                ),
+            )
+        )
+    except ValueError:
+        return CC_DRIVER_EDGE_CAP
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Label connected components of a SMALL (cap-gated, already
+    materialized) doubled edge table on the driver: classic
+    union-find with path compression, roots kept at the component
+    MIN so labels are bit-identical to the join loop's fixpoint.
+    Null endpoints mirror the join loop: a null node never joins
+    anything and keeps its null label."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while x != r:
+            parent[x], x = r, parent.get(x, x)
+        return r
+
+    nodes = set()
+    has_null = False
+    for s, d in rows:
+        if s is None or d is None:
+            if s is not None:
+                nodes.add(s)
+            if d is not None:
+                nodes.add(d)
+            has_null = s is None or has_null
+            continue
+        nodes.add(s)
+        nodes.add(d)
+        rs, rd = find(s), find(d)
+        if rs == rd:
+            continue
+        if rd < rs:
+            rs, rd = rd, rs
+        parent[rd] = rs
+
+    labels = [(n, find(n)) for n in sorted(nodes)]
+    if has_null:
+        # the loop's distinct() keeps one null node row, label null
+        labels.append((None, None))
+    from pyspark.sql.types import StructField, StructType
+
+    node_type = edges.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", node_type, True),
+            StructField("cluster_id", node_type, True),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(labels, schema)
+
+
 def dedup_clusters(
-    pairs: DataFrame, max_iters: int = 50, check_every: int = 2
+    pairs: DataFrame,
+    max_iters: int = 50,
+    check_every: int = 2,
+    driver_edge_cap: int | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
     for every doc appearing in a pair, cluster_id = min doc id of its
@@ -924,7 +1016,17 @@ def dedup_clusters(
     what survives a 100 TB chain-shaped component. The jump is one
     extra node-table self-join per round (label-keyed, node-sized —
     never edge-sized); the fixpoint is unchanged (stable ⇔ labels
-    constant along every edge ⇔ component min)."""
+    constant along every edge ⇔ component min).
+
+    Size gate (round-13 optimization): when the doubled edge table
+    (already materialized by its checkpoint) holds at most
+    ``driver_edge_cap`` rows, the labels are computed with a
+    driver-side union-find instead — identical output (min member
+    per component), milliseconds instead of seconds of
+    cluster-size-independent checkpoint syncs. The cap defaults to
+    :data:`CC_DRIVER_EDGE_CAP` (conf/env overridable; 0 disables),
+    the same pick-the-strategy-by-size reasoning as a broadcast
+    join threshold."""
     # severed checkpoints: plain localCheckpoint captures the origin
     # plan's stats, and a CHAIN of checkpoints multiplies them into
     # doubly-exponential BigInts that stall the driver's optimizer
@@ -941,13 +1043,36 @@ def dedup_clusters(
             )
         )
     )
+    import time as _time
+
+    # size gate (round-13 optimization): the checkpoint above already
+    # materialized the doubled edge table, so this count reads cached
+    # blocks. Under the cap, component labeling is a driver-memory
+    # problem — the iterative loop's ≥ceil(rounds/check_every)
+    # checkpoint syncs (~1 s each, cluster-size-independent) cost far
+    # more than collecting a few MB once (measured: q209's CC stage
+    # 6.5 s -> 0.3 s, identical labels). Above the cap the
+    # O(log diameter) distributed loop below is unchanged.
+    if driver_edge_cap is None:
+        driver_edge_cap = _cc_driver_edge_cap(pairs.sparkSession)
+    if driver_edge_cap > 0 and edges.count() <= driver_edge_cap:
+        t0 = _time.perf_counter()
+        out = _driver_union_find(edges)
+        CC_STATS.append(
+            {
+                "rounds": 0,
+                "batches": 0,
+                "batch_s": [],
+                "driver_path": True,
+                "driver_s": round(_time.perf_counter() - t0, 3),
+            }
+        )
+        return out
     labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    import time as _time
-
     stats = {"rounds": 0, "batches": 0, "batch_s": []}
     CC_STATS.append(stats)
     rounds_left = max_iters
@@ -1760,8 +1885,53 @@ def contamination_rollup(per_doc: DataFrame) -> DataFrame:
     )
 
 
+def _driver_kcore_peel(
+    both: DataFrame, k: int, rounds: int, to_fixpoint: bool
+) -> DataFrame:
+    """Driver-side mirror of the distributed peel sweeps over a
+    SMALL (cap-gated, already materialized) doubled edge table —
+    identical semantics per sweep: keep edges with both endpoints
+    alive, count degrees among kept edges, survive iff degree >= k.
+    Null endpoints mirror the semi joins (never match, never
+    survive)."""
+    rows = [
+        (u, v) for u, v in both.collect() if u is not None and v is not None
+    ]
+    alive = {u for u, _ in rows}
+    for _ in range(rounds):
+        deg: dict = {}
+        for u, v in rows:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+        nxt = {u for u, d in deg.items() if d >= k}
+        if to_fixpoint and len(nxt) == len(alive):
+            alive = nxt
+            break
+        alive = nxt
+    res: dict = {}
+    for u, v in rows:
+        if u in alive and v in alive:
+            res[u] = res.get(u, 0) + 1
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    node_type = both.schema["u"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", node_type, True),
+            StructField("residual_deg", LongType(), True),
+        ]
+    )
+    return both.sparkSession.createDataFrame(
+        sorted(res.items()), schema
+    )
+
+
 def kcore_peel(
-    pairs: DataFrame, k: int = 2, rounds: int = 3, to_fixpoint: bool = False
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    to_fixpoint: bool = False,
+    driver_edge_cap: int | None = None,
 ) -> DataFrame:
     """k-core peeling over an undirected pair table (doc_a, doc_b):
     repeatedly delete vertices whose CURRENT degree is < k — the
@@ -1800,6 +1970,15 @@ def kcore_peel(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
     )
+    # size gate (round-13, the dedup_clusters stance): the peel loop
+    # costs `rounds` checkpoint syncs regardless of cluster size; a
+    # cap-gated graph computes the identical sweeps driver-side.
+    if driver_edge_cap is None:
+        driver_edge_cap = _cc_driver_edge_cap(pairs.sparkSession)
+    if driver_edge_cap > 0 and both.count() <= driver_edge_cap:
+        return _driver_kcore_peel(
+            both, k=k, rounds=rounds, to_fixpoint=to_fixpoint
+        )
     alive = _ckpt(both.select("u").distinct())
     for _ in range(rounds):
         kept = (
