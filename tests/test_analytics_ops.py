@@ -199,6 +199,20 @@ def test_triangle_stats_hub_star_plus_triangle(spark):
     assert row["n_triangles"] == 1
 
 
+def test_triangle_stats_driver_gate_parity(spark):
+    """Round-13 size gate: the cap-gated driver count must be
+    row-identical (all five columns, incl. the floor-rounded
+    clustering double) to the distributed SV wedge join (cap 0)."""
+    from vnavc_spark.operators.graph import triangle_stats
+
+    star = [(1, x) for x in range(2, 12)]
+    tri = [(2, 3), (3, 4), (2, 4), (12, 13)]
+    e = spark.createDataFrame(star + tri, "a long, b long")
+    fast = triangle_stats(e).collect()[0].asDict()
+    slow = triangle_stats(e, driver_edge_cap=0).collect()[0].asDict()
+    assert fast == slow
+
+
 # ---------------------------------------------------------------------------
 # sampling: systematic PPS
 # ---------------------------------------------------------------------------

@@ -80,7 +80,79 @@ def pagerank_integer(
     return pr
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def _driver_triangle_stats(e: DataFrame) -> DataFrame:
+    """Driver-side exact mirror of :func:`triangle_stats` for a
+    SMALL (cap-gated, persisted) deduped edge table: same
+    (degree, id)-oriented triangle enumeration, same wedge/node/edge
+    counts, same floor-rounded clustering double (IEEE tree
+    identical to ``stable_round``). Null endpoints mirror the joins
+    (a null never matches, so such an edge contributes to nothing
+    downstream of the degree join — exactly like the distributed
+    inner joins drop it)."""
+    import math
+
+    _NULL = object()  # the degree groupBy keeps one null-node group
+    rows = [(a, b) for a, b in e.collect()]
+    deg: dict = {}
+    for a, b in rows:
+        ka = _NULL if a is None else a
+        kb = _NULL if b is None else b
+        deg[ka] = deg.get(ka, 0) + 1
+        deg[kb] = deg.get(kb, 0) + 1
+    n_nodes = len(deg)
+    n_edges = len(rows)
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    # orient each edge from its lower (deg, id) endpoint; count
+    # triangles as |N+(u) ∩ N+(v)| over oriented edges (u, v); the
+    # distributed degree joins are INNER, so null-endpoint edges
+    # never orient
+    out: dict = {}
+    for a, b in rows:
+        if a is None or b is None:
+            continue
+        if (deg[a], a) < (deg[b], b):
+            u, v = a, b
+        else:
+            u, v = b, a
+        out.setdefault(u, set()).add(v)
+    n_tri = 0
+    for u, nbrs in out.items():
+        for v in nbrs:
+            vn = out.get(v)
+            if vn:
+                n_tri += len(nbrs & vn)
+    clustering = (
+        math.floor(
+            3.0 * n_tri / float(n_wedges) * 1000000.0 + 0.5
+        )
+        / 1000000.0
+        if n_wedges > 0
+        else 0.0
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("n_nodes", LongType(), True),
+            StructField("n_edges", LongType(), True),
+            StructField("n_wedges", LongType(), True),
+            StructField("n_triangles", LongType(), True),
+            StructField("clustering", DoubleType(), True),
+        ]
+    )
+    return e.sparkSession.createDataFrame(
+        [(n_nodes, n_edges, n_wedges, n_tri, clustering)], schema
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, driver_edge_cap: int | None = None
+) -> DataFrame:
     """Exact triangle count + global clustering coefficient over an
     undirected simple graph given as (a, b) edges with a < b — the
     Suri-Vassilvitskii degree-ordered wedge join (WWW'11): every edge
@@ -107,6 +179,20 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         ).distinct(),
         "tri_edges",
     )
+    # size gate (round-13, the dedup_clusters stance): the SV wedge
+    # pipeline costs 3 persists + 5 aggregates of driver sync (~2 s
+    # measured on q131's 2,859-edge graph) regardless of cluster
+    # size; a cap-gated graph counts exactly driver-side. Above the
+    # cap the degree-ordered wedge join below is unchanged.
+    from vnavc_spark.operators.dedup import _cc_driver_edge_cap
+
+    cap = (
+        _cc_driver_edge_cap(edges.sparkSession)
+        if driver_edge_cap is None
+        else driver_edge_cap
+    )
+    if cap > 0 and e.count() <= cap:
+        return _driver_triangle_stats(e)
     deg = tracked_persist(
         e.select(F.col("a").alias("x"))
         .unionByName(e.select(F.col("b").alias("x")))

@@ -10496,11 +10496,11 @@ def q185_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     midranks need no per-group sort: d(v) = 2·C(<v) + c(v) + 1
     (twice the midrank — the affine factor cancels in the
     correlation) comes straight from the ``ordered_cumsum``
-    value-domain tables, one per variable. Each fact row then picks
-    up its two d's via joins against the value-domain maps (AQE
-    broadcasts them when small — they are vocabulary-sized, never
-    corpus-sized) and ONE moment aggregate collects (n, Σdx, Σdy,
-    Σdx², Σdy², Σdx·dy) as decimal(38,0)/HUGEINT exact integers.
+    value-domain tables, one per variable. Each fact row picks up
+    d_x via the tiny quantity-domain broadcast; the y-grid carries
+    Σd_x as a second cumsum mass, so every moment (n, Σdx, Σdy,
+    Σdx², Σdy², Σdx·dy) is a GRID sum in decimal(38,0)/HUGEINT
+    exact integers — no corpus-sized moment pass (r13).
     The rho is one scalar IEEE tree (two correctly-rounded sqrts),
     1e-6-rounded. The oracle's per-group rank windows are the thing
     that dies at 100 TB; the cumsum grid here is value-domain-sized."""
@@ -10519,30 +10519,60 @@ def q185_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("yv"),
     )
-    dmap = {}
-    for col in ("xv", "yv"):
-        cums = ordered_cumsum(
-            v.select("g", col), ["g"], col, slot=f"spear_{col}"
-        )
-        dmap[col] = cums.select(
-            "g",
-            col,
-            (
-                2 * (F.col("cum") - F.col("mass"))
-                + F.col("mass")
-                + F.lit(1)
-            ).alias(f"d_{col}"),
-        )
-    j = v.join(dmap["xv"], on=["g", "xv"]).join(dmap["yv"], on=["g", "yv"])
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    a = j.groupBy("g").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(dec("d_xv")).alias("sx"),
-        F.sum(dec("d_yv")).alias("sy"),
-        F.sum(dec("d_xv") * dec("d_xv")).alias("qx"),
-        F.sum(dec("d_yv") * dec("d_yv")).alias("qy"),
-        F.sum(dec("d_xv") * dec("d_yv")).alias("p"),
+    # Round-13 restructure (same integers, grid-sized work): the old
+    # shape joined BOTH d-maps back onto every fact row and ran the
+    # six-moment aggregate over the corpus — a 594k-row broadcast
+    # build plus a second corpus pass at sf0.1 (~2.5 s of the 5.9 s
+    # query; guide §2.3 "aggregate before you shuffle"). All moments
+    # except Σdx·dy are grid sums (Σ mass·d, Σ mass·d²), and Σdx·dy
+    # factors through the y grid: Σ_rows dx·dy = Σ_yv dy·(Σ dx at
+    # that yv). So: (1) x cumsum → tiny d_x map (value-domain of
+    # quantity — broadcast by size); (2) attach d_x to the fact rows
+    # (the ONLY fact-sized op, a tiny-broadcast join fused into the
+    # y-grid aggregation); (3) y cumsum carries Σdx as a SECOND mass;
+    # (4) every moment is a grid aggregate. Integer sums are
+    # order-independent, so sx/sy/qx/qy/p are bit-identical to the
+    # per-row form and the terminal IEEE tree is unchanged —
+    # hash-equal by construction (re-verified at 3 SFs).
+    cums_x = ordered_cumsum(
+        v.select("g", "xv"), ["g"], "xv", slot="spear_xv"
     )
+    d_x = cums_x.select(
+        "g",
+        "xv",
+        F.col("mass").alias("mx"),
+        (
+            2 * (F.col("cum") - F.col("mass")) + F.col("mass") + F.lit(1)
+        ).alias("d_xv"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    x_stats = d_x.groupBy("g").agg(
+        F.sum(dec("mx") * dec("d_xv")).alias("sx"),
+        F.sum(dec("mx") * dec("d_xv") * dec("d_xv")).alias("qx"),
+    )
+    v2 = v.join(
+        F.broadcast(d_x.select("g", "xv", "d_xv")), on=["g", "xv"]
+    ).select("g", "yv", F.lit(1).alias("one"), F.col("d_xv").alias("dx"))
+    cums_y = ordered_cumsum(
+        v2, ["g"], "yv", mass_cols=["one", "dx"], slot="spear_yv"
+    )
+    d_y = cums_y.select(
+        "g",
+        F.col("one").alias("my"),
+        F.col("dx").alias("sdx"),
+        (
+            2 * (F.col("cum_one") - F.col("one"))
+            + F.col("one")
+            + F.lit(1)
+        ).alias("d_yv"),
+    )
+    y_stats = d_y.groupBy("g").agg(
+        F.sum("my").cast("long").alias("n"),
+        F.sum(dec("my") * dec("d_yv")).alias("sy"),
+        F.sum(dec("my") * dec("d_yv") * dec("d_yv")).alias("qy"),
+        F.sum(dec("sdx") * dec("d_yv")).alias("p"),
+    )
+    a = x_stats.join(y_stats, "g")
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     num = d("n") * d("p") - d("sx") * d("sy")
     den = F.sqrt(d("n") * d("qx") - d("sx") * d("sx")) * F.sqrt(
