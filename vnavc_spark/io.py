@@ -93,6 +93,33 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a FEW-FILE scan across the cores before
+    fan-out-heavy per-row work (explodes, per-token hashing, Arrow
+    batch passes) — the scale-adaptive partitioning gate (guide §2.5
+    input skew / §6 small files).
+
+    A single-row-group local parquet file cannot be range-split by
+    ``maxPartitionBytes``, so at test scale every table scans as ONE
+    partition and a pre-shuffle pipeline runs on one core of 32
+    (measured: q27's 32 parity-vote columns 2.6 s single-partition
+    vs 0.3 s spread). The gate only fires when the file count is
+    below the default parallelism: a production corpus with many
+    splits never pays the extra exchange, so this is adaptation, not
+    a local-mode constant. Same probe-without-df.rdd rationale as
+    minhash_signatures_df (the original instance of this gate);
+    non-file-backed plans report zero files, where a round-robin
+    shuffle of tiny test frames is harmless."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_input = len(df.inputFiles())
+    except Exception:  # non-file-backed plan
+        n_input = 0
+    if n_input < n_parts:
+        return df.repartition(n_parts)
+    return df
+
+
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a dimension table with a broadcast hint applied when it is
     known-small (BROADCAST_TABLES). Joins against the result skip the

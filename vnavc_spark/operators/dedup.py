@@ -382,7 +382,12 @@ def shingle_arrays_df(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from vnavc_spark.io import spread_small_scan
+
+    # spread a few-file scan so the Arrow pass runs one task per
+    # core, not one per input file (scale-adaptive: no-op when the
+    # scan already has >= cores splits)
+    return spread_small_scan(docs.select(id_col, text_col)).mapInPandas(
         _sh, schema=f"{id_col} long, sh array<string>"
     )
 
@@ -536,9 +541,19 @@ def simhash32_df(
     DETECTION quality is hash-agnostic (both give i.i.d. parity
     bits; tests/test_dedup_similarity.py pins planted-pair
     equivalence between the two backends)."""
+    from vnavc_spark.io import spread_small_scan
+
     c = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.array_distinct(tokens(normalized_text(c)))
-    ex = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+    # spread the few-file scan AFTER the explode, where rows are a
+    # skinny (id, token) pair — spreading the documents themselves
+    # shuffles the multi-KB text payload and costs more than it
+    # saves (measured: 7.4 s text-spread vs 4.7 s unspread vs ~2 s
+    # token-spread; the guide §8 move-small-rows rule). Vote sums
+    # are order-independent, so the round-robin is result-neutral.
+    ex = spread_small_scan(
+        df.select(F.col(id_col), F.explode(toks).alias("_t"))
+    )
     if hash_fn == "xxhash64":
         dg = ex.select(id_col, F.xxhash64("_t").alias("_d"))
         votes = dg.select(
@@ -1826,10 +1841,17 @@ def token_shingle_hashes(
     distinct is a map-side-combinable aggregate on (doc, hash).
     Mirrors the oracle's
     ``md5(array_to_string(x[i:i+n-1], ' '))`` exactly."""
+    from vnavc_spark.io import spread_small_scan
+
     t = df.select(
         *id_cols, tokens(normalized_text(text_col)).alias("x")
     ).filter(F.size("x") >= n)
-    return t.select(
+    # spread a few-file scan before the per-window md5 transform —
+    # the n-gram hashing is the heavy per-row work and otherwise
+    # runs one task per input file (scale-adaptive no-op on real
+    # multi-split corpora); the downstream distinct is
+    # order-independent
+    return spread_small_scan(t).select(
         *id_cols,
         F.explode(
             F.transform(
