@@ -40,6 +40,20 @@ _REUSE_PROBE_EXPECTED = (Py4JError, PySparkException, ConnectionError)
 _SLOTS: dict[str, list] = {}
 _LOCK = threading.Lock()
 
+#: LRU ceiling on LIVE tracked slots (round-13): long sessions that
+#: run many queries (the bench runs 122) otherwise accumulate one
+#: warm cache per slot NAME — ~100 live slots by the bench tail,
+#: real storage-memory pressure exactly where the heaviest queries
+#: run (q209's bench median ran 1.5x its fresh-session wall). The
+#: per-slot single-flight bound above caps repeats of ONE slot; this
+#: caps the slot POPULATION. Eviction is always correct (unpersist
+#: only drops the cache; lineage recomputes); the cap just bounds
+#: how long cross-query reuse (reuse_same_plan) can reach back.
+#: Override via $SPARK_GRAFT_PERSIST_SLOT_CAP; 0 disables.
+import os as _os
+
+SLOT_CAP = int(_os.environ.get("SPARK_GRAFT_PERSIST_SLOT_CAP", "32"))
+
 # count of reuse probes that fell through on an EXPECTED stale-session
 # / JVM-bridge error (observability: a probe that never succeeds and
 # always lands here means plan reuse is silently dead — round-5
@@ -96,6 +110,7 @@ def tracked_persist(
                     .analyzed()
                     .sameResult(df._jdf.queryExecution().analyzed())
                 ):
+                    _SLOTS[slot] = _SLOTS.pop(slot)  # LRU refresh
                     return old
             except _REUSE_PROBE_EXPECTED:
                 # stale/stopped session or JVM bridge failure — fall
@@ -109,6 +124,14 @@ def tracked_persist(
         evicted = list(prev)
         prev.clear()
         prev.append(df)
+        # LRU refresh + population cap: re-inserting the key marks it
+        # most-recent (dict order = insertion order); then trim the
+        # oldest slots past SLOT_CAP
+        _SLOTS[slot] = _SLOTS.pop(slot)
+        if SLOT_CAP > 0:
+            while len(_SLOTS) > SLOT_CAP:
+                oldest = next(iter(_SLOTS))
+                evicted.extend(_SLOTS.pop(oldest))
     for old in evicted:
         try:
             old.unpersist()

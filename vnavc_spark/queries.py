@@ -13589,6 +13589,13 @@ def q220_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = o.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
     )
+    # persist the per-customer span table (customer-sized): the
+    # global max here plus the hazard core's total and grid
+    # aggregates otherwise re-run the orders scan + span groupBy
+    # three times (r13)
+    from vnavc_spark.cache import tracked_persist
+
+    pc = tracked_persist(pc, "q220_spans")
     g = pc.agg(F.max("l").alias("gmax"))
     per = pc.crossJoin(F.broadcast(g)).select(
         F.datediff("l", "f").cast("long").alias("t"),
@@ -13901,6 +13908,12 @@ def q223_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("s_start").alias("f"),
         F.unix_timestamp("s_end").alias("l"),
     )
+    # persist the session spans (session-sized): the corpus-end max
+    # here plus the hazard core's total and grid aggregates otherwise
+    # re-run the sessionize shuffle + windows three times (r13)
+    from vnavc_spark.cache import tracked_persist
+
+    g = tracked_persist(g, "q223_sessions")
     m = g.agg(F.max("l").alias("gm"))
     per = g.crossJoin(F.broadcast(m)).select(
         F.floor((F.col("l") - F.col("f")) / F.lit(60.0))
