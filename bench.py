@@ -428,8 +428,20 @@ def main() -> None:
         .save()
     )
 
+    # between-query session hygiene (round-13): tracked persists are
+    # single-flight PER SLOT, but 122 queries × ~1 slot each left
+    # ~100 live caches by the bench tail — storage pressure exactly
+    # where the heaviest queries run (q209's median ran 1.5x its
+    # fresh-session wall). Trim to the newest 32 slots between
+    # queries: each query's own timing still pays its own persist
+    # builds (run-1 protocol unchanged), adjacent-query plan reuse
+    # (q124→q131) survives, only the long cross-query cache tail is
+    # bounded.
+    from vnavc_spark.cache import trim_slots
+
     for name in BENCH_QUERIES:
         fn = queries[name]
+        trim_slots()
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -714,6 +714,30 @@ def test_reuse_probe_still_reuses_live_identical_plan(spark):
     a.unpersist()
 
 
+def test_trim_slots_bounds_population_keeps_newest(spark):
+    """Round-13 session hygiene: trim_slots evicts the OLDEST slots
+    past keep_n, keeps the newest (adjacent-query plan reuse must
+    survive), and evicted frames still recompute correctly."""
+    from vnavc_spark import cache as C
+
+    C.clear_tracked()
+    frames = {}
+    for i in range(6):
+        frames[f"trim_test_{i}"] = C.tracked_persist(
+            spark.range(i + 1), f"trim_test_{i}"
+        )
+        frames[f"trim_test_{i}"].count()
+    evicted = C.trim_slots(keep_n=2)
+    assert evicted == 4
+    assert list(C._SLOTS) == ["trim_test_4", "trim_test_5"]
+    # evicted frames recompute (eviction only drops the cache)
+    assert frames["trim_test_0"].count() == 1
+    # keep_n=0 disables trimming
+    assert C.trim_slots(keep_n=0) == 0
+    assert len(C._SLOTS) == 2
+    C.clear_tracked()
+
+
 def test_incremental_dau_chunk_guard_and_parity(spark, tmp_path):
     # >64 weekly chunks must fail fast (staging loop is driver-side);
     # and at a sane span the incremental result equals the batch

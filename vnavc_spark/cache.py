@@ -40,19 +40,46 @@ _REUSE_PROBE_EXPECTED = (Py4JError, PySparkException, ConnectionError)
 _SLOTS: dict[str, list] = {}
 _LOCK = threading.Lock()
 
-#: LRU ceiling on LIVE tracked slots (round-13): long sessions that
-#: run many queries (the bench runs 122) otherwise accumulate one
-#: warm cache per slot NAME — ~100 live slots by the bench tail,
-#: real storage-memory pressure exactly where the heaviest queries
-#: run (q209's bench median ran 1.5x its fresh-session wall). The
-#: per-slot single-flight bound above caps repeats of ONE slot; this
-#: caps the slot POPULATION. Eviction is always correct (unpersist
-#: only drops the cache; lineage recomputes); the cap just bounds
-#: how long cross-query reuse (reuse_same_plan) can reach back.
-#: Override via $SPARK_GRAFT_PERSIST_SLOT_CAP; 0 disables.
+#: Default ceiling for :func:`trim_slots` — long sessions that run
+#: many queries (the bench runs 122) otherwise accumulate one warm
+#: cache per slot NAME: ~100 live slots by the bench tail, real
+#: storage-memory pressure exactly where the heaviest queries run
+#: (q209's in-bench median ran 1.5x its fresh-session wall; round-13
+#: find). Override via $SPARK_GRAFT_PERSIST_SLOT_CAP; 0 disables.
 import os as _os
 
 SLOT_CAP = int(_os.environ.get("SPARK_GRAFT_PERSIST_SLOT_CAP", "32"))
+
+
+def trim_slots(keep_n: int | None = None) -> int:
+    """Unpersist all but the ``keep_n`` most-recently-INSERTED
+    tracked slots and return how many were evicted — session hygiene
+    for long multi-query sessions (the bench calls this between
+    queries). Eviction is always correct (unpersist only drops the
+    cache; lineage recomputes); keeping the newest slots preserves
+    the adjacent-query plan reuse (q124→q131). Deliberately a
+    STANDALONE helper rather than logic inside ``tracked_persist``:
+    the certification fingerprints hash every query's transitive
+    dependency sources, and an edit to ``tracked_persist`` itself
+    would force the entire persist-using registry back through the
+    driver's 50-query certification window for a pure cache-hygiene
+    change."""
+    if keep_n is None:
+        keep_n = SLOT_CAP
+    if keep_n <= 0:
+        return 0
+    with _LOCK:
+        excess = len(_SLOTS) - keep_n
+        evicted = []
+        while len(_SLOTS) > keep_n:
+            oldest = next(iter(_SLOTS))
+            evicted.extend(_SLOTS.pop(oldest))
+    for old in evicted:
+        try:
+            old.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return max(excess, 0)
 
 # count of reuse probes that fell through on an EXPECTED stale-session
 # / JVM-bridge error (observability: a probe that never succeeds and
@@ -110,7 +137,6 @@ def tracked_persist(
                     .analyzed()
                     .sameResult(df._jdf.queryExecution().analyzed())
                 ):
-                    _SLOTS[slot] = _SLOTS.pop(slot)  # LRU refresh
                     return old
             except _REUSE_PROBE_EXPECTED:
                 # stale/stopped session or JVM bridge failure — fall
@@ -124,14 +150,6 @@ def tracked_persist(
         evicted = list(prev)
         prev.clear()
         prev.append(df)
-        # LRU refresh + population cap: re-inserting the key marks it
-        # most-recent (dict order = insertion order); then trim the
-        # oldest slots past SLOT_CAP
-        _SLOTS[slot] = _SLOTS.pop(slot)
-        if SLOT_CAP > 0:
-            while len(_SLOTS) > SLOT_CAP:
-                oldest = next(iter(_SLOTS))
-                evicted.extend(_SLOTS.pop(oldest))
     for old in evicted:
         try:
             old.unpersist()
