@@ -28,13 +28,16 @@ DEFAULT_CONF: dict[str, str] = {
     # tasks' shuffle-spill merges on candidate-heavy aggregations
     # (q207's radius-2 blocking OOM'd in the spill READERS at sf0.1 —
     # each merge opens a 1 MB ReadAheadInputStream per spill file).
-    # This box is 128 GiB / local[32]; real clusters run 8-64g
-    # executor heaps, so 8g is the faithful local posture, not a
-    # crutch. Only effective when the builder launches the JVM (a
-    # pre-existing gateway keeps its heap); override via
-    # $SPARK_GRAFT_DRIVER_MEM.
+    # r11 set 8g; r13 measured the ER-chain aggregates GC-bound at
+    # 0.25 g per concurrent task (ER trio 18.0 -> 16.9 s at 16g,
+    # fresh-session 3-rep medians) and raised the default to 16g =
+    # 0.5 g/thread — still LEAN against production sizing (clusters
+    # run 8-64g executors at >=2 g/core; this box is 128 GiB), so
+    # the faithful-posture argument holds at either value. Only
+    # effective when the builder launches the JVM (a pre-existing
+    # gateway keeps its heap); override via $SPARK_GRAFT_DRIVER_MEM.
     "spark.driver.memory": os.environ.get(
-        "SPARK_GRAFT_DRIVER_MEM", "8g"
+        "SPARK_GRAFT_DRIVER_MEM", "16g"
     ),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
