@@ -2076,24 +2076,115 @@ def name_linkage_pairs(names: DataFrame, radius: int = 1) -> DataFrame:
     never names²: fan-out is Σ df(variant), with variant buckets
     bounded by (alphabet × name length)^radius for real name
     distributions; exact-duplicate records never reach the join
-    (the caller's groupBy collapsed them — the clique stance)."""
+    (the caller's groupBy collapsed them — the clique stance).
+
+    Id-pair proxy (round 14, radius 2 only; guide §2.3 "shuffle
+    keys, not payloads" / §8): every shuffle BEFORE the levenshtein
+    verify carries an 8-byte ``xxhash64(nm)`` id instead of the
+    name strings — the self-join output and the candidate-pair
+    distinct move 16-byte rows instead of two ~20-char names
+    (measured at sf0.1: the chain's 17.4M-pair distinct exchange
+    drops ~3x in bytes; full chain 5.0 → 3.9 s, q207 4.9 → 4.2,
+    q208 5.8 → 4.9 fresh-session medians). Names and record counts
+    re-attach via the entity table right before the verify. The
+    RADIUS-1 chain keeps the direct string-pair form: its candidate
+    volume is ~20x smaller (one deletion per position, no depth-2
+    blowup), and the proxy's two extra re-attach joins were MEASURED
+    SLOWER there (q202 0.75 → 1.24 s fresh-session median) — fixed
+    plan overhead exceeding the distinct's byte savings, the same
+    measure-first rejection as r13's BM25 token spread.
+
+    EXACTNESS DOES NOT ASSUME THE ID HASH IS COLLISION-FREE. A
+    collision only merges id pairs; the re-attach joins expand each
+    surviving (id_a, id_b) row back to class(id_a) × class(id_b)
+    name pairs, which regenerates every original candidate exactly
+    once (a name pair's OWN id pair is canonical and unique, so the
+    distinct kept exactly one row for it) plus possibly spurious
+    cross-class pairs, which the exact levenshtein verify then
+    drops (a spurious pair that PASSES the verify is, by the FastSS
+    theorem, a true candidate that was going to be emitted anyway —
+    and its own id pair was the same merged row, so it appears
+    once). Diagonal id pairs (id_a == id_b) are kept through the
+    distinct because a collided diagonal hides a true cross pair;
+    after re-attach, ``nm_a < nm_b`` keeps exactly one orientation
+    of those and drops the true self-pairs. Off-diagonal rows
+    expand to exactly one row per name pair with arbitrary name
+    order, re-oriented to name_a < name_b on output."""
     from vnavc_spark.cache import tracked_persist
 
     if radius not in (1, 2):
         raise ValueError(f"name_linkage_pairs: radius must be 1 or 2, got {radius}")
     names = tracked_persist(names, f"linkage_names_r{radius}")
-    variants = names.select(
-        "nm",
+    if radius == 1:
+        variants = names.select(
+            "nm",
+            F.explode(deletion_neighborhood("nm", radius)).alias("v"),
+        ).select("nm", F.xxhash64("v").alias("hv"))
+        cands = (
+            variants.select(F.col("nm").alias("name_a"), "hv")
+            .join(variants.select(F.col("nm").alias("name_b"), "hv"), "hv")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b")
+            .distinct()
+        )
+        return (
+            cands.withColumn(
+                "dist",
+                F.levenshtein("name_a", "name_b", radius).cast("long"),
+            )
+            .filter(F.col("dist") >= 0)
+            .join(
+                names.select(
+                    F.col("nm").alias("name_a"),
+                    F.col("n_recs").alias("n_recs_a"),
+                ),
+                "name_a",
+            )
+            .join(
+                names.select(
+                    F.col("nm").alias("name_b"),
+                    F.col("n_recs").alias("n_recs_b"),
+                ),
+                "name_b",
+            )
+            .select("name_a", "name_b", "n_recs_a", "n_recs_b", "dist")
+        )
+    ids = names.select(F.xxhash64("nm").alias("id"), "nm", "n_recs")
+    variants = ids.select(
+        "id",
         F.explode(deletion_neighborhood("nm", radius)).alias("v"),
-    ).select("nm", F.xxhash64("v").alias("hv"))
-    cands = (
-        variants.select(F.col("nm").alias("name_a"), "hv")
-        .join(variants.select(F.col("nm").alias("name_b"), "hv"), "hv")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
+    ).select("id", F.xxhash64("v").alias("hv"))
+    cand_ids = (
+        variants.select(F.col("id").alias("id_a"), "hv")
+        .join(variants.select(F.col("id").alias("id_b"), "hv"), "hv")
+        .filter(F.col("id_a") <= F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
-    return (
+    attached = (
+        cand_ids.join(
+            ids.select(
+                F.col("id").alias("id_a"),
+                F.col("nm").alias("_nm_a"),
+                F.col("n_recs").alias("_nr_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            ids.select(
+                F.col("id").alias("id_b"),
+                F.col("nm").alias("_nm_b"),
+                F.col("n_recs").alias("_nr_b"),
+            ),
+            "id_b",
+        )
+        # diagonal id rows: keep one orientation of collided cross
+        # pairs, drop true self-pairs (same name ⇒ same id ⇒ only
+        # reachable here); off-diagonal rows all pass
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            | (F.col("_nm_a") < F.col("_nm_b"))
+        )
         # bounded levenshtein (banded DP, O(radius·len) per pair with
         # early exit; returns -1 past the bound): the verify was the
         # dominant cost of the radius-2 pipeline at sf0.1 (~5.4 s of
@@ -2101,26 +2192,19 @@ def name_linkage_pairs(names: DataFrame, radius: int = 1) -> DataFrame:
         # query 10.2 → 7.2 s, bit-identical rows (docs/SCALE.md r11).
         # Distinct names are never equal, so kept rows are exactly
         # dist >= 1 — the >= 0 filter only drops the -1 sentinel.
-        cands.withColumn(
+        .withColumn(
             "dist",
-            F.levenshtein("name_a", "name_b", radius).cast("long"),
+            F.levenshtein("_nm_a", "_nm_b", radius).cast("long"),
         )
         .filter(F.col("dist") >= 0)
-        .join(
-            names.select(
-                F.col("nm").alias("name_a"),
-                F.col("n_recs").alias("n_recs_a"),
-            ),
-            "name_a",
-        )
-        .join(
-            names.select(
-                F.col("nm").alias("name_b"),
-                F.col("n_recs").alias("n_recs_b"),
-            ),
-            "name_b",
-        )
-        .select("name_a", "name_b", "n_recs_a", "n_recs_b", "dist")
+    )
+    swap = F.col("_nm_a") > F.col("_nm_b")
+    return attached.select(
+        F.when(swap, F.col("_nm_b")).otherwise(F.col("_nm_a")).alias("name_a"),
+        F.when(swap, F.col("_nm_a")).otherwise(F.col("_nm_b")).alias("name_b"),
+        F.when(swap, F.col("_nr_b")).otherwise(F.col("_nr_a")).alias("n_recs_a"),
+        F.when(swap, F.col("_nr_a")).otherwise(F.col("_nr_b")).alias("n_recs_b"),
+        "dist",
     )
 
 
