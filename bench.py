@@ -579,10 +579,28 @@ def _emit(
         print(f"# could not write {full_path}: {e}", file=sys.stderr)
     # the one-line stdout contract drops the bulky per-query norm
     # dict (derivable: median/witness_scale; full values in the repo
-    # artifact) so the tail window keeps raw medians AND the summary
+    # artifact) so the tail window keeps raw medians AND the summary.
+    # Round 14 (verdict item #2): ALSO drop queries_spread from the
+    # line — the driver's BENCH record keeps only the TAIL of stdout,
+    # and the r12 line was truncated mid-object (parsed: null), which
+    # destroyed the round-over-round per-query comparison. Spreads
+    # stay in docs/BENCH_FULL_latest.json; shrinking the line ~30%
+    # keeps `value`/`queries` inside the surviving window. The
+    # `queries` dict itself is unchanged (contract: add-only).
     line = dict(payload)
     del line["queries_norm_median"]
-    print(json.dumps(line), flush=True)
+    del line["queries_spread"]
+    out = json.dumps(line)
+    # round-trip guard: the emitted string must parse back to the
+    # exact payload — a silent encoding bug here would invalidate a
+    # whole round's PERF comparison, so fail loudly instead
+    if json.loads(out) != line:
+        print(
+            "# BENCH EMIT ERROR: one-line JSON does not round-trip",
+            file=sys.stderr,
+        )
+        raise RuntimeError("bench emit: one-line JSON round-trip failed")
+    print(out, flush=True)
 
 
 if __name__ == "__main__":
