@@ -1473,6 +1473,70 @@ class TestOrderedCumsum:
         with pytest.raises(TypeError, match="integer-typed"):
             ordered_cumsum(df, [], "v", mass_cols=["m"])
 
+    def test_small_grid_gate_parity_with_ranged_path(self, spark):
+        """Round-14 gate: the single-window small-grid path and the
+        range-partitioned carry path must emit IDENTICAL rows — the
+        gate is a strategy pick, never a semantics change. Forced via
+        the conf knob both ways on the same clustered fixture."""
+        from vnavc_spark.operators.ordering import ordered_cumsum
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "g string, v long, m long")
+        key = "spark.vnavc.cumsum.gridCap"
+        try:
+            spark.conf.set(key, "0")  # 0 disables: ranged path
+            ranged = sorted(
+                tuple(r)
+                for r in ordered_cumsum(
+                    df, ["g"], "v", mass_cols=["m"], num_parts=7,
+                    slot="t_gate_off",
+                ).collect()
+            )
+            spark.conf.set(key, "1000000")  # grid fits: small path
+            small = sorted(
+                tuple(r)
+                for r in ordered_cumsum(
+                    df, ["g"], "v", mass_cols=["m"], num_parts=7,
+                    slot="t_gate_on",
+                ).collect()
+            )
+        finally:
+            spark.conf.unset(key)
+        assert ranged == small
+        assert {(g, v): c for g, v, _m, c in small} == self._reference(rows)
+
+    def test_decimal_mass_survives_int64_wrap(self, spark):
+        """Round-13 advice (q185 Σd_x mass): a DECIMAL-typed mass
+        column must cumulate in decimal(38,0) — sums past 2^63 that
+        would silently wrap a long mass stay exact — on BOTH paths."""
+        from decimal import Decimal
+
+        from pyspark.sql.types import DecimalType
+
+        from vnavc_spark.operators.ordering import ordered_cumsum
+
+        big = Decimal(2) ** 62
+        df = spark.createDataFrame(
+            [("a", 1, big), ("a", 2, big), ("a", 3, big)],
+            "g string, v long, m decimal(38,0)",
+        )
+        key = "spark.vnavc.cumsum.gridCap"
+        expect = {1: big, 2: 2 * big, 3: 3 * big}
+        try:
+            for cap in ("0", "100"):  # ranged path, then small path
+                spark.conf.set(key, cap)
+                out = ordered_cumsum(
+                    df, ["g"], "v", mass_cols=["m"],
+                    slot=f"t_dec_{cap}",
+                )
+                assert isinstance(
+                    out.schema["cum_m"].dataType, DecimalType
+                ), cap
+                got = {r.v: r.cum_m for r in out.collect()}
+                assert got == expect, cap
+        finally:
+            spark.conf.unset(key)
+
 
 class TestRrfFuse:
     """rrf_fuse (operators/retrieval.py) — hybrid-retrieval rank

@@ -10555,9 +10555,19 @@ def q185_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("mx") * dec("d_xv")).alias("sx"),
         F.sum(dec("mx") * dec("d_xv") * dec("d_xv")).alias("qx"),
     )
+    # dx rides the y cumsum as a DECIMAL(38,0) mass (r13 advice): the
+    # per-yv Σd_x is an n²-class quantity (d_xv ≈ 2·group rows), so a
+    # long mass would silently wrap int64 near rows_at_yv·n ~ 2^62 —
+    # real at the 100 TB posture; decimal masses sum exactly and are
+    # bit-identical at tested SFs (integer values either way)
     v2 = v.join(
         F.broadcast(d_x.select("g", "xv", "d_xv")), on=["g", "xv"]
-    ).select("g", "yv", F.lit(1).alias("one"), F.col("d_xv").alias("dx"))
+    ).select(
+        "g",
+        "yv",
+        F.lit(1).alias("one"),
+        F.col("d_xv").cast("decimal(38,0)").alias("dx"),
+    )
     cums_y = ordered_cumsum(
         v2, ["g"], "yv", mass_cols=["one", "dx"], slot="spear_yv"
     )
