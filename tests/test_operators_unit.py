@@ -866,6 +866,66 @@ class TestExactRankSelect:
         with pytest.raises(ValueError, match="group cardinality"):
             exact_rank_select(df, ["g"], "x", max_groups=3)
 
+    def test_mad_priors_parity_with_unseeded_second_pass(self, spark):
+        """Round-14 gate (guide §2.4): the chained-MAD second
+        selection seeded with mad_deviation_priors (no first corpus
+        aggregate) must return EXACTLY the rows of the unseeded
+        call — priors are a strategy pick, never a semantics change.
+        Fixture includes an even group, a tie-heavy group and a
+        group whose deviations hit the prior's 0 floor."""
+        from pyspark.sql import functions as F
+
+        from vnavc_spark.operators.aggregates import (
+            exact_rank_select,
+            mad_deviation_priors,
+        )
+
+        df = spark.createDataFrame(
+            [("a", v) for v in [5.0, 1.0, 3.0, 2.0, 4.0]]
+            + [("b", v) for v in [10.0, 20.0, 30.0, 40.0]]
+            + [("c", v) for v in [7.0, 7.0, 7.0, 9.0]],
+            "g string, x double",
+        )
+        med_df, st = exact_rank_select(
+            df, ["g"], "x", return_state=True
+        )
+        med = med_df.select("g", F.col("median").alias("med"))
+        dev = df.join(F.broadcast(med), on="g").select(
+            "g", F.abs(F.col("x") - F.col("med")).alias("dev")
+        )
+        plain = sorted(
+            tuple(r) for r in exact_rank_select(df=dev, group_cols=["g"],
+                                                value_col="dev").collect()
+        )
+        seeded = sorted(
+            tuple(r)
+            for r in exact_rank_select(
+                dev, ["g"], "dev",
+                priors=mad_deviation_priors(st),
+            ).collect()
+        )
+        assert seeded == plain
+        # sanity: group c's MAD is 0.0 (tie run at the median) and
+        # group a's is 1.0 — the loose [0, hi] priors still converge
+        got = {g: m for g, _n, m in seeded}
+        assert got["c"] == 0.0 and got["a"] == 1.0
+
+    def test_priors_cardinality_cap_fails_fast(self, spark):
+        import pytest
+
+        from vnavc_spark.operators.aggregates import exact_rank_select
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "g string, x double"
+        )
+        priors = {
+            k: {"n": 1, "lo": 0, "hi": 500, "nd": 1, "group": (k,)}
+            for k in ("ka", "kb")
+        }
+        with pytest.raises(ValueError, match="priors"):
+            exact_rank_select(df, ["g"], "x", max_groups=1,
+                              priors=priors)
+
     def test_value_shortcut_single_round_same_answer(self, spark):
         # low-cardinality data (distinct values ≪ VALUE_SHORTCUT_CELLS
         # yet a WIDE value range) must converge in ONE width-1 walk

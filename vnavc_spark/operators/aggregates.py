@@ -738,6 +738,7 @@ def _exact_ranks_core(
     weight_col: str | None = None,
     weight_places: int = 0,
     minmax_shortcut: bool = True,
+    priors: dict | None = None,
 ):
     """Shared narrowing loop behind :func:`exact_rank_select` and
     :func:`exact_rank_multi`.
@@ -775,6 +776,26 @@ def _exact_ranks_core(
     below counts — must run every target through the rounds; the
     extra targets ride the SAME shared per-round aggregate, so the
     marginal cost is at most one tail round, not a pass per target.
+
+    ``priors`` (round 14; guide §2.4 remove shuffles outright): a
+    dict ``_k -> {"n", "lo", "hi", "nd", "group"}`` that REPLACES the
+    first corpus aggregate — the caller already knows the per-group
+    row mass and safe value bounds (chained selections like MAD: the
+    deviation pass has the same n per group, dev >= 0, and max-dev
+    is bounded by the first pass's min/max/median state). Contract,
+    in the SCALED integer domain of THIS call: ``n`` must be the
+    exact per-group mass (it feeds rank_fn), ``lo`` <= the true
+    group minimum (the rank bookkeeping assumes zero mass below lo),
+    ``hi`` >= the true group maximum. Bounds may be LOOSE —
+    narrowing converges from any covering range, at worst one extra
+    round — so the min/max shortcut is disabled for prior-seeded
+    targets (rank 1 / rank n resolve by narrowing, not from the
+    loose bounds). ``nd`` only steers round planning (an
+    over-estimate forgoes the width-1 shortcut, never a wrong
+    answer). Every priors group must hold >= 1 row in ``df`` — an
+    empty group would trip the invariant error. Saves one full
+    corpus aggregate per chained call (q121 probe: 0.4-0.7 s at
+    sf0.1; at 100 TB it is a saved full scan).
     """
     scale = 10**places
     key = _nullsafe_group_key(group_cols)
@@ -817,35 +838,67 @@ def _exact_ranks_core(
     # note predates AQE handling limit-over-aggregate well).
     _stats = {"targets": sorted(targets), "rounds": []}
     _t0 = time.perf_counter()
-    rows = first.limit(max_groups + 1).collect()
-    if len(rows) > max_groups:
-        raise ValueError(
-            f"exact_rank: group cardinality exceeds {max_groups}; the "
-            "narrowing algorithm keeps (lo, hi, rank) per group on the "
-            "driver, which requires categorical grouping keys. Reduce "
-            "key cardinality or raise max_groups explicitly."
-        )
+    if priors is None:
+        rows = first.limit(max_groups + 1).collect()
+        if len(rows) > max_groups:
+            raise ValueError(
+                f"exact_rank: group cardinality exceeds {max_groups}; "
+                "the narrowing algorithm keeps (lo, hi, rank) per "
+                "group on the driver, which requires categorical "
+                "grouping keys. Reduce key cardinality or raise "
+                "max_groups explicitly."
+            )
+        seeds = [
+            (
+                r["_k"],
+                r["n"],
+                r["lo"],
+                r["hi"],
+                r["nd"],
+                tuple(r[c] for c in group_cols),
+                True,  # exact bounds: min/max shortcut is sound
+            )
+            for r in rows
+        ]
+    else:
+        if len(priors) > max_groups:
+            raise ValueError(
+                f"exact_rank: priors carry {len(priors)} groups, "
+                f"exceeding max_groups={max_groups}."
+            )
+        # caller-supplied bounds may be loose (see docstring), so the
+        # min/max shortcut must not close rank-1/rank-n from them
+        seeds = [
+            (k, p["n"], p["lo"], p["hi"], p["nd"], p["group"], False)
+            for k, p in priors.items()
+        ]
     state = {}
-    for r in rows:
+    for k, n, glo, ghi, nd, group, exact_bounds in seeds:
         for tname, rank_fn in targets.items():
-            rk = max(1, min(r["n"], int(rank_fn(r["n"]))))
+            rk = max(1, min(n, int(rank_fn(n))))
             # rank 1 / rank n resolve directly from the first
             # aggregate's min/max — close them immediately so
             # min/max-style targets cost ZERO narrowing rounds
-            # (unless the caller needs residual ranks; see docstring)
-            if minmax_shortcut and rk == 1:
-                lo = hi = r["lo"]
-            elif minmax_shortcut and rk == r["n"]:
-                lo = hi = r["hi"]
+            # (unless the caller needs residual ranks, or the bounds
+            # are loose priors; see docstring)
+            if minmax_shortcut and exact_bounds and rk == 1:
+                lo = hi = glo
+            elif minmax_shortcut and exact_bounds and rk == n:
+                lo = hi = ghi
             else:
-                lo, hi = r["lo"], r["hi"]
-            state[(r["_k"], tname)] = {
+                lo, hi = glo, ghi
+            state[(k, tname)] = {
                 "lo": lo,
                 "hi": hi,
                 "rank": rk,
-                "n": r["n"],
-                "nd": r["nd"],
-                "group": tuple(r[c] for c in group_cols),
+                "n": n,
+                "nd": nd,
+                "group": group,
+                # seed-time bounds, never mutated by the descent —
+                # chained callers derive the next pass's priors from
+                # these (exact min/max on the first-aggregate path)
+                "glo": glo,
+                "ghi": ghi,
             }
     _stats["first_agg_s"] = round(time.perf_counter() - _t0, 3)
     spark = df.sparkSession
@@ -1099,7 +1152,9 @@ def exact_rank_select(
     n_buckets: int = 256,
     max_rounds: int = 12,
     max_groups: int = RANK_MAX_GROUPS,
-) -> DataFrame:
+    priors: dict | None = None,
+    return_state: bool = False,
+):
     """EXACT per-group order statistic at unbounded scale — the
     scale-safe answer to ``percentile()``'s per-group value
     buffering (q42's documented caveat: Spark's exact percentile
@@ -1111,8 +1166,16 @@ def exact_rank_select(
     ``rank_of``: 'lower_median' → rank ⌈n/2⌉ (deterministic discrete
     median, no interpolation ambiguity).
 
+    ``priors`` skips the first corpus aggregate when the caller
+    already knows per-group mass and covering bounds;
+    ``return_state`` additionally returns the converged narrowing
+    state so a chained second selection (the MAD pattern) can derive
+    its priors — see :func:`_exact_ranks_core` and
+    :func:`mad_deviation_priors`.
+
     Returns (group_cols..., n_rows, median) with ``median`` descaled
-    and group columns keeping their input types.
+    and group columns keeping their input types; with
+    ``return_state`` a ``(DataFrame, state)`` tuple.
     """
     from pyspark.sql import types as T
 
@@ -1124,6 +1187,7 @@ def exact_rank_select(
     state, scale, spark = _exact_ranks_core(
         df, group_cols, value_col, {"_r": rank_fn},
         places, n_buckets, max_rounds, max_groups,
+        priors=priors,
     )
     out_rows = [
         (*s["group"], s["n"], s["lo"] / scale) for s in state.values()
@@ -1135,7 +1199,37 @@ def exact_rank_select(
             T.StructField("median", T.DoubleType(), True),
         ]
     )
-    return spark.createDataFrame(out_rows, schema)
+    out = spark.createDataFrame(out_rows, schema)
+    return (out, state) if return_state else out
+
+
+def mad_deviation_priors(state: dict) -> dict:
+    """Derive the second-pass (deviation) priors of the chained MAD
+    pattern from the FIRST median selection's converged state (round
+    14; guide §2.4): ``dev = |v − med|`` has the same per-group row
+    mass, a hard floor of 0, and a ceiling of
+    ``max(group_max − med, med − group_min)`` — all known from the
+    first pass, so the deviation selector's first corpus aggregate
+    is pure recomputation. Works in the shared scaled-integer
+    domain (both passes must use the same ``places``): ``s["lo"]``
+    is the converged median, ``s["glo"]``/``s["ghi"]`` the exact
+    seed min/max. The +2 pad absorbs the half-ulp slop of
+    re-scaling ``|v − med|`` from doubles (values sit within ±0.5
+    of their scaled integers, the median double within ~1e-8) —
+    loose bounds are sound, see ``_exact_ranks_core``. ``nd`` rides
+    along as a planning upper bound (|v − med| maps each distinct
+    value to at most one deviation, so distinct devs <= distinct
+    values)."""
+    return {
+        k: {
+            "n": s["n"],
+            "lo": 0,
+            "hi": max(s["ghi"] - s["lo"], s["lo"] - s["glo"]) + 2,
+            "nd": s["nd"],
+            "group": s["group"],
+        }
+        for (k, _t), s in state.items()
+    }
 
 
 def exact_rank_multi(

@@ -5735,9 +5735,11 @@ def q121_exact_mad_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact_rank_select materializes through driver state, so ``med``
     # is already a local (group-cardinality-sized) DataFrame — no
     # persist needed for its two consumers
-    med = aggregates.exact_rank_select(
-        li, ["l_returnflag"], "l_extendedprice", n_buckets=4096
-    ).select(
+    med_df, med_state = aggregates.exact_rank_select(
+        li, ["l_returnflag"], "l_extendedprice", n_buckets=4096,
+        return_state=True,
+    )
+    med = med_df.select(
         "l_returnflag",
         "n_rows",
         F.col("median").alias("med"),
@@ -5746,8 +5748,12 @@ def q121_exact_mad_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
     )
+    # the deviation pass's per-group mass and bounds are all implied
+    # by the median pass's state — seed them as priors instead of
+    # paying a second first-aggregate corpus scan (guide §2.4)
     mad = aggregates.exact_rank_select(
-        dev, ["l_returnflag"], "dev", n_buckets=4096
+        dev, ["l_returnflag"], "dev", n_buckets=4096,
+        priors=aggregates.mad_deviation_priors(med_state),
     ).select("l_returnflag", F.col("median").alias("mad"))
     return med.join(mad, on="l_returnflag").select(
         "l_returnflag", "n_rows", "med", "mad"
@@ -6753,17 +6759,23 @@ def q134_mad_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
     )
-    med = aggregates.exact_rank_select(
-        e, ["event_type"], "value", n_buckets=4096
-    ).select("event_type", "n_rows", F.col("median").alias("med"))
+    med_df, med_state = aggregates.exact_rank_select(
+        e, ["event_type"], "value", n_buckets=4096, return_state=True
+    )
+    med = med_df.select(
+        "event_type", "n_rows", F.col("median").alias("med")
+    )
     dev = e.filter(F.col("value").isNotNull()).join(
         F.broadcast(med), on="event_type"
     ).select(
         "event_type",
         F.abs(F.col("value") - F.col("med")).alias("dev"),
     )
+    # deviation-pass priors from the median pass's state — one fewer
+    # corpus aggregate (guide §2.4), same chain as q121
     mad = aggregates.exact_rank_select(
-        dev, ["event_type"], "dev", n_buckets=4096
+        dev, ["event_type"], "dev", n_buckets=4096,
+        priors=aggregates.mad_deviation_priors(med_state),
     ).select("event_type", F.col("median").alias("mad"))
     mm = med.join(mad, on="event_type")
     vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
