@@ -213,6 +213,46 @@ def test_triangle_stats_driver_gate_parity(spark):
     assert fast == slow
 
 
+def test_triangle_stats_self_loop_agrees_under_and_over_cap(spark):
+    """Round-14 (r13 ADVICE): a contract-violating self-loop edge
+    (a, a) must produce IDENTICAL stats on the driver and distributed
+    paths — self-loops are dropped at the defensive dedup, so neither
+    path counts the phantom triangle the driver orientation used to
+    report."""
+    from vnavc_spark.operators.graph import triangle_stats
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (5, 5)], "a long, b long"
+    )
+    fast = triangle_stats(e).collect()[0].asDict()
+    slow = triangle_stats(e, driver_edge_cap=0).collect()[0].asDict()
+    assert fast == slow
+    assert fast["n_triangles"] == 1 and fast["n_edges"] == 3
+
+
+def test_triangle_stats_cap_counts_doubled_edges(spark, monkeypatch):
+    """Round-14 (r13 ADVICE): the shared driver cap is documented as
+    a DOUBLED-edge budget; triangle_stats holds an undoubled table,
+    so a cap of 2n-1 must route distributed and 2n driver."""
+    from vnavc_spark.operators import graph
+
+    calls = []
+    real = graph._driver_triangle_stats
+    monkeypatch.setattr(
+        graph,
+        "_driver_triangle_stats",
+        lambda e: calls.append(1) or real(e),
+    )
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a long, b long"
+    )
+    r_dist = graph.triangle_stats(e, driver_edge_cap=5).collect()[0]
+    assert not calls  # 2*3 = 6 > 5 -> distributed
+    r_drv = graph.triangle_stats(e, driver_edge_cap=6).collect()[0]
+    assert calls  # 6 <= 6 -> driver mirror
+    assert r_dist.asDict() == r_drv.asDict()
+
+
 # ---------------------------------------------------------------------------
 # sampling: systematic PPS
 # ---------------------------------------------------------------------------

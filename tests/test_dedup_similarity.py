@@ -530,6 +530,39 @@ class TestDedupClusters:
         }
         assert fast == slow == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
+    def test_driver_gate_byte_cap_falls_back_on_wide_string_ids(
+        self, spark
+    ):
+        """Round-14 (VERDICT #6): the driver gate is byte-aware — a
+        graph UNDER the row cap but with wide string ids past the
+        byte budget must take the distributed loop (the row cap alone
+        would collect hundreds of MB at scale), with identical
+        labels. Long ids (8 bytes/node fixed) are unaffected by a cap
+        sized for them."""
+        wide = [("x" * 300 + str(i), "x" * 300 + str(i + 1))
+                for i in range(4)]
+        pairs = spark.createDataFrame(wide, ["doc_a", "doc_b"])
+        key = "spark.vnavc.cc.driverByteCap"
+        try:
+            # 8 doubled edges x ~600 B/row ≈ 4.8 KB > 1 KB cap
+            spark.conf.set(key, "1024")
+            dedup.CC_STATS.clear()
+            out = {
+                r.doc_id: r.cluster_id
+                for r in dedup.dedup_clusters(pairs).collect()
+            }
+            assert dedup.CC_STATS[-1].get("driver_path") is not True
+            assert len(set(out.values())) == 1  # one chain component
+            # same cap, narrow long ids: 8 x 16 B fits -> driver path
+            lpairs = spark.createDataFrame(
+                [(i, i + 1) for i in range(4)], ["doc_a", "doc_b"]
+            )
+            dedup.CC_STATS.clear()
+            dedup.dedup_clusters(lpairs).collect()
+            assert dedup.CC_STATS[-1].get("driver_path") is True
+        finally:
+            spark.conf.unset(key)
+
     def test_drop_near_dups_keeps_representatives(self, spark):
         docs = spark.createDataFrame(
             [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],

@@ -938,6 +938,81 @@ def _cc_driver_edge_cap(spark) -> int:
         return CC_DRIVER_EDGE_CAP
 
 
+#: Byte companion to the row cap (round 14, VERDICT #6): the row cap
+#: alone trusts ids to be narrow — 500k rows of 8-byte longs collect
+#: a few MB, but the same row count of long STRING ids is a few
+#: hundred MB of driver memory. The gate therefore also estimates the
+#: collected PAYLOAD (rows × summed id width, octet lengths for
+#: string/binary ids measured in the same job as the row count) and
+#: falls back to the distributed loop past this many bytes.
+#: Conf spark.vnavc.cc.driverByteCap / env
+#: $SPARK_GRAFT_CC_DRIVER_BYTE_CAP; <= 0 disables the byte check.
+CC_DRIVER_BYTE_CAP = 64 * 1024 * 1024
+
+
+def _cc_driver_byte_cap(spark) -> int:
+    import os as _os
+
+    try:
+        return int(
+            spark.conf.get(
+                "spark.vnavc.cc.driverByteCap",
+                _os.environ.get(
+                    "SPARK_GRAFT_CC_DRIVER_BYTE_CAP",
+                    str(CC_DRIVER_BYTE_CAP),
+                ),
+            )
+        )
+    except ValueError:
+        return CC_DRIVER_BYTE_CAP
+
+
+def _driver_gate_stats(df: DataFrame, cols: tuple) -> tuple:
+    """(row count, estimated collected payload bytes) of a
+    materialized edge table, in ONE job — the byte estimate rides the
+    same aggregate as the count, so the numeric-id common case pays
+    nothing extra. String/binary columns contribute their exact
+    summed octet length; fixed-width columns 8 bytes per row. The
+    estimate is the payload only (Row-object overhead is
+    proportional), which is what blows up with wide ids."""
+    from pyspark.sql.types import BinaryType, StringType
+
+    fixed = 0
+    var_exprs = []
+    for c in cols:
+        if isinstance(df.schema[c].dataType, (StringType, BinaryType)):
+            var_exprs.append(
+                F.coalesce(F.octet_length(F.col(c)), F.lit(0)).cast("long")
+            )
+        else:
+            fixed += 8
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if var_exprs:
+        total = var_exprs[0]
+        for e in var_exprs[1:]:
+            total = total + e
+        aggs.append(F.sum(total).alias("_b"))
+    r = df.agg(*aggs).collect()[0]
+    n = r["_n"]
+    return n, n * fixed + ((r["_b"] or 0) if var_exprs else 0)
+
+
+def _driver_gate_fits(
+    df: DataFrame, spark, cols: tuple, n_cap: int, n_scale: int = 1
+) -> bool:
+    """Shared size gate for the driver-side graph mirrors: True when
+    the materialized table both row-fits (``n_scale`` lets callers
+    whose table is undoubled compare against the documented
+    DOUBLED-edge cap) and byte-fits the driver-memory budget."""
+    if n_cap <= 0:
+        return False
+    n, est_bytes = _driver_gate_stats(df, cols)
+    if n * n_scale > n_cap:
+        return False
+    byte_cap = _cc_driver_byte_cap(spark)
+    return byte_cap <= 0 or est_bytes <= byte_cap
+
+
 def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Label connected components of a SMALL (cap-gated, already
     materialized) doubled edge table on the driver: classic
@@ -1070,7 +1145,9 @@ def dedup_clusters(
     # O(log diameter) distributed loop below is unchanged.
     if driver_edge_cap is None:
         driver_edge_cap = _cc_driver_edge_cap(pairs.sparkSession)
-    if driver_edge_cap > 0 and edges.count() <= driver_edge_cap:
+    if _driver_gate_fits(
+        edges, pairs.sparkSession, ("src", "dst"), driver_edge_cap
+    ):
         t0 = _time.perf_counter()
         out = _driver_union_find(edges)
         CC_STATS.append(
@@ -1997,7 +2074,9 @@ def kcore_peel(
     # cap-gated graph computes the identical sweeps driver-side.
     if driver_edge_cap is None:
         driver_edge_cap = _cc_driver_edge_cap(pairs.sparkSession)
-    if driver_edge_cap > 0 and both.count() <= driver_edge_cap:
+    if _driver_gate_fits(
+        both, pairs.sparkSession, ("u", "v"), driver_edge_cap
+    ):
         return _driver_kcore_peel(
             both, k=k, rounds=rounds, to_fixpoint=to_fixpoint
         )

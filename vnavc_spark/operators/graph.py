@@ -172,26 +172,47 @@ def triangle_stats(
     from vnavc_spark.functions.portable import stable_round
 
     # defensive dedup: a repeated input edge would inflate every
-    # count downstream (edge-table-sized, costs one tiny shuffle)
+    # count downstream (edge-table-sized, costs one tiny shuffle).
+    # Self-loops (an a == b contract violation) are dropped here so
+    # the driver and distributed paths agree on malformed input —
+    # the driver orientation loop would count (a, a) as a phantom
+    # triangle while the distributed wedge filter never forms the
+    # wedge (r13 ADVICE). Null-endpoint edges pass through unchanged
+    # (both paths already share null semantics).
     e = tracked_persist(
         edges.select(
             F.col("a").cast("long"), F.col("b").cast("long")
-        ).distinct(),
+        )
+        .filter(
+            F.col("a").isNull()
+            | F.col("b").isNull()
+            | (F.col("a") != F.col("b"))
+        )
+        .distinct(),
         "tri_edges",
     )
     # size gate (round-13, the dedup_clusters stance): the SV wedge
     # pipeline costs 3 persists + 5 aggregates of driver sync (~2 s
     # measured on q131's 2,859-edge graph) regardless of cluster
     # size; a cap-gated graph counts exactly driver-side. Above the
-    # cap the degree-ordered wedge join below is unchanged.
-    from vnavc_spark.operators.dedup import _cc_driver_edge_cap
+    # cap the degree-ordered wedge join below is unchanged. The
+    # shared cap is documented as a DOUBLED-edge budget (SCALE.md;
+    # dedup_clusters/kcore_peel gate the doubled table), and this
+    # table is undoubled — compare 2·n against it (r13 ADVICE) and
+    # byte-check the collect like the other gates.
+    from vnavc_spark.operators.dedup import (
+        _cc_driver_edge_cap,
+        _driver_gate_fits,
+    )
 
     cap = (
         _cc_driver_edge_cap(edges.sparkSession)
         if driver_edge_cap is None
         else driver_edge_cap
     )
-    if cap > 0 and e.count() <= cap:
+    if _driver_gate_fits(
+        e, edges.sparkSession, ("a", "b"), cap, n_scale=2
+    ):
         return _driver_triangle_stats(e)
     deg = tracked_persist(
         e.select(F.col("a").alias("x"))
