@@ -1372,20 +1372,60 @@ class TestRankBucketClassify:
     def test_small_tie_band_exercises_carry(self, spark):
         # tie_band smaller than the tie runs forces the band-carry
         # window to do real work (default 8192 would put every test
-        # row in band 0)
+        # row in band 0); the direct-tie gate is disabled so the
+        # BANDED path is actually the one under test (round 14)
         from vnavc_spark.operators.aggregates import rank_bucket_classify
 
         df = spark.createDataFrame(
             [("A", i, i % 3) for i in range(1, 201)],
             "g string, id long, val long",
         )
-        got = {
-            (r.g, r.id): r.bucket
-            for r in rank_bucket_classify(
-                df, ["g"], "val", "id", 5, tie_band=16
-            ).collect()
-        }
+        key = "spark.vnavc.rank.tieDirectCap"
+        try:
+            spark.conf.set(key, "1")
+            got = {
+                (r.g, r.id): r.bucket
+                for r in rank_bucket_classify(
+                    df, ["g"], "val", "id", 5, tie_band=16
+                ).collect()
+            }
+        finally:
+            spark.conf.unset(key)
         assert got == self._reference(df, 5)
+
+    def test_direct_tie_gate_parity_and_routing(self, spark):
+        """Round-14 (VERDICT #5): groups under the tie-direct cap rank
+        boundary ties with ONE window; the result must be identical to
+        the banded cascade, and the plan must actually lose the
+        band/carry machinery under the gate."""
+        import random
+
+        from vnavc_spark.operators.aggregates import rank_bucket_classify
+
+        random.seed(11)
+        rows = [
+            (g, i, random.randint(0, 6))
+            for g in ("A", "B")
+            for i in range(1, 401)
+        ]
+        df = spark.createDataFrame(rows, "g string, id long, val long")
+        key = "spark.vnavc.rank.tieDirectCap"
+
+        def run(cap):
+            spark.conf.set(key, str(cap))
+            out = rank_bucket_classify(df, ["g"], "val", "id", 5)
+            plan = out._jdf.queryExecution().optimizedPlan().toString()
+            return {
+                (r.g, r.id): r.bucket for r in out.collect()
+            }, plan
+
+        try:
+            direct, dplan = run(1 << 20)  # max n = 400 <= cap
+            banded, bplan = run(1)  # force the banded cascade
+        finally:
+            spark.conf.unset(key)
+        assert direct == banded == self._reference(df, 5)
+        assert "_band" not in dplan and "_band" in bplan
 
     def test_rejects_k_below_two(self, spark):
         import pytest

@@ -1278,6 +1278,32 @@ def exact_rank_multi(
     return spark.createDataFrame(rows, schema)
 
 
+#: Largest group size (== largest possible tie run) that routes
+#: rank_bucket_classify's boundary-tie ranking onto ONE direct
+#: row_number window instead of the banded band/carry/join cascade.
+#: 2^20 rows of (group, value, id) is ~25 MB of single-task sort
+#: state — comfortably bounded; the decision reads the narrowing
+#: state already on the driver, so it costs no extra job.
+RANK_TIE_DIRECT_CAP = 1 << 20
+
+
+def _tie_direct_cap(spark) -> int:
+    import os as _os
+
+    try:
+        return int(
+            spark.conf.get(
+                "spark.vnavc.rank.tieDirectCap",
+                _os.environ.get(
+                    "SPARK_GRAFT_RANK_TIE_DIRECT_CAP",
+                    str(RANK_TIE_DIRECT_CAP),
+                ),
+            )
+        )
+    except ValueError:
+        return RANK_TIE_DIRECT_CAP
+
+
 def rank_bucket_classify(
     df: DataFrame,
     group_cols: list[str],
@@ -1322,7 +1348,17 @@ def rank_bucket_classify(
        id-range bands of ``tie_band``, then a carry over band COUNTS
        (|tie run| / tie_band rows, partitioned by (group, value)) —
        so even an all-equal degenerate group never funnels its rows
-       through one task.
+       through one task. The band/carry/join cascade is 3 extra
+       exchanges of pure scheduling floor when the tie runs are
+       SMALL, and the converged narrowing state already holds every
+       group's size ``n`` driver-side with |tie run| <= n — so when
+       max(n) <= ``spark.vnavc.rank.tieDirectCap`` (default 2^20
+       rows, env $SPARK_GRAFT_RANK_TIE_DIRECT_CAP, <= 0 disables)
+       the in-tie rank is ONE row_number window partitioned by
+       (group, value): a bounded single-task sort, decided from
+       state already collected (no extra job). Above the cap — the
+       100 TB posture, where a group is corpus-sized — the banded
+       cascade is unchanged.
 
     The boundary table is (group × (k−1))-sized driver state, so the
     classify array builds DRIVER-SIDE and broadcasts — no boundary
@@ -1416,37 +1452,49 @@ def rank_bucket_classify(
         out_col,
         F.size(F.filter("_arr", lambda x: v > x["_bv"])).cast("long"),
     )
-    # tie runs: rank inside the run via banded two-level row_number
-    tie = base.filter(is_tie).withColumn(
-        "_band", F.expr(f"{id_col} div {tie_band}")
-    )
-    bandc = tie.groupBy(*group_cols, value_col, "_band").agg(
-        F.count("*").alias("_bc")
-    )
-    wcarry = (
-        Window.partitionBy(*group_cols, value_col)
-        .orderBy("_band")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bandc = bandc.withColumn(
-        "_carry", F.coalesce(F.sum("_bc").over(wcarry), F.lit(0))
-    ).drop("_bc")
-    wband = Window.partitionBy(*group_cols, value_col, "_band").orderBy(id_col)
-    tie = (
-        tie.withColumn("_rn", F.row_number().over(wband))
-        .join(bandc, on=[*group_cols, value_col, "_band"])
-        .withColumn("_tr", F.col("_carry") + F.col("_rn"))
-        .withColumn(
-            out_col,
-            F.size(
-                F.filter(
-                    "_arr",
-                    lambda x: (v > x["_bv"])
-                    | ((v == x["_bv"]) & (F.col("_tr") > x["_RC"])),
-                )
-            ).cast("long"),
+    # tie runs: rank inside the run. |tie run| <= group n, and every
+    # n is already in the collected narrowing state — small groups
+    # take ONE direct window (bounded single-task sort); large ones
+    # keep the banded two-level cascade (see docstring point 4).
+    tie_bucket = F.size(
+        F.filter(
+            "_arr",
+            lambda x: (v > x["_bv"])
+            | ((v == x["_bv"]) & (F.col("_tr") > x["_RC"])),
         )
-    )
+    ).cast("long")
+    max_n = max((s["n"] for s in state.values()), default=0)
+    if 0 < max_n <= _tie_direct_cap(spark):
+        wdir = Window.partitionBy(*group_cols, value_col).orderBy(id_col)
+        tie = (
+            base.filter(is_tie)
+            .withColumn("_tr", F.row_number().over(wdir))
+            .withColumn(out_col, tie_bucket)
+        )
+    else:
+        tie = base.filter(is_tie).withColumn(
+            "_band", F.expr(f"{id_col} div {tie_band}")
+        )
+        bandc = tie.groupBy(*group_cols, value_col, "_band").agg(
+            F.count("*").alias("_bc")
+        )
+        wcarry = (
+            Window.partitionBy(*group_cols, value_col)
+            .orderBy("_band")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bandc = bandc.withColumn(
+            "_carry", F.coalesce(F.sum("_bc").over(wcarry), F.lit(0))
+        ).drop("_bc")
+        wband = Window.partitionBy(
+            *group_cols, value_col, "_band"
+        ).orderBy(id_col)
+        tie = (
+            tie.withColumn("_rn", F.row_number().over(wband))
+            .join(bandc, on=[*group_cols, value_col, "_band"])
+            .withColumn("_tr", F.col("_carry") + F.col("_rn"))
+            .withColumn(out_col, tie_bucket)
+        )
     out_cols = [*df.columns, out_col]
     return nontie.select(*out_cols).unionByName(tie.select(*out_cols))
 
