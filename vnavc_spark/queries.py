@@ -7959,19 +7959,27 @@ def q154_rolling_dau_incremental(
     calendar-week chunks (each chunk is one micro-batch): a chunk's
     FIRST-SEEN (user, day) and (user, window-end-day) pairs are
     found by anti-joining against the READ-BACK of the staging
-    table, localCheckpointed (materialize BEFORE appending to the
+    table and appended as ONE ``kind``-partitioned delta per chunk
+    (kind='d' day pairs, kind='w' window-day pairs): the day delta
+    is localCheckpointed first (materialize BEFORE appending to the
     same path — the stage_minhash_signatures lesson: a lazy plan
-    reading sig_path silently re-evaluates after the append), then
-    appended. Chunk work is proportional to its own new activity,
-    never a recompute over history, and the state survives the
-    process — a real nightly pipeline resumes by pointing at the
-    same directory. Distinct counts don't decompose over sliding
-    windows, but first-seen pair deltas DO sum to the exact distinct
-    count; the final counts aggregate the staged state table
-    (compact Parquet pair state, not the event corpus). Chunk count
-    guarded ≤ 64; null users ride the DAU path (count(*) semantics)
-    but are dropped from the WAU path (count(DISTINCT) skips nulls;
-    a null key would also defeat the first-seen anti-join).
+    reading the state path silently re-evaluates after the append;
+    the window-day delta needs no checkpoint of its own because the
+    single append job is its only consumer), then both deltas land
+    in one write. Two checkpointed appends per chunk collapsed to
+    one checkpoint + one append (round 14: 4 → 2 jobs/chunk — at
+    9 chunks the cadence was scheduling-bound, guide §2.6). Chunk
+    work is proportional to its own new activity, never a recompute
+    over history, and the state survives the process — a real
+    nightly pipeline resumes by pointing at the same directory
+    (staged layout: one kind-partitioned Parquet table). Distinct
+    counts don't decompose over sliding windows, but first-seen pair
+    deltas DO sum to the exact distinct count; the final counts
+    aggregate the staged state table (compact Parquet pair state,
+    not the event corpus). Chunk count guarded ≤ 64; null users ride
+    the DAU path (count(*) semantics) but are dropped from the WAU
+    path (count(DISTINCT) skips nulls; a null key would also defeat
+    the first-seen anti-join).
     Certified against the SAME oracle as the batch q137 —
     incremental == batch, hash-exact; staged == batch pinned by
     test_incremental_dau_chunk_guard_and_parity.
@@ -8022,8 +8030,7 @@ def q154_rolling_dau_incremental(
     if state_dir is None:
         state_dir = tempfile.mkdtemp(prefix="q154_state_")
         atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    ud_path = f"{state_dir}/user_day"
-    uw_path = f"{state_dir}/user_windowday"
+    state_path = f"{state_dir}/user_pairs"
 
     def _staged(path):
         # explicit existence probe through the path's own Hadoop
@@ -8037,17 +8044,29 @@ def q154_rolling_dau_incremental(
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(hpath):
             return None
-        return spark.read.parquet(path)
+        # explicit schema: a chunk whose delta was fully empty (e.g.
+        # an idempotent re-run of a staged week as the FIRST write)
+        # leaves a partitioned dir with no part files, where schema
+        # inference would fail; a declared schema reads it as empty
+        return spark.read.schema(
+            "user_id long, dy date, kind string"
+        ).parquet(path)
 
     for wk in wks:
         chunk = with_wk.filter(F.col("wk") == wk).select("user_id", "d")
-        st_ud = _staged(ud_path)
+        st = _staged(state_path)
+        st_ud = (
+            None
+            if st is None
+            else st.filter(F.col("kind") == "d").select(
+                "user_id", F.col("dy").alias("d")
+            )
+        )
         new_ud = (
             chunk
             if st_ud is None
             else chunk.join(st_ud, on=["user_id", "d"], how="left_anti")
         ).localCheckpoint()
-        new_ud.write.mode("append").parquet(ud_path)
         uw = (
             new_ud.filter(F.col("user_id").isNotNull())
             .select(
@@ -8058,22 +8077,39 @@ def q154_rolling_dau_incremental(
             )
             .distinct()
         )
-        st_uw = _staged(uw_path)
-        new_uw = (
-            uw
-            if st_uw is None
-            else uw.join(st_uw, on=["user_id", "wd"], how="left_anti")
-        ).localCheckpoint()
-        new_uw.write.mode("append").parquet(uw_path)
-    st_ud, st_uw = _staged(ud_path), _staged(uw_path)
-    if st_ud is None or st_uw is None:
+        if st is not None:
+            st_uw = st.filter(F.col("kind") == "w").select(
+                "user_id", F.col("dy").alias("wd")
+            )
+            uw = uw.join(st_uw, on=["user_id", "wd"], how="left_anti")
+        # ONE append job covers both deltas: the day rows come off
+        # the checkpoint; the window-day anti-join evaluates inside
+        # this job, whose scan of the staged table lists its files
+        # before any new ones commit — nothing re-reads state_path
+        # after the append within this chunk
+        delta = new_ud.select(
+            "user_id", F.col("d").alias("dy"), F.lit("d").alias("kind")
+        ).unionByName(
+            uw.select(
+                "user_id", F.col("wd").alias("dy"), F.lit("w").alias("kind")
+            )
+        )
+        delta.write.partitionBy("kind").mode("append").parquet(state_path)
+    st = _staged(state_path)
+    if st is None:
         # caller state_dir with no staged history and no chunks run
         return spark.createDataFrame(
             [], "day string, dau long, wau7 long"
         )
-    da = st_ud.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
-    wau = st_uw.groupBy("wd").agg(
-        F.count("*").cast("long").alias("wau7")
+    da = (
+        st.filter(F.col("kind") == "d")
+        .groupBy(F.col("dy").alias("d"))
+        .agg(F.count("*").cast("long").alias("dau"))
+    )
+    wau = (
+        st.filter(F.col("kind") == "w")
+        .groupBy(F.col("dy").alias("wd"))
+        .agg(F.count("*").cast("long").alias("wau7"))
     )
     return wau.join(da, wau.wd == da.d).select(
         F.date_format("wd", "yyyy-MM-dd").alias("day"), "dau", "wau7"
