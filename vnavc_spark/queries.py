@@ -3463,8 +3463,17 @@ def q82_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     comma-joined string: registered queries emit only scalar columns
     (the certification harness canonicalizes with pandas sort/
     factorize, which cannot hash list cells)."""
+    from vnavc_spark.io import spread_small_scan
+
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    # few-file scan spread BEFORE the tokenize (round 14, §2.5): the
+    # posting build's pre-shuffle work — tokenize + explode + shard
+    # hash + the (tok, shard) partial aggregate — otherwise runs on
+    # however few tasks the scan yields (one, for a single-row-group
+    # local file). Gate fires only when files < defaultParallelism;
+    # measured 1.5–1.9 → 1.1 s at sf0.1 (the same text-spread probe
+    # REJECTED for q119's light bigram counts, r14 notes).
+    toks = spread_small_scan(d.select("doc_id", "text")).select(
         "doc_id", F.explode(Q.tokens(Q.normalized_text("text"))).alias("tok")
     )
     n = d.agg(F.count("*").alias("n_docs"))
