@@ -778,6 +778,53 @@ def test_trim_slots_bounds_population_keeps_newest(spark):
     C.clear_tracked()
 
 
+def test_trim_slots_is_lru_not_fifo(spark):
+    """Round-14 (r13 ADVICE): a slot kept warm through reuse — via a
+    reuse_same_plan hit OR a re-persist — must be treated as recent
+    by trim_slots; FIFO insertion order would evict it while colder,
+    later-inserted slots survive."""
+    from vnavc_spark import cache as C
+
+    C.clear_tracked()
+    hot = C.tracked_persist(
+        spark.range(7), "lru_hot", reuse_same_plan=True
+    )
+    hot.count()
+    for i in range(3):
+        C.tracked_persist(spark.range(i + 1), f"lru_cold_{i}").count()
+    # reuse hit refreshes the hot slot's recency
+    again = C.tracked_persist(
+        spark.range(7), "lru_hot", reuse_same_plan=True
+    )
+    assert again is hot
+    C.trim_slots(keep_n=2)
+    assert list(C._SLOTS) == ["lru_cold_2", "lru_hot"]
+    # re-persist (the swap path) also refreshes recency
+    C.tracked_persist(spark.range(9), "lru_cold_2").count()
+    C.tracked_persist(spark.range(11), "lru_hot").count()
+    C.tracked_persist(spark.range(13), "lru_newest").count()
+    C.trim_slots(keep_n=2)
+    assert list(C._SLOTS) == ["lru_hot", "lru_newest"]
+    C.clear_tracked()
+
+
+def test_slot_cap_env_parse_falls_back(monkeypatch):
+    """Round-14 (r13 ADVICE): a malformed $SPARK_GRAFT_PERSIST_SLOT_CAP
+    must not crash vnavc_spark.cache at import — the parse falls back
+    to the default, matching _cc_driver_edge_cap's stance."""
+    import importlib
+
+    from vnavc_spark import cache as C
+
+    monkeypatch.setenv("SPARK_GRAFT_PERSIST_SLOT_CAP", "not-an-int")
+    try:
+        mod = importlib.reload(C)
+        assert mod.SLOT_CAP == 32
+    finally:
+        monkeypatch.undo()
+        importlib.reload(C)
+
+
 def test_incremental_dau_chunk_guard_and_parity(spark, tmp_path):
     # >64 weekly chunks must fail fast (staging loop is driver-side);
     # and at a sane span the incremental result equals the batch

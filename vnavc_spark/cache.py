@@ -37,7 +37,32 @@ from pyspark.sql import DataFrame
 # and the socket-level failures of a dead gateway
 _REUSE_PROBE_EXPECTED = (Py4JError, PySparkException, ConnectionError)
 
-_SLOTS: dict[str, list] = {}
+class _LruSlots(dict):
+    """Slot registry whose ``setdefault`` refreshes the key's recency
+    (pop + reinsert on an existing key), so :func:`trim_slots` evicts
+    the least-recently-TOUCHED slot rather than oldest-inserted. Both
+    of ``tracked_persist``'s paths go through ``setdefault`` — the
+    ``reuse_same_plan`` hit and the re-persist swap — so a slot kept
+    warm purely through reuse (the q124→q131 case) is no longer
+    evicted as "oldest" while colder, newer slots survive (r13 ADVICE).
+    Implemented as the registry's own type, NOT as logic inside
+    ``tracked_persist``: the certification fingerprints hash every
+    query's transitive dependency FUNCTION/CLASS sources, and an edit
+    to ``tracked_persist`` would rotate the entire persist-using
+    registry for a cache-hygiene change (same reasoning as
+    ``trim_slots`` below; an instance in a function's globals is not
+    part of its hashed closure)."""
+
+    def setdefault(self, key, default=None):
+        if key in self:
+            val = dict.pop(self, key)
+            self[key] = val
+            return val
+        self[key] = default
+        return default
+
+
+_SLOTS: dict[str, list] = _LruSlots()
 _LOCK = threading.Lock()
 
 #: Default ceiling for :func:`trim_slots` — long sessions that run
@@ -48,11 +73,16 @@ _LOCK = threading.Lock()
 #: find). Override via $SPARK_GRAFT_PERSIST_SLOT_CAP; 0 disables.
 import os as _os
 
-SLOT_CAP = int(_os.environ.get("SPARK_GRAFT_PERSIST_SLOT_CAP", "32"))
+try:
+    SLOT_CAP = int(_os.environ.get("SPARK_GRAFT_PERSIST_SLOT_CAP", "32"))
+except ValueError:
+    # malformed env value must not crash every import of this module
+    # (r13 ADVICE; matches _cc_driver_edge_cap's fallback stance)
+    SLOT_CAP = 32
 
 
 def trim_slots(keep_n: int | None = None) -> int:
-    """Unpersist all but the ``keep_n`` most-recently-INSERTED
+    """Unpersist all but the ``keep_n`` most-recently-TOUCHED
     tracked slots and return how many were evicted — session hygiene
     for long multi-query sessions (the bench calls this between
     queries). Eviction is always correct (unpersist only drops the
