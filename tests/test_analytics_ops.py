@@ -388,6 +388,61 @@ def test_market_basket_planted_pair(spark, tmp_path):
     assert (1, 3) not in out  # support 1 < 2
 
 
+def test_capped_basket_items_window_form_matches_reference(spark, tmp_path):
+    """The r14 one-exchange window-count build of _capped_basket_items
+    must equal the distinct→groupBy→join reference form, including at
+    the BASKET_MIN/BASKET_MAX boundaries and on duplicate (ok, pk)
+    lines that the distinct must collapse BEFORE the size count."""
+    from pyspark.sql import functions as F
+
+    import vnavc_spark.queries as Qr
+
+    base = _ts("2024-01-01 00:00:00")
+    rows = []
+    # order 1: exactly BASKET_MIN distinct parts (kept, boundary) with
+    # a duplicated line for part 1 (distinct-before-count coverage);
+    # order 2: 1 distinct part (dropped, under MIN);
+    # order 3: exactly BASKET_MAX distinct parts (kept, boundary);
+    # order 4: BASKET_MAX+1 distinct parts (dropped, over MAX).
+    for pk in (1, 1, 2):
+        rows.append((1, pk))
+    rows.append((2, 9))
+    for pk in range(10, 10 + Qr.BASKET_MAX):
+        rows.append((3, pk))
+    for pk in range(30, 31 + Qr.BASKET_MAX):
+        rows.append((4, pk))
+    spark.createDataFrame(
+        [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", base)
+         for ok, pk in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = sorted(
+        tuple(r)
+        for r in Qr._capped_basket_items(spark, str(tmp_path)).collect()
+    )
+    # reference form: distinct → per-order size aggregate → join back
+    li = spark.read.parquet(str(tmp_path / "lineitem.parquet"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sz = (
+        b.groupBy("ok")
+        .agg(F.count("*").alias("_n"))
+        .filter(
+            (F.col("_n") >= Qr.BASKET_MIN) & (F.col("_n") <= Qr.BASKET_MAX)
+        )
+        .select("ok")
+    )
+    want = sorted(tuple(r) for r in b.join(sz, on="ok").collect())
+    assert got == want
+    kept_orders = {ok for ok, _ in got}
+    assert kept_orders == {1, 3}
+
+
 def test_rfm_scores_within_bounds(spark):
     import vnavc_spark.queries as Qr
     from tests.conftest import SF_SMALL

@@ -5890,22 +5890,28 @@ def _capped_basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vnavc_spark.cache import tracked_persist
 
     li = table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    sz = (
-        b.groupBy("ok")
-        .agg(F.count("*").alias("_n"))
-        .filter(
-            (F.col("_n") >= BASKET_MIN) & (F.col("_n") <= BASKET_MAX)
+    # ONE keyed exchange builds the whole table (round 14, §2.4): a
+    # repartition on the order key satisfies the (ok, pk) distinct's
+    # clustering AND the size window's, so the distinct→groupBy→join
+    # form's two further shuffles of this table collapse — the size
+    # filter is a window count instead of an aggregate joined back.
+    b = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
-        .select("ok")
+        .repartition("ok")
+        .distinct()
     )
+    w = Window.partitionBy("ok")
     # reuse_same_plan: driver testdata is immutable in-session, so
     # q131 following q124 shares the warm cache instead of
     # rebuilding the identical plan
     return tracked_persist(
-        b.join(sz, on="ok"), "basket_items", reuse_same_plan=True
+        b.withColumn("_n", F.count("*").over(w))
+        .filter((F.col("_n") >= BASKET_MIN) & (F.col("_n") <= BASKET_MAX))
+        .drop("_n"),
+        "basket_items",
+        reuse_same_plan=True,
     )
 
 
